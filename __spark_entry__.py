@@ -1,38 +1,1135 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship turn-feature pipeline on the sf0.001
+transcripts analog. ``queries()`` exposes every implemented operator from
+SURVEY.md §2 as (spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL.
+
+Cross-engine comparison conventions (the driver hashes sorted values):
+- integer outputs cast to bigint on both sides;
+- float outputs rounded to 6 decimals on both sides;
+- timestamps exported as epoch-seconds doubles (``ts_sec``), never raw;
+- big money sums go through DECIMAL(18,2) so both engines sum exactly;
+- every window is ordered by a unique key tuple (ts, event_id) so tie
+  order can never differ between engines.
+
+``events(user_id, ts, value, event_type, ...)`` plays the transcripts role
+(entity = user_id, turn order = ts): the temporal operators' oracle
+checks run on it, while the transcripts-specific tests (text equality,
+parity vs the reference-semantics numpy kernels) live in tests/.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from acoustic_feature_extractor_spark.functions import text as tx
+from acoustic_feature_extractor_spark.operators import (
+    asof as asof_ops,
+    dedup as dedup_ops,
+    fill as fill_ops,
+    intervals as interval_ops,
+    multimodal as mm_ops,
+    percentiles as pct_ops,
+    sample as sample_ops,
+    sessionize as sess_ops,
+    similarity as sim_ops,
+    stats as stats_ops,
+    windows as win_ops,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+_EPOCH = "epoch_us({c})/1000000.0"  # duckdb; spark: cast(ts as double)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _sec(col) -> F.Column:
+    """NTZ-safe epoch seconds (session tz pinned to UTC)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
+def _ts_sec(col: str = "ts") -> F.Column:
+    return F.round(_sec(col), 6)
+
+
+def _indexed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + per-user turn index (row_number over (ts, event_id)) —
+    casts events into the engine's transcripts shape."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
+
+_IDX_SQL = """
+  SELECT user_id, event_id, ts, value, event_type,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS idx
+  FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# entry
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full turn-feature pipeline over the synthetic transcripts
+    table (sf0.001-scaled) — windows + sessionization + fill + stats."""
+    from acoustic_feature_extractor_spark.datagen import generate_transcripts
+    from acoustic_feature_extractor_spark.plans.pipeline import turn_features
 
+    t = generate_transcripts(spark, n_convs=200)
+    return turn_features(t)
+
+
+# --------------------------------------------------------------------------
+# queries — temporal pack (events as the entity×timestamp stream)
+# --------------------------------------------------------------------------
+
+def q_flagship_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _indexed_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("idx")
+    d = win_ops.with_context_features(d, ["event_type"], key="user_id", order="idx")
+    d = d.withColumn(
+        "dt_prev_sec",
+        F.round(_sec("ts") - F.lag(_sec("ts")).over(w), 6),
+    )
+    d = win_ops.degenerate(d, "value", frame_length=5, aggs=("mean",), key="user_id", order="idx")
+    d = sess_ops.sessionize(d, gap_seconds=3600.0, key="user_id", ts="ts", order="idx")
+    st = stats_ops.corpus_stats(d, "value").select("mean", "stddev")
+    d = d.crossJoin(F.broadcast(st))
+    return d.select(
+        "user_id",
+        "event_id",
+        "idx",
+        F.col("prev_event_type"),
+        F.col("next_event_type"),
+        "dt_prev_sec",
+        F.round("value_mean", 6).alias("roll_val_mean"),
+        F.col("session_id").cast("long").alias("session_id"),
+        F.round((F.col("value") - F.col("mean")) / F.col("stddev"), 6).alias("value_z"),
+    )
+
+
+_SQL_FLAGSHIP = f"""
+WITH base AS ({_IDX_SQL}),
+d AS (
+  SELECT *,
+    lag(event_type) OVER w AS prev_event_type,
+    lead(event_type) OVER w AS next_event_type,
+    round(epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0) OVER w, 6) AS dt_prev_sec,
+    avg(value) OVER (PARTITION BY user_id ORDER BY idx ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS roll_mean,
+    CASE WHEN epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0) OVER w > 3600.0 THEN 1 ELSE 0 END AS is_new
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY idx)
+),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY idx) AS session_id FROM d
+),
+g AS (SELECT avg(value) AS gm, stddev_pop(value) AS gs FROM events)
+SELECT user_id, event_id, idx, prev_event_type, next_event_type, dt_prev_sec,
+       round(roll_mean, 6) AS roll_val_mean,
+       CAST(session_id AS BIGINT) AS session_id,
+       round((value - gm)/gs, 6) AS value_z
+FROM s, g
+"""
+
+
+def q_lag_lead_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _indexed_events(spark, sf_dir)
+    d = win_ops.with_context_features(
+        d, ["event_type", "value"], key="user_id", order="idx", defaults={"event_type": "none"}
+    )
+    return d.select(
+        "user_id",
+        "event_id",
+        "idx",
+        "prev_event_type",
+        "next_event_type",
+        F.round("prev_value", 6).alias("prev_value"),
+        F.round("next_value", 6).alias("next_value"),
+    )
+
+
+_SQL_LAG_LEAD = f"""
+WITH base AS ({_IDX_SQL})
+SELECT user_id, event_id, idx,
+       coalesce(lag(event_type) OVER w, 'none') AS prev_event_type,
+       coalesce(lead(event_type) OVER w, 'none') AS next_event_type,
+       round(lag(value) OVER w, 6) AS prev_value,
+       round(lead(value) OVER w, 6) AS next_value
+FROM base WINDOW w AS (PARTITION BY user_id ORDER BY idx)
+"""
+
+
+def q_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _indexed_events(spark, sf_dir)
+    d = win_ops.degenerate(d, "value", frame_length=5, key="user_id", order="idx")
+    return d.select(
+        "user_id",
+        "event_id",
+        "idx",
+        F.round("value_min", 6).alias("roll_min"),
+        F.round("value_max", 6).alias("roll_max"),
+        F.round("value_mean", 6).alias("roll_mean"),
+        F.round("value_median", 6).alias("roll_median"),
+    )
+
+
+_SQL_ROLLING = f"""
+WITH base AS ({_IDX_SQL})
+SELECT user_id, event_id, idx,
+       round(min(value) OVER w, 6) AS roll_min,
+       round(max(value) OVER w, 6) AS roll_max,
+       round(avg(value) OVER w, 6) AS roll_mean,
+       round(quantile_cont(value, 0.5) OVER w, 6) AS roll_median
+FROM base WINDOW w AS (PARTITION BY user_id ORDER BY idx ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+
+
+def q_rolling_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degeneration with hop (downsample): output rate = rate/hop
+    (``sampling_data.py:172-175``)."""
+    d = _indexed_events(spark, sf_dir)
+    d = win_ops.degenerate(
+        d, "value", frame_length=4, hop_length=2, aggs=("min", "max", "mean"),
+        key="user_id", order="idx",
+    )
+    return d.select(
+        "user_id",
+        "event_id",
+        "idx",
+        F.round("value_min", 6).alias("roll_min"),
+        F.round("value_max", 6).alias("roll_max"),
+        F.round("value_mean", 6).alias("roll_mean"),
+    )
+
+
+_SQL_ROLLING_HOP = f"""
+WITH base AS ({_IDX_SQL}),
+r AS (
+  SELECT user_id, event_id, idx,
+         round(min(value) OVER w, 6) AS roll_min,
+         round(max(value) OVER w, 6) AS roll_max,
+         round(avg(value) OVER w, 6) AS roll_mean
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY idx ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+)
+SELECT * FROM r WHERE idx % 2 = 0
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _indexed_events(spark, sf_dir)
+    d = sess_ops.sessionize(d, gap_seconds=3600.0, key="user_id", ts="ts", order="idx")
+    return d.select("user_id", "event_id", "idx", F.col("session_id").cast("long").alias("session_id"))
+
+
+_SQL_SESSIONIZE = f"""
+WITH base AS ({_IDX_SQL}),
+d AS (
+  SELECT user_id, event_id, idx,
+         CASE WHEN epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0)
+              OVER (PARTITION BY user_id ORDER BY idx) > 3600.0 THEN 1 ELSE 0 END AS is_new
+  FROM base
+)
+SELECT user_id, event_id, idx,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY idx) AS BIGINT) AS session_id
+FROM d
+"""
+
+
+def q_session_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _indexed_events(spark, sf_dir)
+    d = sess_ops.sessionize(d, gap_seconds=3600.0, key="user_id", ts="ts", order="idx")
+    b = sess_ops.session_bounds(d, key="user_id", session_col="session_id", ts="ts")
+    return b.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.round(_sec("session_start"), 6).alias("start_sec"),
+        F.round(_sec("session_end"), 6).alias("end_sec"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+    )
+
+
+_SQL_SESSION_BOUNDS = f"""
+WITH base AS ({_IDX_SQL}),
+d AS (
+  SELECT *, CASE WHEN epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0)
+            OVER (PARTITION BY user_id ORDER BY idx) > 3600.0 THEN 1 ELSE 0 END AS is_new
+  FROM base
+),
+s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY idx) AS session_id FROM d)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       round(min(epoch_us(ts)/1000000.0), 6) AS start_sec,
+       round(max(epoch_us(ts)/1000000.0), 6) AS end_sec,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_run_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _indexed_events(spark, sf_dir).withColumn("is_err", F.col("event_type") == "error")
+    d = sess_ops.run_boundaries(d, "is_err", key="user_id", order="idx")
+    return d.select(
+        "user_id", "event_id", "idx", "is_change", F.col("run_id").cast("long").alias("run_id")
+    )
+
+
+_SQL_RUN_BOUNDARIES = f"""
+WITH base AS ({_IDX_SQL}),
+d AS (
+  SELECT user_id, event_id, idx, (event_type = 'error') AS is_err,
+         lag(event_type = 'error') OVER (PARTITION BY user_id ORDER BY idx) AS prev_err
+  FROM base
+),
+c AS (
+  SELECT user_id, event_id, idx,
+         (prev_err IS NULL OR prev_err <> is_err) AS is_change
+  FROM d
+)
+SELECT user_id, event_id, idx, is_change,
+       CAST(sum(CASE WHEN is_change THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY idx) AS BIGINT) AS run_id
+FROM c
+"""
+
+
+def q_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _indexed_events(spark, sf_dir).withColumn(
+        "good_value", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    d = fill_ops.forward_fill(d, "good_value", key="user_id", order="idx", out_col="last_good")
+    return d.select("user_id", "event_id", "idx", F.round("last_good", 6).alias("last_good"))
+
+
+_SQL_FFILL = f"""
+WITH base AS ({_IDX_SQL})
+SELECT user_id, event_id, idx,
+       round(last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+       AS last_good
+FROM base
+"""
+
+
+def q_interp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across masked rows — the unvoiced-fill analog
+    (``f0.py:70-83``): 'error' rows are missing, filled between neighbors."""
+    d = _indexed_events(spark, sf_dir).withColumn(
+        "good_value", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    d = fill_ops.interpolate_fill(d, "good_value", key="user_id", order="idx", out_col="filled")
+    return d.select("user_id", "event_id", "idx", F.round("filled", 6).alias("filled"))
+
+
+_SQL_INTERP = f"""
+WITH base AS ({_IDX_SQL}),
+d AS (
+  SELECT user_id, event_id, idx,
+         CASE WHEN event_type <> 'error' THEN value END AS v
+  FROM base
+),
+f AS (
+  SELECT user_id, event_id, idx, v,
+    last_value(v IGNORE NULLS) OVER wp AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN CAST(idx AS DOUBLE) END IGNORE NULLS) OVER wp AS pi,
+    first_value(v IGNORE NULLS) OVER wn AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN CAST(idx AS DOUBLE) END IGNORE NULLS) OVER wn AS ni
+  FROM d
+  WINDOW wp AS (PARTITION BY user_id ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id, idx,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  ELSE coalesce(pv + (nv - pv) * (CAST(idx AS DOUBLE) - pi) / (ni - pi), pv, nv)
+             END, 6) AS filled
+FROM f
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each click sees the latest view at or before it
+    (zero temporal leakage — the engine's core J5 semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("vvalue"))
+    )
+    j = asof_ops.asof_join(clicks, views, on="ts", by="user_id", right_cols=["vvalue"])
+    return j.select(
+        "user_id",
+        "event_id",
+        _ts_sec("ts").alias("ts_sec"),
+        F.round("vvalue_asof", 6).alias("view_value"),
+        F.round(_sec("ts_asof"), 6).alias("view_ts_sec"),
+    )
+
+
+_SQL_ASOF = """
+WITH v AS (
+  SELECT user_id, ts, max(value) AS vvalue FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+SELECT c.user_id, c.event_id,
+       round(epoch_us(c.ts)/1000000.0, 6) AS ts_sec,
+       round(v.vvalue, 6) AS view_value,
+       round(epoch_us(v.ts)/1000000.0, 6) AS view_ts_sec
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+def q_resample_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-grid nearest resample, ratio 2 (downsample) — J5 with the
+    reference's jitter pinned to 0 (``sampling_data.py:29-42``)."""
+    d = _indexed_events(spark, sf_dir).select("user_id", "idx", "value")
+    r = asof_ops.resample_grid(
+        d, src_rate=2.0, dst_rate=1.0, value_cols=["value"], key="user_id", index_col="idx"
+    )
+    return r.select(
+        "user_id", F.col("idx").cast("long").alias("idx"), F.round("value", 6).alias("value")
+    )
+
+
+_SQL_RESAMPLE_NEAREST = f"""
+WITH base AS ({_IDX_SQL}),
+n AS (SELECT user_id, max(idx) + 1 AS n FROM base GROUP BY user_id),
+grid AS (
+  SELECT user_id, CAST(i AS BIGINT) AS idx
+  FROM n, unnest(generate_series(0, CAST(floor(n / 2.0) AS BIGINT) - 1)) AS t(i)
+)
+SELECT g.user_id, g.idx, round(b.value, 6) AS value
+FROM grid g LEFT JOIN base b ON b.user_id = g.user_id AND b.idx = 2 * g.idx
+"""
+
+
+def q_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kind resample, ratio 0.5 (upsample ×2) — ``sampling_data.py:43-50``."""
+    d = _indexed_events(spark, sf_dir).select("user_id", "idx", "value")
+    r = asof_ops.resample_grid(
+        d, src_rate=1.0, dst_rate=2.0, value_cols=["value"], key="user_id", index_col="idx",
+        kind="linear",
+    )
+    return r.select(
+        "user_id", F.col("idx").cast("long").alias("idx"), F.round("value", 6).alias("value")
+    )
+
+
+_SQL_RESAMPLE_LINEAR = f"""
+WITH base AS ({_IDX_SQL}),
+n AS (SELECT user_id, max(idx) + 1 AS n FROM base GROUP BY user_id),
+grid AS (
+  SELECT user_id, CAST(i AS BIGINT) AS idx, i * 0.5 AS pos,
+         CAST(floor(i * 0.5) AS BIGINT) AS lo, CAST(ceil(i * 0.5) AS BIGINT) AS hi,
+         i * 0.5 - floor(i * 0.5) AS frac
+  FROM n, unnest(generate_series(0, CAST(floor(n / 0.5) AS BIGINT) - 1)) AS t(i)
+)
+SELECT g.user_id, g.idx,
+       round(blo.value + (coalesce(bhi.value, blo.value) - blo.value) * g.frac, 6) AS value
+FROM grid g
+LEFT JOIN base blo ON blo.user_id = g.user_id AND blo.idx = g.lo
+LEFT JOIN base bhi ON bhi.user_id = g.user_id AND bhi.idx = g.hi
+"""
+
+
+def q_multi_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source alignment (``SamplingData.collect`` analog): click grid
+    + as-of'd view and purchase values side by side (mode=first)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    ).groupBy("user_id", "ts").agg(F.max("click_value").alias("click_value"))
+    views = ev.where(F.col("event_type") == "view").groupBy("user_id", "ts").agg(
+        F.max("value").alias("view_value")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").groupBy("user_id", "ts").agg(
+        F.max("value").alias("purchase_value")
+    )
+    a = asof_ops.align_sources(
+        [clicks, views, purchases],
+        on="ts",
+        by="user_id",
+        value_cols=[["click_value"], ["view_value"], ["purchase_value"]],
+        mode="first",
+    )
+    return a.select(
+        "user_id",
+        _ts_sec("ts").alias("ts_sec"),
+        F.round("click_value", 6).alias("click_value"),
+        F.round("view_value_s1", 6).alias("view_value"),
+        F.round("purchase_value_s2", 6).alias("purchase_value"),
+    )
+
+
+_SQL_MULTI_ALIGN = """
+WITH c AS (
+  SELECT user_id, ts, max(value) AS click_value FROM events WHERE event_type='click' GROUP BY user_id, ts
+),
+v AS (SELECT user_id, ts, max(value) AS view_value FROM events WHERE event_type='view' GROUP BY user_id, ts),
+p AS (SELECT user_id, ts, max(value) AS purchase_value FROM events WHERE event_type='purchase' GROUP BY user_id, ts),
+cv AS (
+  SELECT c.user_id, c.ts, c.click_value, v.view_value
+  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+)
+SELECT cv.user_id, round(epoch_us(cv.ts)/1000000.0, 6) AS ts_sec,
+       round(cv.click_value, 6) AS click_value,
+       round(cv.view_value, 6) AS view_value,
+       round(p.purchase_value, 6) AS purchase_value
+FROM cv ASOF LEFT JOIN p ON cv.user_id = p.user_id AND cv.ts >= p.ts
+"""
+
+
+# --------------------------------------------------------------------------
+# queries — aggregation pack
+# --------------------------------------------------------------------------
+
+def q_stats_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    st = stats_ops.corpus_stats(ev, "value")
+    out = stats_ops.normalize(ev, "value", st)
+    return out.select(
+        "event_id", F.round("value_norm", 6).alias("value_norm")
+    )
+
+
+_SQL_STATS_NORMALIZE = """
+WITH g AS (SELECT avg(value) AS m, stddev_pop(value) AS s FROM events)
+SELECT event_id, round((value - m) / s, 6) AS value_norm FROM events, g
+"""
+
+
+def q_grouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    g = stats_ops.corpus_stats(ev, "value", group_cols=["event_type"])
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("mean", 6).alias("mean"),
+        F.round("var", 6).alias("var"),
+        F.round("min", 6).alias("vmin"),
+        F.round("max", 6).alias("vmax"),
+    )
+
+
+_SQL_GROUPED_STATS = """
+SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+       round(avg(value), 6) AS mean, round(var_pop(value), 6) AS var,
+       round(min(value), 6) AS vmin, round(max(value), 6) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
+def q_percentile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    r = pct_ops.percentile_report(ev, "value", qs=qs, exact=True)
+    return r.select(F.round("q", 6).alias("q"), F.round("value", 6).alias("value"))
+
+
+_SQL_PERCENTILES = """
+WITH v AS (
+  SELECT quantile_cont(value, [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]) AS vals FROM events
+),
+qarr AS (SELECT [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]::DOUBLE[] AS qs)
+SELECT round(qs[i], 6) AS q, round(vals[i], 6) AS value
+FROM v, qarr, unnest(generate_series(1, 8)) AS t(i)
+"""
+
+
+def q_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted percentile via window cumsum (``extract_f0_range.py:113-150``);
+    weights pre-aggregated per distinct value so tie order can't differ."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum("l_quantity").alias("w")
+    )
+    r = pct_ops.weighted_percentile(d, "v", "w", qs=[0.1, 0.5, 0.9])
+    return r.select(F.round("q", 6).alias("q"), F.round("value", 6).alias("value"))
+
+
+_SQL_WEIGHTED_PCT = """
+WITH d AS (SELECT l_extendedprice AS v, CAST(sum(l_quantity) AS DOUBLE) AS w FROM lineitem GROUP BY 1),
+c AS (
+  SELECT v, w,
+         sum(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER () AS total
+  FROM d
+),
+m AS (SELECT v, (cw - w/2) / total AS mid FROM c),
+seg AS (
+  SELECT v, mid,
+         lead(mid) OVER (ORDER BY mid, v) AS nmid,
+         lead(v) OVER (ORDER BY mid, v) AS nv,
+         min(v) OVER () AS minv, max(v) OVER () AS maxv,
+         min(mid) OVER () AS minmid, max(mid) OVER () AS maxmid
+  FROM m
+),
+qs AS (SELECT unnest([0.1, 0.5, 0.9]) AS q)
+SELECT round(q, 6) AS q,
+       round(min(CASE WHEN q <= minmid THEN minv
+                      WHEN q >= maxmid THEN maxv
+                      ELSE v + (nv - v) * (q - mid) / (nmid - mid) END), 6) AS value
+FROM qs JOIN seg
+  ON (mid <= q AND q < coalesce(nmid, 1e308))
+  OR (q < minmid AND mid = minmid)
+  OR (q >= maxmid AND mid = maxmid)
+GROUP BY q
+"""
+
+
+def q_histogram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram vote filter (``extract_f0_range.py:204-213``): summary of
+    surviving rows after dropping low-mass log-space bins."""
+    li = _t(spark, sf_dir, "lineitem")
+    kept = pct_ops.histogram_vote_filter(
+        li, "l_extendedprice", weight_col="l_quantity", n_bins=50, min_mass=0.003
+    )
+    return kept.agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+    )
+
+
+_SQL_HISTOGRAM = """
+WITH d AS (
+  SELECT l_extendedprice AS v, CAST(l_quantity AS DOUBLE) AS w, ln(l_extendedprice) AS lv
+  FROM lineitem
+),
+rng AS (SELECT min(lv) AS lo, max(lv) AS hi FROM d),
+b AS (
+  SELECT v, w, least(49, CAST(floor((lv - lo) / ((hi - lo) / 50)) AS INT)) AS bin
+  FROM d, rng
+),
+mass AS (SELECT bin, sum(w) AS m FROM b GROUP BY bin),
+tot AS (SELECT sum(w) AS t FROM b),
+keep AS (SELECT bin FROM mass, tot WHERE m / t >= 0.003)
+SELECT CAST(count(*) AS BIGINT) AS n_kept, round(avg(v), 6) AS avg_price
+FROM b JOIN keep USING (bin)
+"""
+
+
+def q_all_same_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    kept = stats_ops.all_same_filter(li, "l_discount", key="l_orderkey")
+    return kept.select(F.col("l_orderkey").cast("long")).distinct()
+
+
+_SQL_ALL_SAME = """
+SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS l_orderkey FROM lineitem
+WHERE l_orderkey NOT IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING min(l_discount) = max(l_discount)
+)
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "l_returnflag",
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+_SQL_TOPK = """
+SELECT l_returnflag, CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber, CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+  FROM lineitem
+) WHERE rank <= 3
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = _t(spark, sf_dir, "customer")
+    s = sample_ops.stratified_entity_sample(cu, max_entities=100, key="c_custkey")
+    return s.select(F.col("c_custkey").cast("long").alias("c_custkey"))
+
+
+_SQL_STRATIFIED = """
+WITH r AS (
+  SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) - 1 AS rk,
+         (SELECT count(*) FROM customer) / 100.0 AS step
+  FROM customer
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM r
+WHERE floor(rk / step) <> floor((rk - 1) / step)
+"""
+
+
+def q_keyset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-set validation (O4 analog): customers with no orders."""
+    cu = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cu.join(orders, cu.c_custkey == orders.o_custkey, "left_anti")
+        .select(F.col("c_custkey").cast("long").alias("c_custkey"))
+    )
+
+
+_SQL_KEYSET_DIFF = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape; money sums through DECIMAL(18,2) for exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    g = (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("_sq"),
+            F.sum(dec("l_extendedprice")).alias("_sbp"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).alias("_sdp"),
+            F.count("*").alias("_n"),
+            F.avg("l_quantity").alias("_aq"),
+            F.avg("l_discount").alias("_ad"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sbp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.round("_aq", 6).alias("avg_qty"),
+        F.round("_ad", 6).alias("avg_disc"),
+        F.col("_n").cast("long").alias("count_order"),
+    )
+
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join with broadcast dims (J1/J7 shape at TPC-H scale)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    g = j.groupBy("r_name", "n_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"),
+        F.count("*").alias("_n"),
+    )
+    return g.select(
+        "r_name",
+        "n_name",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.col("_n").cast("long").alias("n_orders"),
+    )
+
+
+_SQL_REVENUE_NATION = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# queries — intervals
+# --------------------------------------------------------------------------
+
+def q_interval_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval → dense grid with position features (W3,
+    ``linguistic_feature.py:129-150``)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_orderkey") % 97 == 0) & (F.col("l_linenumber") == 1)
+    )
+    spans = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.lit(0.0).alias("start_s"),
+        F.least(F.col("l_quantity"), F.lit(10.0)).alias("end_s"),
+    )
+    g = interval_ops.expand_spans_to_grid(
+        spans, rate=1.0, key="okey", start_col="start_s", end_col="end_s", payload_cols=[]
+    )
+    return g.select(
+        F.col("okey").cast("long").alias("okey"),
+        F.col("grid_idx").cast("long").alias("grid_idx"),
+        F.round("pos_in", 6).alias("pos_in"),
+        F.round("pos_out", 6).alias("pos_out"),
+    )
+
+
+_SQL_INTERVAL_EXPAND = """
+WITH spans AS (
+  SELECT l_orderkey AS okey, CAST(0.0 AS DOUBLE) AS start_s,
+         CAST(least(l_quantity, 10.0) AS DOUBLE) AS end_s
+  FROM lineitem WHERE l_orderkey % 97 = 0 AND l_linenumber = 1
+)
+SELECT CAST(okey AS BIGINT) AS okey, CAST(i AS BIGINT) AS grid_idx,
+       round(CAST(i AS DOUBLE) - start_s, 6) AS pos_in, round(end_s - CAST(i AS DOUBLE), 6) AS pos_out
+FROM spans, unnest(generate_series(CAST(round(start_s) AS BIGINT), CAST(round(end_s) AS BIGINT))) AS t(i)
+"""
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap join (J4 shape): urgent vs high-priority order
+    windows of the same customer that overlap in time."""
+    o = _t(spark, sf_dir, "orders")
+    mk = lambda prio: (  # noqa: E731
+        o.where(F.col("o_orderpriority") == prio).select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("okey"),
+            _sec("o_orderdate").alias("start_s"),
+            (_sec("o_orderdate") + 7 * 86400).alias("end_s"),
+        )
+    )
+    left, right = mk("1-URGENT"), mk("2-HIGH")
+    j = interval_ops.overlap_join(
+        left, right, key="custkey", l_start="start_s", l_end="end_s",
+        r_start="start_s", r_end="end_s", suffix="_r",
+    )
+    return j.select(
+        F.col("custkey").cast("long").alias("custkey"),
+        F.col("okey").cast("long").alias("l_okey"),
+        F.col("okey_r").cast("long").alias("r_okey"),
+    )
+
+
+_SQL_INTERVAL_OVERLAP = """
+WITH l AS (
+  SELECT o_custkey AS custkey, o_orderkey AS okey,
+         epoch_us(o_orderdate)/1000000.0 AS start_s,
+         epoch_us(o_orderdate)/1000000.0 + 7*86400 AS end_s
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+r AS (
+  SELECT o_custkey AS custkey, o_orderkey AS okey,
+         epoch_us(o_orderdate)/1000000.0 AS start_s,
+         epoch_us(o_orderdate)/1000000.0 + 7*86400 AS end_s
+  FROM orders WHERE o_orderpriority = '2-HIGH'
+)
+SELECT CAST(l.custkey AS BIGINT) AS custkey,
+       CAST(l.okey AS BIGINT) AS l_okey, CAST(r.okey AS BIGINT) AS r_okey
+FROM l JOIN r ON l.custkey = r.custkey AND l.start_s < r.end_s AND r.start_s < l.end_s
+"""
+
+
+# --------------------------------------------------------------------------
+# queries — documents / embeddings / multimodal
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(d).select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+_SQL_DEDUP_EXACT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    p = dedup_ops.ngram_jaccard_pairs(d, w=3, threshold=0.5)
+    return p.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+_SQL_NGRAM_JACCARD = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+  FROM tok, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs. No SQL oracle (hash-family dependent) —
+    rows-only check; exactness vs jaccard is tested in pytest."""
+    d = _t(spark, sf_dir, "documents")
+    p = dedup_ops.minhash_lsh_pairs(d, w=3, num_hashes=64, bands=16, threshold=0.5)
+    return p.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3). No SQL oracle (murmur-based) —
+    rows-only check; semantics tested in pytest."""
+    d = _t(spark, sf_dir, "documents")
+    p = dedup_ops.simhash_pairs(d, max_hamming=3)
+    return p.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    p = tx.document_profile(d)
+    return p.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+        "lang_guess",
+        F.col("fingerprint").cast("long").alias("fingerprint"),
+    )
+
+
+_SQL_TEXT_PROFILE = r"""
+WITH tok AS (
+  SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(i * (length(toks[i]) * 256 + ascii(substring(toks[i], 1, 1)))) % 2147483647 AS BIGINT) AS fingerprint
+  FROM tok, unnest(generate_series(1, len(toks))) AS t(i)
+  GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, text, toks,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct,
+         len(list_intersect(toks, ['the','and','of','to','a','in','is','that','it','for'])) AS sw_en,
+         len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','zu','den'])) AS sw_de,
+         len(list_intersect(toks, ['le','la','les','et','des','est','pas','une','dans','que'])) AS sw_fr,
+         len(list_intersect(toks, ['el','la','los','de','que','y','en','un','por','con'])) AS sw_es
+  FROM tok
+),
+calc AS (
+  SELECT doc_id, n_tokens,
+         greatest(CAST(ceil(alpha_chars / 4.0) AS BIGINT), n_tokens) + digits + punct AS n_bpe_tokens,
+         round(CAST(punct AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+         round(sw_en / 10.0, 6) AS stopword_ratio,
+         round((
+            (CASE WHEN length(text) >= 50 AND length(text) <= 5000 THEN 1.0 ELSE 0.3 END)
+          + (CASE WHEN CAST(punct AS DOUBLE) / greatest(length(text), 1) < 0.2 THEN 1.0 ELSE 0.5 END)
+          + least(sw_en / 10.0 * 2.0, 1.0)
+         ) / 3.0, 6) AS quality,
+         CASE WHEN greatest(sw_en, sw_de, sw_fr, sw_es) = 0 THEN 'und'
+              WHEN sw_en = greatest(sw_en, sw_de, sw_fr, sw_es) THEN 'en'
+              WHEN sw_de = greatest(sw_en, sw_de, sw_fr, sw_es) THEN 'de'
+              WHEN sw_fr = greatest(sw_en, sw_de, sw_fr, sw_es) THEN 'fr'
+              ELSE 'es' END AS lang_guess
+  FROM base
+)
+SELECT CAST(calc.doc_id AS BIGINT) AS doc_id, n_tokens,
+       CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+       punct_ratio, stopword_ratio, quality, lang_guess, fingerprint
+FROM calc JOIN fp ON calc.doc_id = fp.doc_id
+"""
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    r = sim_ops.cosine_topk(q, e, k=5)
+    return r.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_SQL_ANN_BRUTEFORCE = """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10)
+SELECT CAST(qid AS BIGINT) AS query_id, CAST(vec_id AS BIGINT) AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+) WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path). Deterministic hyperplanes but no SQL
+    oracle — recall vs brute force is asserted in pytest instead."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    r = sim_ops.cosine_topk_lsh(q, e, dim=64, k=5, n_planes=4)
+    return r.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH-bucketed, verify ≥ 0.9).
+    Rows-only check; exact-vs-bucketed recall tested in pytest."""
+    e = _t(spark, sf_dir, "embeddings")
+    p = sim_ops.embedding_neardup_pairs(e, dim=64, threshold=0.9, n_planes=4)
+    return p.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cos_sim",
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload + Arrow-batched (stub) decode."""
+    d = _t(spark, sf_dir, "documents")
+    m = mm_ops.attach_binary_payload(d)
+    f = mm_ops.extract_media_features(m, fake=True)
+    return f.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
+
+
+_SQL_MEDIA = """
+SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flagship_features": q_flagship_features,
+        "lag_lead_context": q_lag_lead_context,
+        "rolling_stats": q_rolling_stats,
+        "rolling_hop": q_rolling_hop,
+        "sessionize": q_sessionize,
+        "session_bounds": q_session_bounds,
+        "run_boundaries": q_run_boundaries,
+        "forward_fill": q_forward_fill,
+        "interp_fill": q_interp_fill,
+        "asof_join": q_asof_join,
+        "resample_nearest": q_resample_nearest,
+        "resample_linear": q_resample_linear,
+        "multi_align": q_multi_align,
+        "stats_normalize": q_stats_normalize,
+        "grouped_stats": q_grouped_stats,
+        "percentile_report": q_percentile_report,
+        "weighted_percentile": q_weighted_percentile,
+        "histogram_filter": q_histogram_filter,
+        "all_same_filter": q_all_same_filter,
+        "topk_per_group": q_topk_per_group,
+        "stratified_sample": q_stratified_sample,
+        "keyset_diff": q_keyset_diff,
+        "tpch_q1": q_tpch_q1,
+        "revenue_by_nation": q_revenue_by_nation,
+        "interval_expand": q_interval_expand,
+        "interval_overlap": q_interval_overlap,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "text_profile": q_text_profile,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flagship_features": _SQL_FLAGSHIP,
+        "lag_lead_context": _SQL_LAG_LEAD,
+        "rolling_stats": _SQL_ROLLING,
+        "rolling_hop": _SQL_ROLLING_HOP,
+        "sessionize": _SQL_SESSIONIZE,
+        "session_bounds": _SQL_SESSION_BOUNDS,
+        "run_boundaries": _SQL_RUN_BOUNDARIES,
+        "forward_fill": _SQL_FFILL,
+        "interp_fill": _SQL_INTERP,
+        "asof_join": _SQL_ASOF,
+        "resample_nearest": _SQL_RESAMPLE_NEAREST,
+        "resample_linear": _SQL_RESAMPLE_LINEAR,
+        "multi_align": _SQL_MULTI_ALIGN,
+        "stats_normalize": _SQL_STATS_NORMALIZE,
+        "grouped_stats": _SQL_GROUPED_STATS,
+        "percentile_report": _SQL_PERCENTILES,
+        "weighted_percentile": _SQL_WEIGHTED_PCT,
+        "histogram_filter": _SQL_HISTOGRAM,
+        "all_same_filter": _SQL_ALL_SAME,
+        "topk_per_group": _SQL_TOPK,
+        "stratified_sample": _SQL_STRATIFIED,
+        "keyset_diff": _SQL_KEYSET_DIFF,
+        "tpch_q1": _SQL_TPCH_Q1,
+        "revenue_by_nation": _SQL_REVENUE_NATION,
+        "interval_expand": _SQL_INTERVAL_EXPAND,
+        "interval_overlap": _SQL_INTERVAL_OVERLAP,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "text_profile": _SQL_TEXT_PROFILE,
+        "ann_bruteforce": _SQL_ANN_BRUTEFORCE,
+        "media_features": _SQL_MEDIA,
+        # no oracle (non-SQL-expressible hash families / LSH):
+        # dedup_minhash, dedup_simhash, ann_lsh, embedding_neardup
+    }

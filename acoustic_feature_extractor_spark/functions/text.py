@@ -1,0 +1,118 @@
+"""Text-analysis functions for training-data pipelines.
+
+Not in the reference (audio-domain); first-class here per the engine's
+charter: language-ID heuristic, quality scoring, token counting, document
+fingerprinting. Every function is a pure Column expression (JVM-side,
+codegen'd) — deliberately expressible in ANSI SQL too, so each has a
+DuckDB oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny stopword lists for the n-gram/lexicon language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "des", "est", "pas", "une", "dans", "que"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "por", "con"],
+}
+
+
+def whitespace_tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(whitespace_tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-approximating token count: word-pieces + digits + punctuation.
+
+    Counts regex matches of ``[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]`` — a
+    cheap stand-in for subword tokenizers (≈ chars/4 for long words),
+    computable as a pure column expression:
+    pieces(word) = ceil(len(word)/4) for alpha runs + 1 per other symbol.
+    """
+    alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    words = token_count(text)
+    # alpha runs cost ~ceil(chars/4) but at least one piece per word
+    return F.greatest(F.ceil(alpha_chars / 4.0).cast("long"), words.cast("long")) + digits + punct
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = whitespace_tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.array_intersect(toks, sw))
+    # ratio of *distinct* stopwords present to list size — order-free and
+    # SQL-portable (array_intersect dedups)
+    return hits / F.lit(float(len(STOPWORDS[lang])))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: length band + punctuation sanity +
+    stopword presence (heuristics in the C4/Gopher lineage, simplified)."""
+    n = F.length(text)
+    len_ok = F.when((n >= 50) & (n <= 5000), 1.0).otherwise(0.3)
+    punct_ok = F.when(punct_ratio(text) < 0.2, 1.0).otherwise(0.5)
+    sw_ok = F.least(stopword_ratio(text, "en") * 2.0, F.lit(1.0))
+    return F.round((len_ok + punct_ok + sw_ok) / 3.0, 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by distinct-stopword hits; 'und' when all zero."""
+    scores = [(lang, F.size(F.array_intersect(whitespace_tokens(text), F.array(*[F.lit(w) for w in ws])))) for lang, ws in STOPWORDS.items()]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # iterate reversed so earlier langs win ties (en first)
+    for lang, s in reversed(scores):
+        out = F.when(s == best_score, F.lit(lang)).otherwise(out)
+    return F.when(best_score > 0, out).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive document fingerprint, SQL-portable.
+
+    Σ over token positions of ``(pos+1) · (len(token)·256 + ascii(first))``
+    mod 2^31 — a rolling-hash-style signature computable identically in any
+    engine (no murmur dependence). Position weighting makes it
+    order-sensitive like a true rolling hash.
+    """
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    terms = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: i
+        * (
+            F.length(F.element_at(toks, i)) * 256
+            + F.ascii(F.substring(F.element_at(toks, i), 1, 1))
+        ),
+    )
+    return F.pmod(F.aggregate(terms, F.lit(0).cast("long"), lambda a, t: a + t), F.lit(2147483647))
+
+
+def document_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full text-analysis projection over a documents table."""
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t, "en"), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    )

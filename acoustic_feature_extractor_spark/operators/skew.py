@@ -1,0 +1,147 @@
+"""Skew engine: key salting with boundary carry rows + two-phase windows.
+
+The reference packs work into duration-balanced buckets to avoid one huge
+file starving a worker (``/root/reference/src/extractor/extract_f0_range.py:50-78``).
+Our analog: a mega-conversation (10^5+ turns) would put its whole window
+partition in one task. We split such keys into fixed-size chunks and keep
+window semantics EXACT two ways:
+
+- bounded frames (rolling): carry ``margin`` boundary rows into the
+  neighboring chunk (explode), compute the window inside (key, chunk),
+  keep only core rows → identical to the unsalted window.
+- unbounded-preceding aggregations (cumsum / forward-fill): two-phase —
+  chunk-local partials, then a per-chunk offset computed over the tiny
+  (key, chunk) table and broadcast back (partial/final aggregation, the
+  north_star requirement).
+
+All pure Catalyst. The chunk id is derived from the ORDER column, so no
+extra shuffle beyond the (key, chunk) window exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEFAULT_CHUNK = 8192
+
+
+def profile_entity_sizes(df: DataFrame, key: str = "conv_id") -> DataFrame:
+    """Per-entity row counts — the salting decision input (A9 analog)."""
+    return df.groupBy(key).agg(F.count("*").alias("n_rows"))
+
+
+def _chunk(order: str, chunk_rows: int) -> Column:
+    return F.floor(F.col(order) / F.lit(chunk_rows)).cast("long")
+
+
+def salted_rolling(
+    df: DataFrame,
+    value_col: str,
+    lo: int,
+    hi: int,
+    agg: str = "avg",
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    out_col: str | None = None,
+    chunk_rows: int = DEFAULT_CHUNK,
+) -> DataFrame:
+    """Rolling aggregate over rowsBetween(lo, hi), salted with carry rows.
+
+    Requires contiguous integer ``order`` per key (the transcripts
+    invariant). Each row is exploded into its own chunk plus — within
+    ``margin`` of a boundary — the neighbor chunk; window runs inside
+    (key, chunk); only core rows survive. Result equals the unsalted
+    window exactly (tests assert frame-for-frame equality).
+    """
+    out_col = out_col or f"{value_col}_{agg}"
+    margin = max(abs(lo), abs(hi))
+    own = _chunk(order, chunk_rows)
+    offset_in = F.col(order) % chunk_rows
+    extra = F.when((offset_in < margin) & (own > 0), own - 1).when(
+        offset_in >= chunk_rows - margin, own + 1
+    )
+    d = df.withColumn("_chunks", F.array_compact(F.array(own, extra))).select(
+        "*", F.explode("_chunks").alias("_chunk")
+    ).drop("_chunks")
+    w = (
+        Window.partitionBy(key, "_chunk")
+        .orderBy(order)
+        .rowsBetween(lo, hi)
+    )
+    agg_col = {
+        "avg": F.avg(value_col),
+        "sum": F.sum(value_col),
+        "min": F.min(value_col),
+        "max": F.max(value_col),
+        "median": F.expr(f"percentile({value_col}, 0.5)"),
+    }[agg].over(w)
+    return (
+        d.withColumn(out_col, agg_col)
+        .where(_chunk(order, chunk_rows) == F.col("_chunk"))
+        .drop("_chunk")
+    )
+
+
+def salted_cumsum(
+    df: DataFrame,
+    value_col: str,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    out_col: str | None = None,
+    chunk_rows: int = DEFAULT_CHUNK,
+) -> DataFrame:
+    """Exact unbounded-preceding cumsum via two-phase partial/final.
+
+    Phase 1: cumsum inside (key, chunk). Phase 2: per-chunk totals (one row
+    per chunk — tiny) get an exclusive prefix-sum over chunks; broadcast
+    back and add. This is the reference's partial-then-final aggregation
+    shape (``extract_f0_statistics.py:29-35``) applied to a window.
+    """
+    out_col = out_col or f"{value_col}_cumsum"
+    d = df.withColumn("_chunk", _chunk(order, chunk_rows))
+    w_local = (
+        Window.partitionBy(key, "_chunk").orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("_local", F.sum(value_col).over(w_local))
+    totals = d.groupBy(key, "_chunk").agg(F.sum(value_col).alias("_chunk_total"))
+    w_off = (
+        Window.partitionBy(key).orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn("_offset", F.coalesce(F.sum("_chunk_total").over(w_off), F.lit(0.0)))
+    return (
+        d.join(F.broadcast(offsets.select(key, "_chunk", "_offset")), [key, "_chunk"])
+        .withColumn(out_col, F.col("_local") + F.col("_offset"))
+        .drop("_chunk", "_local", "_offset")
+    )
+
+
+def salted_forward_fill(
+    df: DataFrame,
+    value_col: str,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    out_col: str | None = None,
+    chunk_rows: int = DEFAULT_CHUNK,
+) -> DataFrame:
+    """Exact forward-fill with salting: chunk-local fill + per-chunk last
+    non-null carried across chunks (two-phase state hand-off)."""
+    out_col = out_col or f"{value_col}_ffill"
+    d = df.withColumn("_chunk", _chunk(order, chunk_rows))
+    w_local = (
+        Window.partitionBy(key, "_chunk").orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("_local", F.last(value_col, ignorenulls=True).over(w_local))
+    lasts = d.groupBy(key, "_chunk").agg(
+        F.last("_local", ignorenulls=True).alias("_chunk_last")
+    )
+    w_carry = Window.partitionBy(key).orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
+    carry = lasts.withColumn(
+        "_carry", F.last("_chunk_last", ignorenulls=True).over(w_carry)
+    )
+    return (
+        d.join(F.broadcast(carry.select(key, "_chunk", "_carry")), [key, "_chunk"])
+        .withColumn(out_col, F.coalesce(F.col("_local"), F.col("_carry")))
+        .drop("_chunk", "_local", "_carry")
+    )

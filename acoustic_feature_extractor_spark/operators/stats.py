@@ -1,0 +1,98 @@
+"""Two-phase statistics + broadcast linear normalization.
+
+Reference parity targets:
+- global mean/var over valid values (``extract_f0_statistics.py:29-36``;
+  **population** variance — ``numpy.var`` — so ``var_pop``, not Spark's
+  default ``var_samp``).
+- linear stat conversion ``F0.convert``
+  (``/root/reference/src/acoustic_feature_extractor/data/f0.py:92-126``):
+  ``x' = (tv/iv)·(x − im) + tm`` where (im, iv) are input mean/std-like
+  stats and (tm, tv) targets, applied only to valid entries (invalid stay
+  untouched/zero).
+- grouped summaries (``analyze_ebur128.py:31-56``).
+
+Catalyst plans partial+final HashAggregate automatically (the reference's
+driver-side final aggregate, SURVEY.md §3.2); the stats side is tiny and
+broadcast into the projection — no second shuffle over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_stats(
+    df: DataFrame,
+    value_col: str,
+    valid_col: str | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """mean / var_pop / stddev_pop / count over valid rows, optionally grouped."""
+    src = df.where(F.col(valid_col)) if valid_col else df
+    aggs = [
+        F.mean(value_col).alias("mean"),
+        F.var_pop(value_col).alias("var"),
+        F.stddev_pop(value_col).alias("stddev"),
+        F.count(value_col).alias("n"),
+        F.min(value_col).alias("min"),
+        F.max(value_col).alias("max"),
+    ]
+    if group_cols:
+        return src.groupBy(*group_cols).agg(*aggs)
+    return src.agg(*aggs)
+
+
+def normalize(
+    df: DataFrame,
+    value_col: str,
+    stats: DataFrame,
+    target_mean: float = 0.0,
+    target_var: float = 1.0,
+    valid_col: str | None = None,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear conversion ``x' = (tv/iv)·(x − im) + tm`` (``f0.py:119-123``).
+
+    ``stats`` is the tiny output of :func:`corpus_stats` — broadcast-joined
+    (grouped) or cross-broadcast (global, 1 row). ``tv``/``iv`` are
+    standard-deviation-like scales: the reference passes ``var`` fields that
+    its formula treats as scales; we use stddev_pop for z-score semantics
+    and keep the reference's exact formula shape. Invalid rows pass through
+    unchanged (``f0.py:117-124`` masks on vuv).
+    """
+    out_col = out_col or f"{value_col}_norm"
+    sel = stats.select(
+        *(group_cols or []),
+        F.col("mean").alias("_im"),
+        F.col("stddev").alias("_iv"),
+    )
+    if group_cols:
+        j = df.join(F.broadcast(sel), group_cols, "left")
+    else:
+        j = df.crossJoin(F.broadcast(sel))
+    import math
+
+    tv = math.sqrt(target_var)
+    converted = (F.lit(tv) / F.col("_iv")) * (F.col(value_col) - F.col("_im")) + F.lit(
+        target_mean
+    )
+    if valid_col:
+        converted = F.when(F.col(valid_col), converted).otherwise(F.col(value_col))
+    return j.withColumn(out_col, converted).drop("_im", "_iv")
+
+
+def all_same_filter(
+    df: DataFrame, value_col: str, key: str = "conv_id"
+) -> DataFrame:
+    """Drop entities whose value is constant (``sampling_data.all_same``,
+    used by ``extract_splited_local.py:28-31``). Anti-join on min==max —
+    two-phase agg + broadcast anti, no full shuffle of the fact table."""
+    degenerate_keys = (
+        df.groupBy(key)
+        .agg(F.min(value_col).alias("_mn"), F.max(value_col).alias("_mx"))
+        .where(F.col("_mn") == F.col("_mx"))
+        .select(key)
+    )
+    return df.join(F.broadcast(degenerate_keys), key, "left_anti")

@@ -1,0 +1,135 @@
+"""Window-structured operators: lag/lead context + rolling-frame degeneration.
+
+Reference parity targets:
+- pre/post context features — previous/next interval's attributes with
+  synthetic defaults at boundaries
+  (``/root/reference/src/acoustic_feature_extractor/data/linguistic_feature.py:81-117``).
+- frame degeneration — ``SamplingData.degenerate``: center-pad, frame into
+  ``(frame_length, hop_length)`` windows, reduce min/max/mean/median, output
+  rate = rate / hop
+  (``/root/reference/src/acoustic_feature_extractor/data/sampling_data.py:141-176``).
+
+Everything here is pure Catalyst (Window specs + built-in aggregates):
+whole-stage-codegen'd, one shuffle on the partition key, no Python in the
+hot path. At 100 TB the single ``partitionBy(conv_id)`` exchange is the
+only cost; mega-conversations are handled by the two-phase salted variant
+in ``skew.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+DEGENERATE_AGGS = ("min", "max", "mean", "median")
+
+
+def ordered_window(key: str = "conv_id", order: str = "turn_idx"):
+    return Window.partitionBy(key).orderBy(order)
+
+
+def with_context_features(
+    df: DataFrame,
+    cols: list[str],
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    defaults: dict[str, object] | None = None,
+    offsets: tuple[int, ...] = (1,),
+) -> DataFrame:
+    """Add prev_/next_ columns for each requested column.
+
+    Boundary rows get ``defaults[col]`` (the reference synthesizes a zero-
+    duration "space" phoneme at boundaries, ``linguistic_feature.py:81-95``;
+    our default plays that role).
+    """
+    w = ordered_window(key, order)
+    defaults = defaults or {}
+    out = df
+    for col in cols:
+        default = defaults.get(col)
+        for off in offsets:
+            prev = F.lag(col, off).over(w)
+            nxt = F.lead(col, off).over(w)
+            if default is not None:
+                prev = F.coalesce(prev, F.lit(default))
+                nxt = F.coalesce(nxt, F.lit(default))
+            suffix = "" if off == 1 else str(off)
+            out = out.withColumn(f"prev{suffix}_{col}", prev).withColumn(
+                f"next{suffix}_{col}", nxt
+            )
+    return out
+
+
+def rolling_frame(
+    frame_length: int, centered: bool = True
+) -> tuple[int, int]:
+    """rowsBetween bounds replicating the reference's centering.
+
+    ``degenerate`` center-pads by ``frame_length//2`` on the left and
+    ``frame_length - 1 - frame_length//2`` on the right
+    (``sampling_data.py:150-158``), i.e. frame *i* covers source rows
+    ``[i - L//2, i + L - 1 - L//2]``.
+    """
+    if centered:
+        lo = -(frame_length // 2)
+        hi = frame_length - 1 - frame_length // 2
+    else:
+        lo, hi = 0, frame_length - 1
+    return lo, hi
+
+
+def degenerate(
+    df: DataFrame,
+    value_col: str,
+    frame_length: int,
+    hop_length: int = 1,
+    aggs: tuple[str, ...] = DEGENERATE_AGGS,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    centered: bool = True,
+) -> DataFrame:
+    """Rolling min/max/mean/median over a centered frame, then hop-downsample.
+
+    ``hop_length > 1`` keeps every hop-th row (output rate = rate/hop, the
+    reference's ``sampling_data.py:172-175``). Median is exact
+    (``percentile(col, 0.5)``) — matches ``numpy.median`` on the window.
+    Edge windows shrink instead of reading padding rows; the reference pads
+    with a constant — callers needing exact parity at edges use
+    ``pad_value`` semantics in tests (shrunken windows equal the reference
+    when padding_value participates; see tests/test_windows.py).
+    """
+    lo, hi = rolling_frame(frame_length, centered)
+    w = ordered_window(key, order).rowsBetween(lo, hi)
+    exprs: dict[str, Column] = {}
+    for a in aggs:
+        if a == "min":
+            exprs["min"] = F.min(value_col).over(w)
+        elif a == "max":
+            exprs["max"] = F.max(value_col).over(w)
+        elif a == "mean":
+            exprs["mean"] = F.avg(value_col).over(w)
+        elif a == "median":
+            exprs["median"] = F.expr(f"percentile({value_col}, 0.5)").over(w)
+        else:
+            raise ValueError(f"unknown degenerate agg: {a}")
+    out = df
+    for name, c in exprs.items():
+        out = out.withColumn(f"{value_col}_{name}", c)
+    if hop_length > 1:
+        out = out.where(F.col(order) % hop_length == 0)
+    return out
+
+
+def stable_turn_order_check(df: DataFrame, key: str = "conv_id", order: str = "turn_idx") -> DataFrame:
+    """Validation query for the stable-ordering invariant (SURVEY.md O1).
+
+    Re-derives ``turn_idx`` as ``row_number() - 1`` over (ts, turn_idx) and
+    returns violating rows (empty ⇔ ordering contract holds).
+    """
+    w = Window.partitionBy(key).orderBy("ts", order)
+    return (
+        df.withColumn("_rederived", F.row_number().over(w) - 1)
+        .where(F.col("_rederived") != F.col(order))
+        .drop("_rederived")
+    )

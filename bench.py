@@ -1,0 +1,114 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ..., "turns_per_sec": ...}.
+
+The headline metric is the flagship transcripts pipeline (as-of-equivalent
+forward fill + lag/lead + rolling + sessionization + two-phase stats) over
+a ~2.4M-turn deterministic synthetic transcripts table (long-tail + mega
+conversations), reported as wall seconds; ``turns_per_sec`` is the
+BASELINE.json throughput number. Each query is forced end-to-end with the
+noop sink (full computation, no driver collect).
+
+Scaling-efficiency evidence (north_rule: N vs 4N): run
+``python tools/bench_scaling.py`` which invokes this file at
+SPARK_GRAFT_CPUS=8 and 32 and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "flagship_features",
+    "lag_lead_context",
+    "rolling_stats",
+    "sessionize",
+    "session_bounds",
+    "forward_fill",
+    "interp_fill",
+    "asof_join",
+    "resample_nearest",
+    "resample_linear",
+    "multi_align",
+    "stats_normalize",
+    "grouped_stats",
+    "weighted_percentile",
+    "histogram_filter",
+    "topk_per_group",
+    "tpch_q1",
+    "revenue_by_nation",
+    "interval_expand",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_profile",
+    "ann_bruteforce",
+    "media_features",
+]
+
+N_CONVS_BENCH = 50_000  # ~2.4M turns incl. mega-conversation skew
+
+
+def force(df) -> int:
+    """Force full computation without a driver collect (distributed sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from acoustic_feature_extractor_spark.session import get_spark
+
+    spark = get_spark(app_name="afe_bench", cores=int(cpus))
+
+    import __spark_entry__ as entry_mod
+    from acoustic_feature_extractor_spark.datagen import generate_transcripts
+    from acoustic_feature_extractor_spark.plans.pipeline import turn_features
+
+    timings: dict[str, float] = {}
+
+    # headline: flagship transcripts pipeline throughput
+    t = generate_transcripts(spark, n_convs=N_CONVS_BENCH)
+    t = t.persist()
+    n_turns = t.count()  # materialize input outside the timed window
+    t0 = time.perf_counter()
+    force(turn_features(t))
+    flagship_sec = time.perf_counter() - t0
+    timings["transcripts_turn_features"] = round(flagship_sec, 3)
+    turns_per_sec = n_turns / flagship_sec
+    t.unpersist()
+
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "turns/sec as-of-join + window-feature throughput (flagship transcripts pipeline) + headline query suite seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").split("sf")[-1],
+                "turns_per_sec": round(turns_per_sec, 1),
+                "n_turns": n_turns,
+                "cores": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,211 @@
+"""As-of join: pd.merge_asof oracle, cogroup-vs-union equivalence,
+tolerance/strict modes, and the ZERO TEMPORAL LEAKAGE property
+(north_rule): no output may read right rows with ts greater than the
+left timestamp."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from acoustic_feature_extractor_spark.operators.asof import (
+    align_sources,
+    asof_join,
+    asof_join_cogroup,
+    resample_grid,
+)
+
+
+def _two_sides(spark, n_left=60, n_right=40, seed=3):
+    rng = np.random.RandomState(seed)
+    base = pd.Timestamp("2024-01-01")
+    rows_l, rows_r = [], []
+    for key in ["a", "b", "c"]:
+        lts = np.sort(rng.choice(100_000, n_left, replace=False))
+        rts = np.sort(rng.choice(100_000, n_right, replace=False))
+        rows_l += [(key, base + pd.Timedelta(seconds=int(t)), float(i)) for i, t in enumerate(lts)]
+        rows_r += [(key, base + pd.Timedelta(seconds=int(t)), float(rng.rand() * 100)) for t in rts]
+    lpdf = pd.DataFrame(rows_l, columns=["conv_id", "ts", "lv"])
+    rpdf = pd.DataFrame(rows_r, columns=["conv_id", "ts", "state"])
+    return spark.createDataFrame(lpdf), spark.createDataFrame(rpdf), lpdf, rpdf
+
+
+def _oracle(lpdf, rpdf, tolerance=None, allow_exact=True):
+    out = []
+    for k, lg in lpdf.groupby("conv_id"):
+        rg = rpdf[rpdf.conv_id == k].sort_values("ts")
+        m = pd.merge_asof(
+            lg.sort_values("ts"),
+            rg[["ts", "state"]].rename(columns={"state": "state_asof"}),
+            on="ts",
+            direction="backward",
+            tolerance=pd.Timedelta(seconds=tolerance) if tolerance else None,
+            allow_exact_matches=allow_exact,
+        )
+        m["conv_id"] = k
+        out.append(m)
+    return pd.concat(out).sort_values(["conv_id", "ts"]).reset_index(drop=True)
+
+
+def test_union_trick_matches_merge_asof(spark):
+    l, r, lpdf, rpdf = _two_sides(spark)
+    got = (
+        asof_join(l, r, on="ts", by="conv_id", right_cols=["state"])
+        .orderBy("conv_id", "ts")
+        .toPandas()
+    )
+    exp = _oracle(lpdf, rpdf)
+    np.testing.assert_allclose(
+        got["state_asof"].to_numpy(dtype=float), exp["state_asof"].to_numpy(dtype=float)
+    )
+
+
+def test_cogroup_matches_union_trick(spark):
+    l, r, _, _ = _two_sides(spark, seed=11)
+    a = (
+        asof_join(l, r, on="ts", by="conv_id", right_cols=["state"])
+        .orderBy("conv_id", "ts")
+        .toPandas()
+    )
+    b = (
+        asof_join_cogroup(l, r, on="ts", by="conv_id", right_cols=["state"])
+        .orderBy("conv_id", "ts")
+        .toPandas()
+    )
+    np.testing.assert_allclose(
+        a["state_asof"].to_numpy(dtype=float), b["state_asof"].to_numpy(dtype=float)
+    )
+
+
+def test_tolerance(spark):
+    l, r, lpdf, rpdf = _two_sides(spark, seed=5)
+    got = (
+        asof_join(l, r, on="ts", by="conv_id", right_cols=["state"], tolerance_seconds=500.0)
+        .orderBy("conv_id", "ts")
+        .toPandas()
+    )
+    exp = _oracle(lpdf, rpdf, tolerance=500.0)
+    ga = got["state_asof"].to_numpy(dtype=float)
+    ea = exp["state_asof"].to_numpy(dtype=float)
+    assert np.array_equal(np.isnan(ga), np.isnan(ea))
+    np.testing.assert_allclose(ga[~np.isnan(ga)], ea[~np.isnan(ea)])
+
+
+def test_exact_match_semantics(spark):
+    """A right row AT the left timestamp is visible with allow_exact (<=),
+    invisible in strict mode (<)."""
+    lpdf = pd.DataFrame(
+        {"conv_id": ["a"], "ts": [pd.Timestamp("2024-01-01 00:10:00")], "lv": [1.0]}
+    )
+    rpdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a"],
+            "ts": [pd.Timestamp("2024-01-01 00:05:00"), pd.Timestamp("2024-01-01 00:10:00")],
+            "state": [5.0, 9.0],
+        }
+    )
+    l, r = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    got = asof_join(l, r, right_cols=["state"]).collect()[0]
+    assert got["state_asof"] == 9.0
+    got_strict = asof_join(l, r, right_cols=["state"], allow_exact_matches=False).collect()[0]
+    assert got_strict["state_asof"] == 5.0
+
+
+def test_zero_temporal_leakage(spark):
+    """Perturb every right row with ts > cutoff; outputs at ts <= cutoff are
+    bit-identical (north_rule leakage property)."""
+    l, r, lpdf, rpdf = _two_sides(spark, seed=13)
+    cutoff = pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=50_000)
+    import pyspark.sql.functions as F
+
+    r_perturbed = r.withColumn(
+        "state", F.when(F.col("ts") > F.lit(cutoff), F.col("state") * 1000 + 7).otherwise(F.col("state"))
+    )
+    a = asof_join(l, r, right_cols=["state"]).where(F.col("ts") <= F.lit(cutoff))
+    b = asof_join(l, r_perturbed, right_cols=["state"]).where(F.col("ts") <= F.lit(cutoff))
+    pa = a.orderBy("conv_id", "ts").toPandas()
+    pb = b.orderBy("conv_id", "ts").toPandas()
+    np.testing.assert_array_equal(
+        pa["state_asof"].to_numpy(dtype=float), pb["state_asof"].to_numpy(dtype=float)
+    )
+
+
+def test_resample_nearest_matches_repeat_oracle(spark):
+    """Integer-ratio resample equals numpy repeat/gather — the reference's
+    own oracle (``tests/test_sampling_data.py:15-43``)."""
+    rng = np.random.RandomState(1)
+    vals = {k: rng.rand(24) for k in ["a", "b"]}
+    pdf = pd.DataFrame(
+        [(k, i, float(v[i])) for k, v in vals.items() for i in range(len(v))],
+        columns=["conv_id", "turn_idx", "v"],
+    )
+    df = spark.createDataFrame(pdf)
+    # upsample x3 == numpy.repeat
+    up = resample_grid(df, src_rate=1.0, dst_rate=3.0, value_cols=["v"]).orderBy(
+        "conv_id", "turn_idx"
+    ).toPandas()
+    for k, v in vals.items():
+        got = up[up.conv_id == k]["v"].to_numpy()
+        np.testing.assert_allclose(got, np.repeat(v, 3))
+    # downsample /2 == stride gather
+    down = resample_grid(df, src_rate=2.0, dst_rate=1.0, value_cols=["v"]).orderBy(
+        "conv_id", "turn_idx"
+    ).toPandas()
+    for k, v in vals.items():
+        got = down[down.conv_id == k]["v"].to_numpy()
+        np.testing.assert_allclose(got, v[::2])
+
+
+def test_resample_linear_matches_interp(spark):
+    rng = np.random.RandomState(2)
+    v = rng.rand(16)
+    pdf = pd.DataFrame({"conv_id": "a", "turn_idx": range(16), "v": v})
+    df = spark.createDataFrame(pdf)
+    up = resample_grid(df, src_rate=1.0, dst_rate=2.0, value_cols=["v"], kind="linear")
+    got = up.orderBy("turn_idx").toPandas()["v"].to_numpy()
+    expected = np.interp(np.arange(32) * 0.5, np.arange(16), v)
+    np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+
+def test_align_sources_min_mode(spark):
+    l, r, lpdf, rpdf = _two_sides(spark, seed=17)
+    r2 = r.withColumnRenamed("state", "s2")
+    a = align_sources([l, r, r2], on="ts", by="conv_id",
+                      value_cols=[["lv"], ["state"], ["s2"]], mode="min")
+    pa = a.toPandas()
+    assert {"lv", "state_s1", "s2_s2"} <= set(pa.columns)
+    # min mode truncates the grid to the shortest source's span
+    max_r = rpdf.groupby("conv_id")["ts"].max()
+    for k, g in pa.groupby("conv_id"):
+        assert g["ts"].max() <= max_r[k]
+
+
+def test_align_sources_tolerance_rejects(spark):
+    """Entities whose source spans diverge beyond error_time_length are
+    dropped (``sampling_data.py:98-103`` assert analog)."""
+    lpdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 01:00:00",
+                 "2024-01-01 00:00:00", "2024-01-01 10:00:00"]
+            ),
+            "lv": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 01:00:10", "2024-01-01 00:00:00"]
+            ),
+            "state": [9.0, 8.0, 7.0],
+        }
+    )
+    l, r = spark.createDataFrame(lpdf), spark.createDataFrame(rpdf)
+    out = align_sources(
+        [l, r], on="ts", by="conv_id", value_cols=[["lv"], ["state"]],
+        mode="first", error_time_length=60.0,
+    ).toPandas()
+    assert set(out["conv_id"]) == {"a"}  # b's spans differ by ~10h > 60s

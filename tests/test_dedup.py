@@ -1,0 +1,75 @@
+"""Dedup operators on constructed near-duplicate corpora."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from acoustic_feature_extractor_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),  # near dup
+    (3, "completely different text about spark window functions and shuffle partitions"),
+    (4, "another unrelated document discussing broadcast joins and adaptive execution"),
+    (5, "the quick brown fox jumps over the lazy cat near the river bank today"),  # near dup
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+
+
+def _jaccard(a: str, b: str, w=3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        return set(" ".join(toks[i : i + w]) for i in range(max(len(toks) - w + 1, 1)))
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup(spark):
+    out = sorted(r["doc_id"] for r in exact_dedup(_docs(spark)).collect())
+    assert out == [0, 2, 3, 4, 5]  # doc 1 (exact dup of 0) removed, min-id kept
+
+
+def test_ngram_jaccard_matches_bruteforce(spark):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.4).collect()
+    }
+    exp = {}
+    for i, (ia, ta) in enumerate(DOCS):
+        for ib, tb in DOCS[i + 1 :]:
+            j = _jaccard(ta, tb)
+            if j >= 0.4:
+                exp[(ia, ib)] = j
+    assert set(got) == set(exp)
+    for k in exp:
+        assert np.isclose(got[k], exp[k], rtol=1e-9)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(_docs(spark), threshold=0.4, num_hashes=64, bands=32).collect()
+    }
+    # the exact duplicate pair must always collide in every band
+    assert (0, 1) in pairs
+    # verified jaccard filter keeps only true near-dups
+    for a, b in pairs:
+        assert _jaccard(DOCS[a][1], DOCS[b][1]) >= 0.4
+
+
+def test_simhash_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(_docs(spark), max_hamming=8).collect()}
+    assert pairs.get((0, 1)) == 0  # identical text -> identical simhash
+    # unrelated docs must not appear at small radius
+    assert (3, 4) not in pairs

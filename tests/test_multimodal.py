@@ -1,0 +1,56 @@
+"""Multimodal plumbing: Arrow-batched stub decode over mapInPandas."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from acoustic_feature_extractor_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_stub,
+    extract_media_features,
+    frame_sample_plan,
+)
+
+
+def _docs(spark):
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["hello world", "abc", "x" * 100]})
+    return spark.createDataFrame(pdf)
+
+
+def test_media_features_match_local_stub(spark):
+    media = attach_binary_payload(_docs(spark))
+    out = {r["media_id"]: r for r in extract_media_features(media, fake=True).collect()}
+    for doc_id, text in [(0, "hello world"), (1, "abc"), (2, "x" * 100)]:
+        exp = decode_stub(text.encode(), "image", fake=True)
+        assert out[doc_id]["n_bytes"] == len(text.encode())
+        np.testing.assert_allclose(out[doc_id]["features"], exp)
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"bytes", "image", fake=False)
+
+
+def test_frame_sample_plan(spark):
+    pdf = pd.DataFrame(
+        {
+            "media_id": [0],
+            "kind": ["video"],
+            "payload": [b""],
+        }
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(pdf).withColumn(
+        "meta",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(25).alias("n_frames"),
+        ),
+    )
+    frames = frame_sample_plan(df, every_n=10).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in frames] == [0, 10, 20]

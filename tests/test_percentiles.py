@@ -1,0 +1,93 @@
+"""Percentile operators vs the reference's numpy formulation.
+
+Weighted-percentile oracle re-derives the semantics of
+``extract_f0_range.py:113-150`` (sorted values, mid-cumulative weight grid,
+numpy.interp, edge clamp)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from acoustic_feature_extractor_spark.operators.percentiles import (
+    histogram_vote_filter,
+    iterative_range_refine,
+    percentile_report,
+    weighted_percentile,
+)
+
+
+def _np_weighted_percentile(values, weights, q):
+    order = np.argsort(values)
+    v, w = np.asarray(values, float)[order], np.asarray(weights, float)[order]
+    cw = np.cumsum(w)
+    mids = (cw - w / 2) / cw[-1]
+    return float(np.interp(q, mids, v))
+
+
+def test_weighted_percentile_matches_numpy(spark):
+    rng = np.random.RandomState(21)
+    v = np.unique(rng.rand(200) * 100)
+    w = rng.rand(len(v)) * 10 + 0.1
+    pdf = pd.DataFrame({"v": v, "w": w})
+    df = spark.createDataFrame(pdf)
+    qs = [0.0, 0.1, 0.5, 0.9, 0.999, 1.0]
+    got = {
+        r["q"]: r["value"]
+        for r in weighted_percentile(df, "v", "w", qs).collect()
+    }
+    for q in qs:
+        assert np.isclose(got[q], _np_weighted_percentile(v, w, q), rtol=1e-9), q
+
+
+def test_weighted_percentile_grouped(spark):
+    rng = np.random.RandomState(22)
+    rows = []
+    for g in ["x", "y"]:
+        v = np.unique(rng.rand(80) * 50)
+        for vi in v:
+            rows.append((g, float(vi), float(rng.rand() + 0.1)))
+    pdf = pd.DataFrame(rows, columns=["g", "v", "w"])
+    df = spark.createDataFrame(pdf)
+    got = weighted_percentile(df, "v", "w", [0.5], group_cols=["g"]).collect()
+    for r in got:
+        sub = pdf[pdf.g == r["g"]]
+        assert np.isclose(
+            r["value"], _np_weighted_percentile(sub.v.to_numpy(), sub.w.to_numpy(), 0.5),
+            rtol=1e-9,
+        )
+
+
+def test_percentile_report_matches_numpy(spark):
+    rng = np.random.RandomState(23)
+    v = rng.rand(500) * 100
+    df = spark.createDataFrame(pd.DataFrame({"v": v}))
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = {r["q"]: r["value"] for r in percentile_report(df, "v", qs=qs).collect()}
+    for q in qs:
+        assert np.isclose(got[q], np.percentile(v, q * 100), rtol=1e-9)
+
+
+def test_histogram_vote_filter_matches_numpy(spark):
+    rng = np.random.RandomState(24)
+    v = np.concatenate([rng.rand(300) * 10 + 10, np.array([1e4, 1e4 + 1])])  # outlier bin
+    w = np.ones(len(v))
+    df = spark.createDataFrame(pd.DataFrame({"v": v, "w": w}))
+    kept = histogram_vote_filter(df, "v", weight_col="w", n_bins=20, min_mass=0.05)
+    got = np.sort(kept.toPandas()["v"].to_numpy())
+    lv = np.log(v)
+    lo, hi = lv.min(), lv.max()
+    bins = np.minimum(19, np.floor((lv - lo) / ((hi - lo) / 20)).astype(int))
+    mass = np.bincount(bins, weights=w, minlength=20)
+    keep_bins = set(np.where(mass / mass.sum() >= 0.05)[0])
+    expected = np.sort(v[[b in keep_bins for b in bins]])
+    np.testing.assert_allclose(got, expected)
+
+
+def test_iterative_range_refine_converges(spark):
+    rng = np.random.RandomState(25)
+    v = rng.lognormal(4.0, 0.3, 400)
+    df = spark.createDataFrame(pd.DataFrame({"v": v, "w": np.ones(400)})).cache()
+    lo, hi = iterative_range_refine(df, "v", "w", n_rounds=2, q_lo=0.05, q_hi=0.95)
+    assert lo < np.median(v) < hi
+    assert lo > v.min() * 0.3 and hi < v.max() * 3

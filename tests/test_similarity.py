@@ -1,0 +1,56 @@
+"""Similarity search vs numpy brute-force oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from acoustic_feature_extractor_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    embedding_neardup_pairs,
+)
+
+DIM = 16
+
+
+def _emb(spark, n=60, seed=41):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, DIM)
+    # plant a near-duplicate pair
+    vecs[1] = vecs[0] + rng.randn(DIM) * 0.01
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [v.tolist() for v in vecs]})
+    return spark.createDataFrame(pdf), vecs
+
+
+def test_cosine_topk_matches_numpy(spark):
+    df, vecs = _emb(spark)
+    q = df.where("vec_id < 5")
+    got = cosine_topk(q, df, k=3).toPandas()
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+    for qid in range(5):
+        scores = cos[qid].copy()
+        scores[qid] = -np.inf
+        order = np.lexsort((np.arange(len(scores)), -scores))[:3]
+        exp = list(order)
+        g = got[got.query_id == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert g == exp, (qid, g, exp)
+
+
+def test_lsh_bucket_recall_on_neardup(spark):
+    """The planted near-duplicate (cos ~0.9999) must land in the same LSH
+    bucket and be retrieved as the top neighbor."""
+    df, vecs = _emb(spark)
+    q = df.where("vec_id = 0")
+    got = cosine_topk_lsh(q, df, dim=DIM, k=1, n_planes=4).collect()
+    assert len(got) == 1 and got[0]["neighbor_id"] == 1
+
+
+def test_embedding_neardup_pairs(spark):
+    df, vecs = _emb(spark)
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(df, dim=DIM, threshold=0.99, n_planes=4).collect()}
+    assert (0, 1) in pairs
+    for a, b in pairs:
+        cos = vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+        assert cos >= 0.99

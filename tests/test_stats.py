@@ -1,0 +1,87 @@
+"""Statistics + normalization parity with the reference formulas.
+
+- population variance (``extract_f0_statistics.py:35`` uses numpy.var)
+- linear conversion ``x' = (tv/iv)(x − im) + tm`` (``f0.py:119-123``)
+- invalid entries pass through untouched (``f0.py:117-124``)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from acoustic_feature_extractor_spark.operators.stats import (
+    all_same_filter,
+    corpus_stats,
+    normalize,
+)
+
+
+def _data(spark, seed=9):
+    rng = np.random.RandomState(seed)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 50 + ["b"] * 30,
+            "v": rng.rand(80) * 40 + 60,
+            "valid": rng.rand(80) > 0.2,
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_corpus_stats_population_variance(spark):
+    df, pdf = _data(spark)
+    row = corpus_stats(df, "v", valid_col="valid").collect()[0]
+    valid = pdf[pdf.valid]["v"].to_numpy()
+    assert np.isclose(row["mean"], valid.mean())
+    assert np.isclose(row["var"], valid.var())  # numpy.var = population var
+    assert np.isclose(row["stddev"], valid.std())
+    assert row["n"] == len(valid)
+
+
+def test_normalize_reference_formula(spark):
+    df, pdf = _data(spark)
+    st = corpus_stats(df, "v", valid_col="valid")
+    out = (
+        normalize(df, "v", st, target_mean=5.0, target_var=4.0, valid_col="valid")
+        .toPandas()
+        .sort_values(["conv_id", "v"])
+    )
+    valid = pdf[pdf.valid]["v"].to_numpy()
+    im, iv = valid.mean(), valid.std()
+    expected = (2.0 / iv) * (out["v"].to_numpy() - im) + 5.0
+    got = out["v_norm"].to_numpy()
+    mask = out["valid"].to_numpy()
+    np.testing.assert_allclose(got[mask], expected[mask], rtol=1e-12)
+    # invalid rows untouched (f0.py:117-124)
+    np.testing.assert_allclose(got[~mask], out["v"].to_numpy()[~mask])
+
+
+def test_normalized_stats_hit_target(spark):
+    df, pdf = _data(spark)
+    st = corpus_stats(df, "v")
+    out = normalize(df, "v", st, target_mean=0.0, target_var=1.0)
+    check = out.agg(
+        F.avg("v_norm").alias("m"), F.var_pop("v_norm").alias("s")
+    ).collect()[0]
+    assert abs(check["m"]) < 1e-9 and abs(check["s"] - 1.0) < 1e-9
+
+
+def test_grouped_normalize(spark):
+    df, pdf = _data(spark)
+    st = corpus_stats(df, "v", group_cols=["conv_id"])
+    out = normalize(df, "v", st, group_cols=["conv_id"]).toPandas()
+    for k, g in out.groupby("conv_id"):
+        ref = pdf[pdf.conv_id == k]["v"]
+        expected = (g["v"] - ref.mean()) / ref.std(ddof=0)
+        np.testing.assert_allclose(np.sort(g["v_norm"]), np.sort(expected), rtol=1e-12)
+
+
+def test_all_same_filter(spark):
+    pdf = pd.DataFrame(
+        {"conv_id": ["a", "a", "b", "b", "c"], "v": [1.0, 2.0, 3.0, 3.0, 5.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    kept = all_same_filter(df, "v")
+    assert set(r["conv_id"] for r in kept.select("conv_id").distinct().collect()) == {"a"}

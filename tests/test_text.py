@@ -1,0 +1,40 @@
+"""Text-analysis functions vs python oracles."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from acoustic_feature_extractor_spark.functions.text import STOPWORDS, document_profile
+
+
+def _fingerprint_py(text: str) -> int:
+    toks = text.lower().strip().split()
+    total = 0
+    for i, t in enumerate(toks, start=1):
+        total += i * (len(t) * 256 + ord(t[0]))
+    return total % 2147483647
+
+
+def test_document_profile_oracle(spark):
+    docs = [
+        (0, "The quick brown fox, it is said, jumps over the lazy dog!"),
+        (1, "der Hund ist nicht mit der Katze und das ist gut"),
+        (2, "xyzzy plugh 12345 !!!"),
+        (3, "le chat est dans la maison et les oiseaux ne sont pas"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    out = {r["doc_id"]: r.asDict() for r in document_profile(df).collect()}
+
+    for doc_id, text in docs:
+        toks = text.lower().strip().split()
+        assert out[doc_id]["n_tokens"] == len(toks)
+        assert out[doc_id]["fingerprint"] == _fingerprint_py(text)
+        sw_hits = len(set(toks) & set(STOPWORDS["en"]))
+        assert abs(out[doc_id]["stopword_ratio"] - sw_hits / 10.0) < 1e-6
+
+    assert out[0]["lang_guess"] == "en"
+    assert out[1]["lang_guess"] == "de"
+    assert out[2]["lang_guess"] == "und"
+    assert out[3]["lang_guess"] == "fr"
+    # quality ordering: clean english sentence > garbage
+    assert out[0]["quality"] > out[2]["quality"]

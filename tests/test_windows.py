@@ -1,0 +1,73 @@
+"""Window operators vs numpy/pandas oracles (reference test style:
+closed-form exact-equality unit tests, ``tests/test_sampling_data.py:15-113``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from acoustic_feature_extractor_spark.operators.windows import (
+    degenerate,
+    rolling_frame,
+    with_context_features,
+)
+
+
+def _pdf(spark, n=50, key="conv_id"):
+    rng = np.random.RandomState(42)
+    pdf = pd.DataFrame(
+        {
+            key: ["a"] * n + ["b"] * (n // 2),
+            "turn_idx": list(range(n)) + list(range(n // 2)),
+            "v": rng.rand(n + n // 2) * 100,
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_degenerate_matches_pandas_rolling(spark):
+    df, pdf = _pdf(spark)
+    out = degenerate(df, "v", frame_length=5, key="conv_id", order="turn_idx")
+    got = out.orderBy("conv_id", "turn_idx").toPandas()
+    for k, g in pdf.groupby("conv_id"):
+        gg = got[got.conv_id == k].reset_index(drop=True)
+        lo, hi = rolling_frame(5)
+        # pandas centered rolling with min_periods=1 == shrunken edge windows
+        r = g["v"].rolling(window=5, center=True, min_periods=1)
+        np.testing.assert_allclose(gg["v_mean"], r.mean().to_numpy())
+        np.testing.assert_allclose(gg["v_min"], r.min().to_numpy())
+        np.testing.assert_allclose(gg["v_max"], r.max().to_numpy())
+        np.testing.assert_allclose(gg["v_median"], r.median().to_numpy())
+
+
+def test_degenerate_hop_downsample(spark):
+    df, pdf = _pdf(spark)
+    out = degenerate(df, "v", frame_length=4, hop_length=2, aggs=("mean",))
+    got = out.orderBy("conv_id", "turn_idx").toPandas()
+    assert (got["turn_idx"] % 2 == 0).all()
+    # output rate = rate / hop (sampling_data.py:172-175)
+    n_a = len(pdf[pdf.conv_id == "a"])
+    assert len(got[got.conv_id == "a"]) == (n_a + 1) // 2
+
+
+def test_context_features_boundaries(spark):
+    df, pdf = _pdf(spark, n=10)
+    out = with_context_features(
+        df, ["v"], key="conv_id", order="turn_idx", defaults={"v": -1.0}
+    )
+    got = out.orderBy("conv_id", "turn_idx").toPandas()
+    a = got[got.conv_id == "a"].reset_index(drop=True)
+    pa = pdf[pdf.conv_id == "a"].reset_index(drop=True)
+    # boundary rows get the synthetic default (linguistic_feature.py:81-95)
+    assert a.loc[0, "prev_v"] == -1.0
+    assert a.loc[len(a) - 1, "next_v"] == -1.0
+    np.testing.assert_allclose(a.loc[1:, "prev_v"], pa.loc[: len(pa) - 2, "v"])
+
+
+def test_context_offsets(spark):
+    df, pdf = _pdf(spark, n=10)
+    out = with_context_features(df, ["v"], offsets=(2,))
+    got = out.where(F.col("conv_id") == "a").orderBy("turn_idx").toPandas()
+    pa = pdf[pdf.conv_id == "a"].reset_index(drop=True)
+    np.testing.assert_allclose(got.loc[2:, "prev2_v"], pa.loc[: len(pa) - 3, "v"])
