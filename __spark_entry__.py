@@ -1023,15 +1023,27 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (LSH-bucketed, verify ≥ 0.9).
-    Rows-only check; exact-vs-bucketed recall tested in pytest."""
+    """Embedding-cosine near-dup pairs — exact verify primitive (broadcast
+    self-join), oracle-checked against DuckDB list_cosine_similarity. The
+    LSH-blocked scale path (embedding_neardup_pairs) is recall-tested in
+    pytest. Threshold 0.45: the synthetic embeddings are near-orthogonal
+    (max pairwise cosine ≈ 0.6), so 0.45 yields a real, non-empty answer."""
     e = _t(spark, sf_dir, "embeddings")
-    p = sim_ops.embedding_neardup_pairs(e, dim=64, threshold=0.9, n_planes=4)
+    p = sim_ops.embedding_neardup_exact(e, threshold=0.45)
     return p.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
-        "cos_sim",
+        F.round("cos_sim", 4).alias("cos_sim"),
     )
+
+
+_SQL_EMBEDDING_NEARDUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+       ROUND(ROUND(list_cosine_similarity(a.v, b.v), 6), 4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+"""
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1129,7 +1141,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "text_profile": _SQL_TEXT_PROFILE,
         "ann_bruteforce": _SQL_ANN_BRUTEFORCE,
+        "embedding_neardup": _SQL_EMBEDDING_NEARDUP,
         "media_features": _SQL_MEDIA,
         # no oracle (non-SQL-expressible hash families / LSH):
-        # dedup_minhash, dedup_simhash, ann_lsh, embedding_neardup
+        # dedup_minhash, dedup_simhash, ann_lsh
     }

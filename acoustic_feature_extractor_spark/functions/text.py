@@ -91,16 +91,22 @@ def fingerprint(text: Column) -> Column:
     order-sensitive like a true rolling hash.
     """
     toks = whitespace_tokens(text)
-    n = F.size(toks)
-    terms = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: i
-        * (
-            F.length(F.element_at(toks, i)) * 256
-            + F.ascii(F.substring(F.element_at(toks, i), 1, 1))
+    # Single pass over the token array: accumulator struct carries (sum, pos)
+    # so the expensive regex split is evaluated once per row, not once per
+    # token position (sequence+element_at would re-split per element — O(n²)).
+    acc = F.aggregate(
+        toks,
+        F.struct(F.lit(0).cast("long").alias("s"), F.lit(0).cast("long").alias("p")),
+        lambda a, tok: F.struct(
+            (
+                a["s"]
+                + (a["p"] + 1)
+                * (F.length(tok) * 256 + F.ascii(F.substring(tok, 1, 1)))
+            ).alias("s"),
+            (a["p"] + 1).alias("p"),
         ),
     )
-    return F.pmod(F.aggregate(terms, F.lit(0).cast("long"), lambda a, t: a + t), F.lit(2147483647))
+    return F.pmod(acc["s"], F.lit(2147483647))
 
 
 def document_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

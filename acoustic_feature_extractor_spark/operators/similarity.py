@@ -124,6 +124,35 @@ def cosine_topk_lsh(
     )
 
 
+def embedding_neardup_exact(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (broadcast self-join verify).
+
+    The exact primitive: all (a, b) with a < b and cosine ≥ threshold. At
+    scale this is the *verify* stage run on candidate pairs only; as a
+    standalone query it broadcasts the smaller projection (id, vec) and
+    scans the corpus once. Use :func:`embedding_neardup_pairs` (LSH
+    blocking) when the corpus is too large for the O(n²) verify.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("_va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("_vb")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     dim: int,
