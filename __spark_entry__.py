@@ -39,6 +39,7 @@ from acoustic_feature_extractor_spark.operators import (
     sample as sample_ops,
     sessionize as sess_ops,
     similarity as sim_ops,
+    skew as skew_ops,
     stats as stats_ops,
     windows as win_ops,
 )
@@ -1066,6 +1067,325 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# queries — skew engine (salted two-phase windows; oracle = plain window)
+# --------------------------------------------------------------------------
+# The oracle for every salted op is the UNSALTED window — the whole point:
+# chunked execution with carry rows / two-phase merge must be bit-identical
+# to the logical window over the full partition (SURVEY.md §4 "custom
+# Spark work" #2; reference skew control: extract_f0_range.py:50-78).
+
+def q_salted_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _indexed_events(spark, sf_dir)
+    r = skew_ops.salted_rolling(
+        d, "value", lo=-2, hi=2, agg="avg", key="user_id", order="idx",
+        out_col="roll_mean", chunk_rows=16,
+    )
+    return r.select("user_id", "event_id", "idx", F.round("roll_mean", 6).alias("roll_mean"))
+
+
+_SQL_SALTED_ROLLING = f"""
+WITH base AS ({_IDX_SQL})
+SELECT user_id, event_id, idx,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY idx
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS roll_mean
+FROM base
+"""
+
+
+def q_salted_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _indexed_events(spark, sf_dir)
+    r = skew_ops.salted_cumsum(
+        d, "value", key="user_id", order="idx", out_col="run_sum", chunk_rows=16
+    )
+    return r.select("user_id", "event_id", "idx", F.round("run_sum", 6).alias("run_sum"))
+
+
+_SQL_SALTED_CUMSUM = f"""
+WITH base AS ({_IDX_SQL})
+SELECT user_id, event_id, idx,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_sum
+FROM base
+"""
+
+
+def q_salted_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _indexed_events(spark, sf_dir).withColumn(
+        "good_value", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    r = skew_ops.salted_forward_fill(
+        d, "good_value", key="user_id", order="idx", out_col="last_good", chunk_rows=16
+    )
+    return r.select("user_id", "event_id", "idx", F.round("last_good", 6).alias("last_good"))
+
+
+_SQL_SALTED_FFILL = f"""
+WITH base AS ({_IDX_SQL})
+SELECT user_id, event_id, idx,
+       round(last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+       AS last_good
+FROM base
+"""
+
+
+def q_entity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity size profile — the salting decision input (A9 analog,
+    ``extract_f0_range.py:50-78``): row counts + needs-salt flag."""
+    d = _t(spark, sf_dir, "events")
+    p = skew_ops.profile_entity_sizes(d, key="user_id")
+    return p.select(
+        "user_id",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") > 64).alias("needs_salt"),
+    )
+
+
+_SQL_ENTITY_PROFILE = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows, count(*) > 64 AS needs_salt
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# queries — keypoint split / padding / boundary adjust / range refine
+# --------------------------------------------------------------------------
+
+def q_keypoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keypoint-based segmentation (W6 variant, ``sampling_data.py:53-60``):
+    bucket each event by fixed relative-time boundaries."""
+    d = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    d = d.withColumn("t_rel", _sec("ts") - F.min(_sec("ts")).over(w))
+    r = sess_ops.split_at_keypoints(
+        d, keypoints=[600.0, 3600.0, 14400.0], key="user_id",
+        ts_seconds_col="t_rel", segment_col="segment_id",
+    )
+    return r.select(
+        "user_id", "event_id",
+        F.col("segment_id").cast("long").alias("segment_id"),
+    )
+
+
+_SQL_KEYPOINT = """
+WITH d AS (
+  SELECT user_id, event_id,
+         epoch_us(ts)/1000000.0 - min(epoch_us(ts)/1000000.0) OVER (PARTITION BY user_id) AS t_rel
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST((CASE WHEN t_rel >= 600.0 THEN 1 ELSE 0 END)
+          + (CASE WHEN t_rel >= 3600.0 THEN 1 ELSE 0 END)
+          + (CASE WHEN t_rel >= 14400.0 THEN 1 ELSE 0 END) AS BIGINT) AS segment_id
+FROM d
+"""
+
+
+def q_pad_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length padding / alignment (W7, ``sampling_data.py:62-81``): every
+    session of a user padded to the user's longest session; pad value =
+    segment's last value (edge-consensus analog)."""
+    d = _indexed_events(spark, sf_dir)
+    d = sess_ops.sessionize(d, gap_seconds=3600.0, key="user_id", ts="ts", order="idx")
+    p = win_ops.pad_segments_to_max(
+        d, "value", key="user_id", segment_col="session_id", order="idx"
+    )
+    return p.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("pos").cast("long").alias("pos"),
+        F.round("value", 6).alias("value"),
+        "is_pad",
+    )
+
+
+_SQL_PAD = f"""
+WITH base AS ({_IDX_SQL}),
+s AS (
+  SELECT user_id, event_id, idx, value,
+         CASE WHEN epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0)
+              OVER (PARTITION BY user_id ORDER BY idx) > 3600.0 THEN 1 ELSE 0 END AS is_new,
+         ts
+  FROM base
+),
+sess AS (
+  SELECT user_id, event_id, idx, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY idx) AS session_id
+  FROM s
+),
+pos AS (
+  SELECT user_id, session_id, value,
+         CAST(row_number() OVER (PARTITION BY user_id, session_id ORDER BY idx) - 1 AS BIGINT) AS pos
+  FROM sess
+),
+sizes AS (
+  SELECT user_id, session_id, count(*) AS n, arg_max(value, pos) AS pad_v
+  FROM pos GROUP BY user_id, session_id
+),
+mx AS (
+  SELECT *, max(n) OVER (PARTITION BY user_id) AS max_n FROM sizes
+),
+pads AS (
+  SELECT user_id, session_id, unnest(generate_series(n, max_n - 1)) AS pos, pad_v AS value
+  FROM mx WHERE n < max_n
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, CAST(pos AS BIGINT) AS pos,
+       round(value, 6) AS value, FALSE AS is_pad
+FROM pos
+UNION ALL
+SELECT user_id, CAST(session_id AS BIGINT), CAST(pos AS BIGINT), round(value, 6), TRUE
+FROM pads
+"""
+
+
+def q_boundary_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval boundary adjustment (J4,
+    ``extract_silence_expanded_label.py:30-61``): spans snapped onto
+    overlapping idle-run edges, neighbor-clamped, contiguity repaired."""
+    d = _indexed_events(spark, sf_dir)
+    spans = d.groupBy(
+        "user_id", (F.col("idx") / F.lit(8)).cast("long").alias("span_id")
+    ).agg(
+        F.min(_sec("ts")).alias("start_ts"),
+        F.max(_sec("ts")).alias("end_ts"),
+    )
+    # idle runs: fixed weekly maintenance windows (deterministic intervals)
+    idle = (
+        spark.range(0, 30)
+        .select(
+            F.lit(None).cast("long").alias("user_id"),
+            (F.lit(1704067200.0) + F.col("id") * 7 * 86400).alias("start_ts"),
+            (F.lit(1704067200.0) + F.col("id") * 7 * 86400 + 43200).alias("end_ts"),
+        )
+    )
+    users = d.select("user_id").distinct()
+    idle = users.crossJoin(F.broadcast(idle.drop("user_id")))
+    adj = interval_ops.adjust_boundaries_to_idle(
+        spans.select("user_id", "span_id",
+                     F.col("start_ts").cast("timestamp").alias("start_ts"),
+                     F.col("end_ts").cast("timestamp").alias("end_ts")),
+        idle.select("user_id",
+                    F.col("start_ts").cast("timestamp").alias("start_ts"),
+                    F.col("end_ts").cast("timestamp").alias("end_ts")),
+        key="user_id", min_span_seconds=60.0,
+    )
+    return adj.select(
+        "user_id",
+        F.col("span_id").cast("long").alias("span_id"),
+        F.round(_sec("start_ts"), 6).alias("start_sec"),
+        F.round(_sec("end_ts"), 6).alias("end_sec"),
+    )
+
+
+_SQL_BOUNDARY = """
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS idx
+  FROM events
+),
+spans AS (
+  SELECT user_id, CAST(idx // 8 AS BIGINT) AS span_id,
+         min(epoch_us(ts)/1000000.0) AS s, max(epoch_us(ts)/1000000.0) AS e
+  FROM base GROUP BY 1, 2
+),
+idle AS (
+  SELECT 1704067200.0 + i * 7 * 86400 AS i_s,
+         1704067200.0 + i * 7 * 86400 + 43200 AS i_e
+  FROM unnest(generate_series(0, 29)) AS t(i)
+),
+hits AS (
+  SELECT sp.user_id, sp.span_id, sp.s, sp.e,
+         min(CASE WHEN id.i_s < sp.s AND sp.s <= id.i_e THEN id.i_s END) AS new_s,
+         max(CASE WHEN id.i_s <= sp.e AND sp.e < id.i_e THEN id.i_e END) AS new_e
+  FROM spans sp LEFT JOIN idle id ON TRUE
+  GROUP BY sp.user_id, sp.span_id, sp.s, sp.e
+),
+clamped AS (
+  SELECT user_id, span_id,
+         CASE WHEN lag(coalesce(new_s, s)) OVER w IS NOT NULL
+                   AND coalesce(new_s, s) < lag(coalesce(new_s, s)) OVER w + 60.0
+              THEN lag(coalesce(new_s, s)) OVER w + 60.0
+              ELSE coalesce(new_s, s) END AS adj_s,
+         coalesce(new_e, e) AS adj_e
+  FROM hits
+  WINDOW w AS (PARTITION BY user_id ORDER BY span_id)
+)
+SELECT user_id, CAST(span_id AS BIGINT) AS span_id,
+       round(adj_s, 6) AS start_sec,
+       round(coalesce(lead(adj_s) OVER (PARTITION BY user_id ORDER BY span_id), adj_e), 6) AS end_sec
+FROM clamped
+"""
+
+
+def q_range_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative trimmed-range convergence (A7,
+    ``extract_f0_range.py:307-353``): 2 driver rounds of filter → weighted
+    percentiles → 10% log-space expansion; returns the final bracket."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum("l_quantity").alias("w")
+    ).persist()
+    lo, hi = pct_ops.iterative_range_refine(
+        d, "v", "w", n_rounds=2, q_lo=0.1, q_hi=0.9, expand=0.10
+    )
+    d.unpersist()
+    return spark.createDataFrame(
+        [(round(lo, 6), round(hi, 6))], "lo double, hi double"
+    )
+
+
+# Oracle: the 2-round loop unrolled. Round = weighted (0.1, 0.9)
+# percentile over the (filtered) set, then ±10% expansion in log space.
+def _sql_wpct_macro(src: str) -> str:
+    return f"""
+c AS (
+  SELECT v, w,
+         sum(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(w) OVER () AS total
+  FROM {src}
+),
+m AS (SELECT v, (cw - w/2) / total AS mid FROM c),
+seg AS (
+  SELECT v, mid,
+         lead(mid) OVER (ORDER BY mid, v) AS nmid,
+         lead(v) OVER (ORDER BY mid, v) AS nv,
+         min(v) OVER () AS minv, max(v) OVER () AS maxv,
+         min(mid) OVER () AS minmid, max(mid) OVER () AS maxmid
+  FROM m
+),
+qs AS (SELECT unnest([0.1, 0.9]) AS q),
+pct AS (
+  SELECT q,
+         min(CASE WHEN q <= minmid THEN minv
+                  WHEN q >= maxmid THEN maxv
+                  ELSE v + (nv - v) * (q - mid) / (nmid - mid) END) AS value
+  FROM qs JOIN seg
+    ON (mid <= q AND q < coalesce(nmid, 1e308))
+    OR (q < minmid AND mid = minmid)
+    OR (q >= maxmid AND mid = maxmid)
+  GROUP BY q
+),
+bracket AS (
+  SELECT exp(ln(min(CASE WHEN q = 0.1 THEN value END))
+             - 0.10 * (ln(min(CASE WHEN q = 0.9 THEN value END)) - ln(min(CASE WHEN q = 0.1 THEN value END)))) AS lo,
+         exp(ln(min(CASE WHEN q = 0.9 THEN value END))
+             + 0.10 * (ln(min(CASE WHEN q = 0.9 THEN value END)) - ln(min(CASE WHEN q = 0.1 THEN value END)))) AS hi
+  FROM pct
+)
+"""
+
+
+_SQL_RANGE_REFINE = f"""
+WITH d AS (SELECT l_extendedprice AS v, CAST(sum(l_quantity) AS DOUBLE) AS w FROM lineitem GROUP BY 1),
+{_sql_wpct_macro('d')},
+r1 AS (SELECT lo, hi FROM bracket),
+d2 AS (SELECT v, w FROM d, r1 WHERE v >= r1.lo AND v <= r1.hi),
+{_sql_wpct_macro('d2').replace('c AS', 'c2 AS').replace('m AS', 'm2 AS').replace('seg AS', 'seg2 AS').replace('qs AS', 'qs2 AS').replace('pct AS', 'pct2 AS').replace('bracket AS', 'bracket2 AS').replace('FROM c', 'FROM c2').replace('FROM m', 'FROM m2').replace('FROM qs JOIN seg', 'FROM qs2 JOIN seg2').replace('FROM pct', 'FROM pct2')}
+SELECT round(lo, 6) AS lo, round(hi, 6) AS hi FROM bracket2
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1097,6 +1417,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "interval_expand": q_interval_expand,
         "interval_overlap": q_interval_overlap,
+        "salted_rolling": q_salted_rolling,
+        "salted_cumsum": q_salted_cumsum,
+        "salted_ffill": q_salted_ffill,
+        "entity_profile": q_entity_profile,
+        "keypoint_split": q_keypoint_split,
+        "pad_sessions": q_pad_sessions,
+        "boundary_adjust": q_boundary_adjust,
+        "range_refine": q_range_refine,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
@@ -1137,6 +1465,14 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": _SQL_REVENUE_NATION,
         "interval_expand": _SQL_INTERVAL_EXPAND,
         "interval_overlap": _SQL_INTERVAL_OVERLAP,
+        "salted_rolling": _SQL_SALTED_ROLLING,
+        "salted_cumsum": _SQL_SALTED_CUMSUM,
+        "salted_ffill": _SQL_SALTED_FFILL,
+        "entity_profile": _SQL_ENTITY_PROFILE,
+        "keypoint_split": _SQL_KEYPOINT,
+        "pad_sessions": _SQL_PAD,
+        "boundary_adjust": _SQL_BOUNDARY,
+        "range_refine": _SQL_RANGE_REFINE,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "text_profile": _SQL_TEXT_PROFILE,

@@ -121,6 +121,55 @@ def degenerate(
     return out
 
 
+def pad_segments_to_max(
+    df: DataFrame,
+    value_col: str,
+    key: str = "conv_id",
+    segment_col: str = "session_id",
+    order: str = "turn_idx",
+    pad_value: float | None = None,
+) -> DataFrame:
+    """Pad every segment of an entity to the entity's max segment length
+    (W7 — ``SamplingData.pad`` / length alignment,
+    ``/root/reference/src/acoustic_feature_extractor/data/sampling_data.py:62-81``).
+
+    The reference pads shorter sources to the longest with an estimated
+    padding value taken from the sequence edge; here the pad value is the
+    segment's LAST value (edge-consensus analog) unless ``pad_value`` is
+    given. Output rows: ``(key, segment, pos, value, is_pad)`` where
+    ``pos`` is the 0-based position inside the segment — all segments of an
+    entity end up the same length.
+
+    Scale shape: one window shuffle for positions + a tiny per-segment
+    summary (one row per segment) that generates the pad rows via
+    ``explode(sequence(...))`` — pad-row fan-out never touches the fact
+    table's shuffle.
+    """
+    w = Window.partitionBy(key, segment_col).orderBy(order)
+    d = df.withColumn("_pos", (F.row_number().over(w) - 1).cast("long"))
+    sizes = d.groupBy(key, segment_col).agg(
+        F.count("*").alias("_n"),
+        F.max_by(value_col, "_pos").alias("_pad_v"),
+    )
+    w_key = Window.partitionBy(key)
+    sizes = sizes.withColumn("_max_n", F.max("_n").over(w_key))
+    fill = F.lit(pad_value) if pad_value is not None else F.col("_pad_v")
+    pads = (
+        sizes.where(F.col("_n") < F.col("_max_n"))
+        .select(
+            key,
+            segment_col,
+            F.explode(F.sequence(F.col("_n"), F.col("_max_n") - 1)).alias("_pos"),
+            fill.alias(value_col),
+        )
+        .withColumn("is_pad", F.lit(True))
+    )
+    core = d.select(key, segment_col, "_pos", value_col).withColumn(
+        "is_pad", F.lit(False)
+    )
+    return core.unionByName(pads).withColumnRenamed("_pos", "pos")
+
+
 def stable_turn_order_check(df: DataFrame, key: str = "conv_id", order: str = "turn_idx") -> DataFrame:
     """Validation query for the stable-ordering invariant (SURVEY.md O1).
 

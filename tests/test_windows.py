@@ -71,3 +71,36 @@ def test_context_offsets(spark):
     got = out.where(F.col("conv_id") == "a").orderBy("turn_idx").toPandas()
     pa = pdf[pdf.conv_id == "a"].reset_index(drop=True)
     np.testing.assert_allclose(got.loc[2:, "prev2_v"], pa.loc[: len(pa) - 3, "v"])
+
+
+def test_pad_segments_to_max(spark):
+    """W7 parity: every segment padded to the entity max with the segment's
+    last value (sampling_data.py:62-81 analog), verified vs numpy.pad."""
+    import pandas as pd
+    from acoustic_feature_extractor_spark.operators.windows import pad_segments_to_max
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 7 + ["b"] * 4,
+            "session_id": [0, 0, 0, 1, 1, 2, 2, 0, 0, 0, 1],
+            "turn_idx": list(range(7)) + list(range(4)),
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 10.0, 11.0, 12.0, 13.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        pad_segments_to_max(df, "v", key="conv_id", segment_col="session_id", order="turn_idx")
+        .orderBy("conv_id", "session_id", "pos")
+        .toPandas()
+    )
+    for (cid, seg), grp in pdf.groupby(["conv_id", "session_id"]):
+        max_n = pdf[pdf.conv_id == cid].groupby("session_id").size().max()
+        vals = grp["v"].to_numpy()
+        expected = np.pad(vals, (0, max_n - len(vals)), mode="edge")
+        got = out[(out.conv_id == cid) & (out.session_id == seg)].sort_values("pos")
+        np.testing.assert_allclose(got["v"].to_numpy(), expected)
+        assert (got["is_pad"].to_numpy() == ([False] * len(vals) + [True] * (max_n - len(vals)))).all()
+    # all segments of an entity end up the same length
+    lens = out.groupby(["conv_id", "session_id"]).size()
+    for cid in ("a", "b"):
+        assert lens[cid].nunique() == 1
