@@ -30,6 +30,7 @@ def turn_features(
     transcripts: DataFrame,
     gap_seconds: float = SESSION_GAP_SECONDS,
     rolling: int = 5,
+    frozen_stats: dict | None = None,
 ) -> DataFrame:
     """The flagship per-turn feature DataFrame (see module docstring)."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
@@ -54,6 +55,15 @@ def turn_features(
     d = d.withColumn("turn_in_session", F.row_number().over(w_sess) - 1)
     d = forward_fill(d, "tool", out_col="last_tool")
 
+    if frozen_stats is not None:
+        # stats pinned by the caller (resumable bucketed runs: every bucket
+        # must normalize against the SAME corpus numbers, jobs/run_turn_features.py)
+        d = d.withColumn(
+            "text_len_z",
+            (F.col("text_len") - F.lit(float(frozen_stats["mean"])))
+            / F.lit(float(frozen_stats["stddev"])),
+        )
+        return d
     st = corpus_stats(d, "text_len").select(
         F.col("mean").alias("_gm"), F.col("stddev").alias("_gs")
     )
