@@ -61,14 +61,22 @@ def _shingle_table(
     id_col: str,
     w: int,
     max_doc_freq: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, shingle_hash) pairs, distinct, optionally df-capped."""
+    """(id, shingle_hash) pairs, distinct, optionally df-capped.
+
+    ``distinct=False`` skips the dedup shuffle — correct for consumers
+    that are duplicate-invariant (MinHash signatures: min over a multiset
+    equals min over its set).
+    """
     sh = df.select(
         F.col(id_col),
         F.explode(word_shingles(tokenize(F.col(text_col)), w)).alias("_sh"),
     ).select(id_col, F.xxhash64("_sh").alias("shingle"))
-    sh = sh.distinct()
+    if distinct:
+        sh = sh.distinct()
     if max_doc_freq is not None:
+        assert distinct, "doc-frequency cap counts one row per (doc, shingle)"
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
@@ -123,9 +131,12 @@ def minhash_signatures(
     """MinHash signatures: sig[i] = min over shingles of (aᵢ·h + bᵢ mod p).
 
     One explode + one groupBy with ``num_hashes`` min-aggregates — a single
-    shuffle, all JVM-side. Signature returned as array<long>.
+    shuffle, all JVM-side. Signature returned as array<long>. The shingle
+    dedup shuffle is skipped: min() is duplicate-invariant, and Catalyst's
+    partial aggregation already collapses each partition to one row per
+    (id × hash) before the exchange.
     """
-    sh = _shingle_table(df, text_col, id_col, w)
+    sh = _shingle_table(df, text_col, id_col, w, distinct=False)
     rnd = __import__("random").Random(seed)
     coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
     # fold hash into [0, p) first so a*x+b stays within long-safe range via
