@@ -1066,6 +1066,28 @@ FROM documents
 """
 
 
+def q_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-text parse projection (S4 — the Julius label-parse analog,
+    ``phoneme.py:50-61``): extract + validate typed fields from the raw
+    ``props`` JSON string; malformed rows surface as nulls (the validation
+    query), valid rows get the typed value."""
+    d = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return d.select(
+        "event_id",
+        k.alias("k"),
+        k.isNotNull().alias("valid"),
+    )
+
+
+_SQL_PROPS_PARSE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       json_extract_string(props, '$.k') IS NOT NULL AS valid
+FROM events
+"""
+
+
 # --------------------------------------------------------------------------
 # queries — skew engine (salted two-phase windows; oracle = plain window)
 # --------------------------------------------------------------------------
@@ -1417,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": q_revenue_by_nation,
         "interval_expand": q_interval_expand,
         "interval_overlap": q_interval_overlap,
+        "props_parse": q_props_parse,
         "salted_rolling": q_salted_rolling,
         "salted_cumsum": q_salted_cumsum,
         "salted_ffill": q_salted_ffill,
@@ -1465,6 +1488,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_nation": _SQL_REVENUE_NATION,
         "interval_expand": _SQL_INTERVAL_EXPAND,
         "interval_overlap": _SQL_INTERVAL_OVERLAP,
+        "props_parse": _SQL_PROPS_PARSE,
         "salted_rolling": _SQL_SALTED_ROLLING,
         "salted_cumsum": _SQL_SALTED_CUMSUM,
         "salted_ffill": _SQL_SALTED_FFILL,

@@ -49,34 +49,108 @@ def weighted_percentile(
     weight_col: str,
     qs: list[float],
     group_cols: list[str] | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Exact weighted percentile via window cumsum (``extract_f0_range.py:113-150``).
+    """Exact weighted percentile, fully distributed (``extract_f0_range.py:113-150``).
 
     Reference semantics: with sorted values and cumulative weights ``cw``
     (shifted to start at 0 via ``cw - w``), the percentile at fraction q is
     the linear interpolation of value over the *normalized mid-cumulative*
     weight grid ``(cw - w/2) / total``, i.e. numpy.interp(q, mids, values)
     — edge-clamped. Output: one row per (group ×) q.
+
+    Scale shape — NO single-partition stage anywhere: the global sorted
+    cumsum is a range-partitioned sort + chunk-local cumsum + tiny
+    per-partition offset table broadcast back (two-phase partial/final,
+    same pattern as skew.salted_cumsum); the cross-partition ``lead`` for
+    the bracketing row is stitched from each partition's first row. A
+    naive ``Window.orderBy(value)`` with no partition key would move the
+    full value set into ONE task — this never does.
+
+    Ties: callers must pre-aggregate weights per distinct (group, value)
+    (as the reference effectively does by histogramming) so cumsum order
+    over equal values cannot differ between runs/engines.
     """
     gcols = group_cols or []
-    w_order = Window.partitionBy(*gcols).orderBy("_v").rowsBetween(
-        Window.unboundedPreceding, 0
+    spark = df.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = df.select(
+        *gcols, F.col(value_col).alias("_v"), F.col(weight_col).cast("double").alias("_w")
     )
-    w_all = Window.partitionBy(*gcols)
-    d = (
-        df.select(*gcols, F.col(value_col).alias("_v"), F.col(weight_col).cast("double").alias("_w"))
-        .withColumn("_cw", F.sum("_w").over(w_order))
-        .withColumn("_total", F.sum("_w").over(w_all))
-        .withColumn("_mid", (F.col("_cw") - F.col("_w") / 2) / F.col("_total"))
+    # Chunk id must be a DETERMINISTIC function of the row, never
+    # spark_partition_id(): the plan below re-executes this lineage in
+    # several branches (offsets, totals, first-row stitch), and a physical
+    # partition id is not stable across recomputations — the offset table
+    # could describe a different partitioning than the fact rows. Instead:
+    # driver-collected approx-quantile boundaries become literals, and the
+    # chunk is "how many boundaries <= value" — pure column math, identical
+    # in every branch. Grouped calls chunk to 0 (the group key itself
+    # distributes; chunking inside mega-groups would need per-group bounds).
+    if gcols:
+        d = d.withColumn("_pid", F.lit(0))
+    else:
+        fractions = [i / n_part for i in range(1, n_part)]
+        bounds = sorted(set(d.stat.approxQuantile("_v", fractions, 0.001)))
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        d = d.withColumn(
+            "_pid",
+            F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col("_v") >= b, 1).otherwise(0),
+            ),
+        )
+    w_local = Window.partitionBy(*gcols, "_pid").orderBy("_v")
+    w_local_cum = w_local.rowsBetween(Window.unboundedPreceding, 0)
+    d = d.withColumn("_lcw", F.sum("_w").over(w_local_cum)).withColumn(
+        "_lrn", F.row_number().over(w_local)
     )
-    w_lead = Window.partitionBy(*gcols).orderBy("_mid", "_v")
+    # tiny per-(group, partition) summary -> exclusive prefix offsets
+    psum = d.groupBy(*gcols, "_pid").agg(F.sum("_w").alias("_pw"))
+    w_off = Window.partitionBy(*gcols).orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    psum = psum.withColumn("_off", F.coalesce(F.sum("_pw").over(w_off), F.lit(0.0)))
+    totals = psum.groupBy(*gcols).agg(F.sum("_pw").alias("_total"))
+    d = d.join(F.broadcast(psum.select(*gcols, "_pid", "_off")), gcols + ["_pid"])
     d = (
-        d.withColumn("_next_mid", F.lead("_mid").over(w_lead))
-        .withColumn("_next_v", F.lead("_v").over(w_lead))
-        .withColumn("_min_v", F.min("_v").over(w_all))
-        .withColumn("_max_v", F.max("_v").over(w_all))
-        .withColumn("_min_mid", F.min("_mid").over(w_all))
-        .withColumn("_max_mid", F.max("_mid").over(w_all))
+        d.join(F.broadcast(totals), gcols)
+        if gcols
+        else d.crossJoin(F.broadcast(totals))
+    )
+    d = d.withColumn("_cw", F.col("_lcw") + F.col("_off")).withColumn(
+        "_mid", (F.col("_cw") - F.col("_w") / 2) / F.col("_total")
+    )
+    # bracketing lead: partition-local, stitched across partition edges
+    # with each partition's first (mid, v) (one row per partition)
+    d = d.withColumn("_next_mid_l", F.lead("_mid").over(w_local)).withColumn(
+        "_next_v_l", F.lead("_v").over(w_local)
+    )
+    firsts = d.where(F.col("_lrn") == 1).select(
+        *gcols, "_pid", F.col("_mid").alias("_f_mid"), F.col("_v").alias("_f_v")
+    )
+    w_nextp = Window.partitionBy(*gcols).orderBy("_pid")
+    nexts = firsts.select(
+        *gcols,
+        "_pid",
+        F.lead("_f_mid").over(w_nextp).alias("_nf_mid"),
+        F.lead("_f_v").over(w_nextp).alias("_nf_v"),
+    )
+    d = d.join(F.broadcast(nexts), gcols + ["_pid"], "left")
+    d = d.withColumn(
+        "_next_mid", F.coalesce(F.col("_next_mid_l"), F.col("_nf_mid"))
+    ).withColumn("_next_v", F.coalesce(F.col("_next_v_l"), F.col("_nf_v")))
+    # group extrema for edge clamps (plain two-phase aggregate, broadcast back)
+    minmax = d.groupBy(*gcols).agg(
+        F.min("_v").alias("_min_v"),
+        F.max("_v").alias("_max_v"),
+        F.min("_mid").alias("_min_mid"),
+        F.max("_mid").alias("_max_mid"),
+    )
+    d = (
+        d.join(F.broadcast(minmax), gcols)
+        if gcols
+        else d.crossJoin(F.broadcast(minmax))
     )
     out = None
     for q in qs:
