@@ -1,0 +1,135 @@
+"""Randomized property tests (hypothesis) — SURVEY.md §5 item 5.
+
+The reference property-tests resample against a repeat-gather oracle with
+random sizes/rates (``/root/reference/tests/test_sampling_data.py:30-43``);
+ours drive the as-of join, weighted percentile, and sessionization against
+pandas/numpy oracles on random inputs. Example counts are small because
+every example is a Spark job.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from acoustic_feature_extractor_spark.operators.asof import asof_join
+from acoustic_feature_extractor_spark.operators.percentiles import weighted_percentile
+from acoustic_feature_extractor_spark.operators.sessionize import sessionize
+
+_SETTINGS = dict(max_examples=8, deadline=None, derandomize=True)
+
+
+@st.composite
+def _two_sided_events(draw):
+    rng = np.random.RandomState(draw(st.integers(0, 10_000)))
+    n_keys = draw(st.integers(1, 4))
+    nl = draw(st.integers(1, 40))
+    nr = draw(st.integers(0, 40))
+    base = pd.Timestamp("2024-01-01")
+    # integer-second offsets force duplicate timestamps across sides —
+    # the <=-visibility edge case
+    lpdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{rng.randint(n_keys)}" for _ in range(nl)],
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.randint(0, 50, nl)],
+            "lv": rng.randn(nl),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "conv_id": [f"c{rng.randint(n_keys)}" for _ in range(nr)],
+            "ts": [base + pd.Timedelta(seconds=int(s)) for s in rng.randint(0, 50, nr)],
+            "state": rng.randn(nr),
+        }
+    )
+    # unique (key, ts) per side so backward-as-of has a unique answer
+    lpdf = lpdf.drop_duplicates(["conv_id", "ts"]).reset_index(drop=True)
+    rpdf = rpdf.drop_duplicates(["conv_id", "ts"]).reset_index(drop=True)
+    return lpdf, rpdf
+
+
+@given(_two_sided_events())
+@settings(**_SETTINGS)
+def test_asof_join_matches_merge_asof(spark, data):
+    lpdf, rpdf = data
+    l = spark.createDataFrame(lpdf)
+    r = (
+        spark.createDataFrame(rpdf)
+        if len(rpdf)
+        else spark.createDataFrame([], "conv_id string, ts timestamp, state double")
+    )
+    got = (
+        asof_join(l, r, right_cols=["state"])
+        .orderBy("conv_id", "ts")
+        .toPandas()
+    )
+    expected_parts = []
+    for k, lg in lpdf.sort_values("ts").groupby("conv_id"):
+        rg = rpdf[rpdf.conv_id == k].sort_values("ts")
+        if rg.empty:
+            m = lg.copy()
+            m["state"] = np.nan
+        else:
+            m = pd.merge_asof(
+                lg, rg[["ts", "state"]], on="ts", direction="backward"
+            )
+        m["conv_id"] = k
+        expected_parts.append(m)
+    exp = (
+        pd.concat(expected_parts)
+        .sort_values(["conv_id", "ts"])
+        .reset_index(drop=True)
+    )
+    np.testing.assert_allclose(
+        got["state_asof"].to_numpy(dtype=float),
+        exp["state"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(2, 60),
+    q=st.floats(0.0, 1.0),
+)
+@settings(**_SETTINGS)
+def test_weighted_percentile_matches_numpy(spark, seed, n, q):
+    rng = np.random.RandomState(seed)
+    v = np.unique(rng.randn(n) * 10)  # distinct values (tie contract)
+    w = rng.rand(len(v)) + 0.01
+    got = (
+        weighted_percentile(
+            spark.createDataFrame(pd.DataFrame({"v": v, "w": w})), "v", "w", [q]
+        )
+        .collect()[0]["value"]
+    )
+    order = np.argsort(v)
+    sv, sw = v[order], w[order]
+    mids = (np.cumsum(sw) - sw / 2) / sw.sum()
+    exp = float(np.interp(q, mids, sv))
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+@given(seed=st.integers(0, 10_000), gap=st.floats(1.0, 100.0))
+@settings(**_SETTINGS)
+def test_sessionize_matches_pandas(spark, seed, gap):
+    rng = np.random.RandomState(seed)
+    n = 50
+    deltas = rng.rand(n) * 120
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0"] * n,
+            "turn_idx": range(n),
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(np.cumsum(deltas), unit="s"),
+        }
+    )
+    got = (
+        sessionize(spark.createDataFrame(pdf), gap_seconds=gap)
+        .orderBy("turn_idx")
+        .toPandas()["session_id"]
+        .to_numpy()
+    )
+    d = pdf["ts"].diff().dt.total_seconds()
+    exp = (d > gap).fillna(False).cumsum().to_numpy()
+    np.testing.assert_array_equal(got, exp)
