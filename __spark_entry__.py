@@ -1023,6 +1023,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (coarse-quantizer scale path). Rows-only check;
+    exactness at full probe + recall at partial probe tested in pytest."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    r = sim_ops.cosine_topk_ivf(q, e, dim=64, k=5, n_centroids=8, n_probe=2)
+    return r.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — exact verify primitive (broadcast
     self-join), oracle-checked against DuckDB list_cosine_similarity. The
@@ -1455,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
     }
@@ -1504,5 +1518,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _SQL_EMBEDDING_NEARDUP,
         "media_features": _SQL_MEDIA,
         # no oracle (non-SQL-expressible hash families / LSH):
-        # dedup_minhash, dedup_simhash, ann_lsh
+        # dedup_minhash, dedup_simhash, ann_lsh, ann_ivf
     }

@@ -124,6 +124,93 @@ def cosine_topk_lsh(
     )
 
 
+def _nearest_centroid_cols(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """Array of the ``n_probe`` nearest centroid ids (by cosine) for ``vec``.
+
+    Centroids are literal arrays (driver-picked, tiny), so the whole
+    assignment is one JVM-side expression — no join, no Python.
+    """
+    sims = F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)
+    return F.transform(top, lambda s: s["cid"])
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization.
+
+    Centroids = a deterministic stratified pick of corpus vectors (the
+    reference's linspace subsample shape,
+    ``/root/reference/src/extractor/extract_f0_range.py:177-184``); every
+    corpus vector is assigned to its nearest centroid (its inverted list),
+    and a query scans only its ``n_probe`` nearest lists. ``n_probe =
+    n_centroids`` degrades gracefully to exact brute force (tests pin
+    this).
+
+    Scale shape: the corpus is partitioned by centroid id (at rest:
+    partition the table by ``_cid``), a query touches n_probe/n_centroids
+    of the data; the only shuffle is the per-query top-k.
+    """
+    total = corpus.count()
+    n_centroids = max(1, min(n_centroids, total))
+    # deterministic hash-strided pick (no global sort/row_number — a
+    # single-partition rank at 10^12 rows is exactly the anti-pattern):
+    # keep ids whose hash falls on the stride, take the first n by id via
+    # distributed TakeOrdered.
+    stride = max(1, total // (n_centroids * 4))
+    picked = (
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .where(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(stride)) == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    if len(picked) < n_centroids:  # tiny corpus fallback
+        picked = (
+            corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .collect()
+        )
+    centroids = [list(r["_v"]) for r in picked]
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+    ).withColumn(
+        "_cid", F.element_at(_nearest_centroid_cols(F.col("_cv"), centroids, 1), 1)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).withColumn(
+        "_cid",
+        F.explode(_nearest_centroid_cols(F.col("_qv"), centroids, n_probe)),
+    )
+    j = c.join(F.broadcast(q), "_cid").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = j.withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
+    wk = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
 def embedding_neardup_exact(
     df: DataFrame,
     threshold: float = 0.45,

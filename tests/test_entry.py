@@ -28,7 +28,7 @@ def test_registry_consistency():
     assert len(qs) >= 30
     # documented omissions only
     no_oracle = set(qs) - set(oracles)
-    assert no_oracle == {"dedup_minhash", "dedup_simhash", "ann_lsh"}
+    assert no_oracle == {"dedup_minhash", "dedup_simhash", "ann_lsh", "ann_ivf"}
 
 
 @pytest.mark.parametrize(

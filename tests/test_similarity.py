@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 from acoustic_feature_extractor_spark.operators.similarity import (
     cosine_topk,
@@ -54,3 +55,44 @@ def test_embedding_neardup_pairs(spark):
     for a, b in pairs:
         cos = vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
         assert cos >= 0.99
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """n_probe = n_centroids degrades to exact brute force."""
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    exact = cosine_topk(q, e, k=5).orderBy("query_id", "rank").collect()
+    ivf = (
+        cosine_topk_ivf(q, e, dim=64, k=5, n_centroids=4, n_probe=4)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r["query_id"], r["neighbor_id"]) for r in exact] == [
+        (r["query_id"], r["neighbor_id"]) for r in ivf
+    ]
+
+
+def test_ivf_partial_probe_recall(spark):
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, e, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivf(q, e, dim=64, k=5, n_centroids=8, n_probe=3).collect()
+    }
+    # partial probe: meaningful overlap with the exact answer, full row count
+    assert len(approx) == len(exact)
+    assert len(exact & approx) / len(exact) >= 0.3
