@@ -389,6 +389,31 @@ FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
 """
 
 
+def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same point-in-time semantics as ``asof_join`` but through the
+    salted, range-partitioned Arrow merge_asof (north_star centerpiece);
+    the oracle is the plain ASOF JOIN — salting must be invisible."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("vvalue"))
+        .withColumn("vts", F.col("ts"))
+    )
+    j = asof_ops.asof_join_salted(
+        clicks, views, on="ts", by="user_id", right_cols=["vvalue", "vts"],
+        chunk_seconds=43200.0,
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        _ts_sec("ts").alias("ts_sec"),
+        F.round("vvalue_asof", 6).alias("view_value"),
+        F.round(_sec("vts_asof"), 6).alias("view_ts_sec"),
+    )
+
+
 def q_resample_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniform-grid nearest resample, ratio 2 (downsample) — J5 with the
     reference's jitter pinned to 0 (``sampling_data.py:29-42``)."""
@@ -1436,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_fill": q_forward_fill,
         "interp_fill": q_interp_fill,
         "asof_join": q_asof_join,
+        "asof_salted": q_asof_salted,
         "resample_nearest": q_resample_nearest,
         "resample_linear": q_resample_linear,
         "multi_align": q_multi_align,
@@ -1486,6 +1512,7 @@ def oracle_sql() -> dict[str, str]:
         "forward_fill": _SQL_FFILL,
         "interp_fill": _SQL_INTERP,
         "asof_join": _SQL_ASOF,
+        "asof_salted": _SQL_ASOF,
         "resample_nearest": _SQL_RESAMPLE_NEAREST,
         "resample_linear": _SQL_RESAMPLE_LINEAR,
         "multi_align": _SQL_MULTI_ALIGN,

@@ -168,6 +168,149 @@ def asof_join_cogroup(
     )
 
 
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "conv_id",
+    right_cols: Iterable[str] | None = None,
+    suffix: str = "_asof",
+    chunk_seconds: float = 3600.0,
+) -> DataFrame:
+    """Salted, range-partitioned Arrow sorted-merge as-of join.
+
+    The north_star centerpiece verbatim: "an as-of/point-in-time join
+    implemented as a sorted-merge within salted, range-partitioned
+    (conv_id, ts) partitions via Arrow-batched pandas UDFs". A plain
+    cogroup (``asof_join_cogroup``) puts one whole entity in one task —
+    a mega-conversation starves it. Here each entity is salted into
+    time-range chunks of ``chunk_seconds`` and the merge runs per
+    (entity, chunk):
+
+    1. both sides get ``_chunk = floor(ts / chunk_seconds)``;
+    2. right-side per-(entity, chunk) LAST row is reduced to a tiny
+       summary; a window over chunks forward-fills "latest right state at
+       each chunk start" (two-phase partial/final hand-off);
+    3. that carry row is injected into the next chunk's right group, so a
+       chunk-local ``pd.merge_asof`` sees the true predecessor across the
+       salt boundary — results are exactly the unsalted join (tests pin
+       frame-for-frame equality);
+    4. cogrouped ``applyInPandas`` on (entity, chunk) does the merge.
+
+    Zero temporal leakage is preserved: carry rows only ever move state
+    FORWARD in time (a chunk receives the latest right row with
+    ``ts < chunk_start``), never backward.
+    """
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != by and c != on]
+    right_cols = list(right_cols)
+
+    # fresh attribute ids for the right side: callers routinely derive both
+    # sides from ONE table (two filters of the same events scan), and
+    # shared expression ids make every internal self-join/cogroup ambiguous
+    right = right.select(*[F.col(c).alias(c) for c in right.columns])
+
+    sec = F.col(on).cast("timestamp").cast("double")
+    chunk = F.floor(sec / F.lit(chunk_seconds)).cast("long")
+    lt = left.withColumn("_chunk", chunk)
+    rt = right.select(by, on, *right_cols).withColumn("_chunk", chunk)
+
+    # 2) per-(entity, chunk) last right row -> forward-filled carry table
+    w_rank = Window.partitionBy(by, "_chunk").orderBy(F.col(on).desc())
+    last_in_chunk = (
+        rt.withColumn("_rn", F.row_number().over(w_rank))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # chunks that exist on the LEFT need a carry even when the right side
+    # has no rows in the previous chunk: build the chunk spine from both
+    left_chunks = lt.select(by, "_chunk").distinct()
+    right_chunks = rt.select(by, "_chunk").distinct()
+    # renamed spine keys: left/right often share lineage (two filters of
+    # one table), and a same-attribute join would be ambiguous
+    spine = (
+        left_chunks.unionByName(right_chunks)
+        .distinct()
+        .select(F.col(by).alias("_sp_by"), F.col("_chunk").alias("_sp_chunk"))
+    )
+    lic = last_in_chunk.select(
+        F.col(by).alias("_lc_by"),
+        F.col("_chunk").alias("_lc_chunk"),
+        *[F.col(c).alias(f"_lc_{c}") for c in [on] + right_cols],
+    )
+    carry_src = spine.join(
+        lic,
+        (F.col("_sp_by") == F.col("_lc_by"))
+        & (F.col("_sp_chunk") == F.col("_lc_chunk")),
+        "left",
+    ).select(
+        F.col("_sp_by").alias(by),
+        F.col("_sp_chunk").alias("_chunk"),
+        *[F.col(f"_lc_{c}").alias(c) for c in [on] + right_cols],
+    )
+    w_ff = (
+        Window.partitionBy(by)
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry_cols = [on] + right_cols
+    carry = carry_src.select(
+        by,
+        "_chunk",
+        *[
+            F.last(c, ignorenulls=True).over(w_ff).alias(f"_carry_{c}")
+            for c in carry_cols
+        ],
+    ).where(F.col(f"_carry_{on}").isNotNull())
+
+    # 3) inject carry rows into the right side of their chunk
+    carry_rows = carry.select(
+        by,
+        "_chunk",
+        F.col(f"_carry_{on}").alias(on),
+        *[F.col(f"_carry_{c}").alias(c) for c in right_cols],
+    )
+    rt_aug = rt.unionByName(carry_rows)
+
+    left_fields = lt.schema.fields
+    out_schema_parts = [
+        f"`{f.name}` {f.dataType.simpleString()}" for f in left_fields if f.name != "_chunk"
+    ]
+    for c in right_cols:
+        out_schema_parts.append(f"`{c}{suffix}` {right.schema[c].dataType.simpleString()}")
+    out_schema = ", ".join(out_schema_parts)
+    left_names = [f.name for f in left_fields if f.name != "_chunk"]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(on, kind="mergesort")
+        if rpdf.empty:
+            for c in right_cols:
+                lpdf[f"{c}{suffix}"] = None
+            return lpdf[left_names + [f"{c}{suffix}" for c in right_cols]]
+        rpdf = (
+            rpdf.sort_values(on, kind="mergesort")
+            .drop_duplicates(subset=[on], keep="last")
+        )
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf[[on] + right_cols].rename(
+                columns={c: f"{c}{suffix}" for c in right_cols}
+            ),
+            on=on,
+            direction="backward",
+        )
+        merged.index = lpdf.index
+        for c in right_cols:
+            lpdf[f"{c}{suffix}"] = merged[f"{c}{suffix}"]
+        return lpdf[left_names + [f"{c}{suffix}" for c in right_cols]]
+
+    return (
+        lt.groupBy(by, "_chunk")
+        .cogroup(rt_aug.groupBy(by, "_chunk"))
+        .applyInPandas(lambda li, ri: merge(li, ri), schema=out_schema)
+    )
+
+
 def resample_grid(
     source: DataFrame,
     src_rate: float,

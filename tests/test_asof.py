@@ -209,3 +209,71 @@ def test_align_sources_tolerance_rejects(spark):
         mode="first", error_time_length=60.0,
     ).toPandas()
     assert set(out["conv_id"]) == {"a"}  # b's spans differ by ~10h > 60s
+
+
+def test_salted_asof_equals_unsalted(spark):
+    """The salted, range-partitioned Arrow merge_asof (north_star
+    centerpiece) must be frame-for-frame identical to the plain as-of
+    join — carry rows hand the true predecessor across every salt
+    boundary. Small chunk_seconds forces many chunks per entity."""
+    from acoustic_feature_extractor_spark.operators.asof import asof_join_salted
+
+    l, r, lpdf, rpdf = _two_sides(spark, n_left=80, n_right=50, seed=7)
+    plain = (
+        asof_join(l, r, right_cols=["state"])
+        .orderBy("conv_id", "ts")
+        .toPandas()
+    )
+    for chunk_seconds in (500.0, 7_000.0, 1e9):  # many chunks .. one chunk
+        salted = (
+            asof_join_salted(l, r, right_cols=["state"], chunk_seconds=chunk_seconds)
+            .orderBy("conv_id", "ts")
+            .toPandas()
+        )
+        np.testing.assert_allclose(
+            salted["state_asof"].to_numpy(dtype=float),
+            plain["state_asof"].to_numpy(dtype=float),
+            equal_nan=True,
+        )
+
+
+def test_salted_asof_mega_entity(spark):
+    """A mega-entity spread over many chunks still matches the oracle."""
+    from acoustic_feature_extractor_spark.operators.asof import asof_join_salted
+
+    rng = np.random.RandomState(11)
+    base = pd.Timestamp("2024-01-01")
+    n = 3000
+    lts = np.sort(rng.choice(1_000_000, n, replace=False))
+    rts = np.sort(rng.choice(1_000_000, n // 3, replace=False))
+    lpdf = pd.DataFrame(
+        {"conv_id": "mega", "ts": [base + pd.Timedelta(seconds=int(t)) for t in lts]}
+    )
+    rpdf = pd.DataFrame(
+        {
+            "conv_id": "mega",
+            "ts": [base + pd.Timedelta(seconds=int(t)) for t in rts],
+            "state": rng.rand(len(rts)) * 100,
+        }
+    )
+    got = (
+        asof_join_salted(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            right_cols=["state"],
+            chunk_seconds=10_000.0,  # ~100 chunks
+        )
+        .orderBy("ts")
+        .toPandas()
+    )
+    exp = pd.merge_asof(
+        lpdf.sort_values("ts"),
+        rpdf[["ts", "state"]].rename(columns={"state": "state_asof"}),
+        on="ts",
+        direction="backward",
+    )
+    np.testing.assert_allclose(
+        got["state_asof"].to_numpy(dtype=float),
+        exp["state_asof"].to_numpy(dtype=float),
+        equal_nan=True,
+    )
