@@ -64,9 +64,13 @@ def turn_features(
             / F.lit(float(frozen_stats["stddev"])),
         )
         return d
-    st = corpus_stats(d, "text_len").select(
-        F.col("mean").alias("_gm"), F.col("stddev").alias("_gs")
-    )
+    # stats read the RAW input, not the windowed frame: text_len depends
+    # only on text, and aggregating over `d` would re-execute the whole
+    # window lineage (a second conv_id exchange) in the stats branch
+    st = corpus_stats(
+        transcripts.withColumn("text_len", F.length("text").cast("double")),
+        "text_len",
+    ).select(F.col("mean").alias("_gm"), F.col("stddev").alias("_gs"))
     d = d.crossJoin(F.broadcast(st)).withColumn(
         "text_len_z", (F.col("text_len") - F.col("_gm")) / F.col("_gs")
     ).drop("_gm", "_gs")
