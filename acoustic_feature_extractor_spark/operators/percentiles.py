@@ -105,8 +105,16 @@ def weighted_percentile(
     d = d.withColumn("_lcw", F.sum("_w").over(w_local_cum)).withColumn(
         "_lrn", F.row_number().over(w_local)
     )
-    # tiny per-(group, partition) summary -> exclusive prefix offsets
-    psum = d.groupBy(*gcols, "_pid").agg(F.sum("_w").alias("_pw"))
+    # tiny per-(group, partition) summary -> exclusive prefix offsets.
+    # It also carries each chunk's value extrema and edge weights so the
+    # group-level clamps come from THIS summary — no second full-data pass.
+    psum = d.groupBy(*gcols, "_pid").agg(
+        F.sum("_w").alias("_pw"),
+        F.min("_v").alias("_pminv"),
+        F.max("_v").alias("_pmaxv"),
+        F.min_by("_w", "_v").alias("_fw"),
+        F.max_by("_w", "_v").alias("_lw"),
+    )
     w_off = Window.partitionBy(*gcols).orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -140,12 +148,16 @@ def weighted_percentile(
     d = d.withColumn(
         "_next_mid", F.coalesce(F.col("_next_mid_l"), F.col("_nf_mid"))
     ).withColumn("_next_v", F.coalesce(F.col("_next_v_l"), F.col("_nf_v")))
-    # group extrema for edge clamps (plain two-phase aggregate, broadcast back)
-    minmax = d.groupBy(*gcols).agg(
-        F.min("_v").alias("_min_v"),
-        F.max("_v").alias("_max_v"),
-        F.min("_mid").alias("_min_mid"),
-        F.max("_mid").alias("_max_mid"),
+    # group extrema for edge clamps, derived from the tiny summary:
+    # min_mid = mid of the globally-first row = (w_first/2)/total,
+    # max_mid = (total - w_last/2)/total — no second pass over the data
+    minmax = psum.groupBy(*gcols).agg(
+        F.min("_pminv").alias("_min_v"),
+        F.max("_pmaxv").alias("_max_v"),
+        (F.min_by("_fw", "_pid") / 2 / F.sum("_pw")).alias("_min_mid"),
+        ((F.sum("_pw") - F.max_by("_lw", "_pid") / 2) / F.sum("_pw")).alias(
+            "_max_mid"
+        ),
     )
     d = (
         d.join(F.broadcast(minmax), gcols)
