@@ -90,7 +90,11 @@ def weighted_percentile(
         d = d.withColumn("_pid", F.lit(0))
     else:
         fractions = [i / n_part for i in range(1, n_part)]
-        bounds = sorted(set(d.stat.approxQuantile("_v", fractions, 0.001)))
+        bounds = (
+            sorted(set(d.stat.approxQuantile("_v", fractions, 0.001)))
+            if fractions
+            else []
+        )
         barr = F.array(*[F.lit(float(b)) for b in bounds])
         d = d.withColumn(
             "_pid",

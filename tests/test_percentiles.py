@@ -91,3 +91,26 @@ def test_iterative_range_refine_converges(spark):
     lo, hi = iterative_range_refine(df, "v", "w", n_rounds=2, q_lo=0.05, q_hi=0.95)
     assert lo < np.median(v) < hi
     assert lo > v.min() * 0.3 and hi < v.max() * 3
+
+
+def test_weighted_percentile_partition_invariance(spark):
+    """Result must be identical for any chunk count (1, 3, 64) — the
+    two-phase machinery may never leak into the answer."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(5)
+    v = np.unique(rng.randn(500) * 50)
+    w = rng.rand(len(v)) * 10 + 0.1
+    df = spark.createDataFrame(pd.DataFrame({"v": v, "w": w}))
+    order = np.argsort(v)
+    sv, sw = v[order], w[order]
+    mids = (np.cumsum(sw) - sw / 2) / sw.sum()
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    expected = np.interp(qs, mids, sv)
+    for n_part in (1, 3, 64):
+        got = {
+            r["q"]: r["value"]
+            for r in weighted_percentile(df, "v", "w", qs, num_partitions=n_part).collect()
+        }
+        np.testing.assert_allclose([got[q] for q in qs], expected, rtol=1e-9)
