@@ -1053,7 +1053,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactness at full probe + recall at partial probe tested in pytest."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    r = sim_ops.cosine_topk_ivf(q, e, dim=64, k=5, n_centroids=8, n_probe=2)
+    r = sim_ops.cosine_topk_ivf(q, e, k=5, n_centroids=8, n_probe=2)
     return r.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -1110,17 +1110,19 @@ def q_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``props`` JSON string; malformed rows surface as nulls (the validation
     query), valid rows get the typed value."""
     d = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k_str = F.get_json_object("props", "$.k")
     return d.select(
         "event_id",
-        k.alias("k"),
-        k.isNotNull().alias("valid"),
+        # try-cast on both sides: a non-integer k yields NULL, not an error
+        k_str.cast("long").alias("k"),
+        # valid = field PRESENT (string extract non-null) on both sides
+        k_str.isNotNull().alias("valid"),
     )
 
 
 _SQL_PROPS_PARSE = """
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        json_extract_string(props, '$.k') IS NOT NULL AS valid
 FROM events
 """

@@ -62,22 +62,33 @@ def asof_join(
     right_cols = list(right_cols)
 
     left_cols = left.columns
-    # Tag and union. Left keeps its payload; right contributes only the
-    # as-of payload (renamed to avoid collisions).
-    lt = left.withColumn("_side", F.lit(1))
-    for c in right_cols:
-        lt = lt.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
-    lt = lt.withColumn("_r_ts", F.lit(None).cast(right.schema[on].dataType))
-    rt = right.select(
+    # Tag and union. Left keeps its payload; the right side contributes
+    # ONE struct packing its whole payload row — as-of semantics are
+    # "latest right ROW", so the fill must move rows, not columns:
+    # per-column last(ignorenulls) would skip a legitimately-null payload
+    # value and stitch together fields from different right rows.
+    row_struct = F.struct(
+        F.col(on).alias("_rts"), *[F.col(c).alias(c) for c in right_cols]
+    )
+    lt = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r_row",
+        F.lit(None).cast(
+            f"struct<_rts:{right.schema[on].dataType.simpleString()},"
+            + ",".join(
+                f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols
+            )
+            + ">"
+        ),
+    )
+    rt = right.where(F.col(on).isNotNull()).select(
         *by_cols,
         F.col(on),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in by_cols and c != on],
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-        F.col(on).alias("_r_ts"),
+        row_struct.alias("_r_row"),
     )
-    u = lt.select(*left_cols, "_side", *[f"_r_{c}" for c in right_cols], "_r_ts").unionByName(
-        rt.select(*left_cols, "_side", *[f"_r_{c}" for c in right_cols], "_r_ts")
+    u = lt.select(*left_cols, "_side", "_r_row").unionByName(
+        rt.select(*left_cols, "_side", "_r_row")
     )
 
     # At equal ts the right row must be visible to the left row (<=), so
@@ -88,22 +99,21 @@ def asof_join(
         .orderBy(F.col(on).asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = u
-    for c in right_cols:
-        filled = filled.withColumn(f"_f_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
-    filled = filled.withColumn("_f_ts", F.last("_r_ts", ignorenulls=True).over(w))
+    filled = u.withColumn("_f_row", F.last("_r_row", ignorenulls=True).over(w))
 
     out = filled.where(F.col("_side") == 1)
     keep = (
-        (F.col(on).cast("timestamp").cast("double") - F.col("_f_ts").cast("timestamp").cast("double")) <= F.lit(tolerance_seconds)
+        (F.col(on).cast("timestamp").cast("double") - F.col("_f_row._rts").cast("timestamp").cast("double")) <= F.lit(tolerance_seconds)
         if tolerance_seconds is not None
         else F.lit(True)
     )
     for c in right_cols:
         out = out.withColumn(
-            f"{c}{suffix}", F.when(keep, F.col(f"_f_{c}")).otherwise(F.lit(None))
+            f"{c}{suffix}", F.when(keep, F.col(f"_f_row.{c}")).otherwise(F.lit(None))
         )
-    out = out.withColumn(f"{on}{suffix}", F.when(keep, F.col("_f_ts")).otherwise(F.lit(None)))
+    out = out.withColumn(
+        f"{on}{suffix}", F.when(keep, F.col("_f_row._rts")).otherwise(F.lit(None))
+    )
     return out.select(*left_cols, *[f"{c}{suffix}" for c in right_cols], f"{on}{suffix}")
 
 
@@ -213,7 +223,13 @@ def asof_join_salted(
     sec = F.col(on).cast("timestamp").cast("double")
     chunk = F.floor(sec / F.lit(chunk_seconds)).cast("long")
     lt = left.withColumn("_chunk", chunk)
-    rt = right.select(by, on, *right_cols).withColumn("_chunk", chunk)
+    # a null-ts right row can never be a backward match — drop before it
+    # can become a chunk's "last" row / carry
+    rt = (
+        right.select(by, on, *right_cols)
+        .where(F.col(on).isNotNull())
+        .withColumn("_chunk", chunk)
+    )
 
     # 2) per-(entity, chunk) last right row -> forward-filled carry table
     w_rank = Window.partitionBy(by, "_chunk").orderBy(F.col(on).desc())
@@ -233,10 +249,15 @@ def asof_join_salted(
         .distinct()
         .select(F.col(by).alias("_sp_by"), F.col("_chunk").alias("_sp_chunk"))
     )
+    # The carry is the last right ROW as one unit: forward-filling columns
+    # independently with ignorenulls would skip a legitimately-null payload
+    # and stitch together fields from DIFFERENT right rows — results would
+    # then depend on chunk_seconds for nullable payloads. Pack the row into
+    # a struct (null only for right-empty chunks) and fill the struct.
     lic = last_in_chunk.select(
         F.col(by).alias("_lc_by"),
         F.col("_chunk").alias("_lc_chunk"),
-        *[F.col(c).alias(f"_lc_{c}") for c in [on] + right_cols],
+        F.struct(*[F.col(c).alias(c) for c in [on] + right_cols]).alias("_lc_row"),
     )
     carry_src = spine.join(
         lic,
@@ -246,29 +267,25 @@ def asof_join_salted(
     ).select(
         F.col("_sp_by").alias(by),
         F.col("_sp_chunk").alias("_chunk"),
-        *[F.col(f"_lc_{c}").alias(c) for c in [on] + right_cols],
+        F.col("_lc_row"),
     )
     w_ff = (
         Window.partitionBy(by)
         .orderBy("_chunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carry_cols = [on] + right_cols
     carry = carry_src.select(
         by,
         "_chunk",
-        *[
-            F.last(c, ignorenulls=True).over(w_ff).alias(f"_carry_{c}")
-            for c in carry_cols
-        ],
-    ).where(F.col(f"_carry_{on}").isNotNull())
+        F.last("_lc_row", ignorenulls=True).over(w_ff).alias("_carry"),
+    ).where(F.col("_carry").isNotNull())
 
     # 3) inject carry rows into the right side of their chunk
     carry_rows = carry.select(
         by,
         "_chunk",
-        F.col(f"_carry_{on}").alias(on),
-        *[F.col(f"_carry_{c}").alias(c) for c in right_cols],
+        F.col(f"_carry.{on}").alias(on),
+        *[F.col(f"_carry.{c}").alias(c) for c in right_cols],
     )
     rt_aug = rt.unionByName(carry_rows)
 
@@ -282,27 +299,39 @@ def asof_join_salted(
     left_names = [f.name for f in left_fields if f.name != "_chunk"]
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        lpdf = lpdf.sort_values(on, kind="mergesort")
+        # null timestamps: merge_asof rejects null keys, but the pure-
+        # Catalyst asof_join tolerates them — match that: null-ts left rows
+        # pass through with null payloads, null-ts right rows are ignored
+        null_mask = lpdf[on].isna()
+        lnull = lpdf[null_mask]
+        lpdf = lpdf[~null_mask].sort_values(on, kind="mergesort")
+        rpdf = rpdf[rpdf[on].notna()]
+        out_cols = left_names + [f"{c}{suffix}" for c in right_cols]
         if rpdf.empty:
             for c in right_cols:
                 lpdf[f"{c}{suffix}"] = None
-            return lpdf[left_names + [f"{c}{suffix}" for c in right_cols]]
-        rpdf = (
-            rpdf.sort_values(on, kind="mergesort")
-            .drop_duplicates(subset=[on], keep="last")
-        )
-        merged = pd.merge_asof(
-            lpdf,
-            rpdf[[on] + right_cols].rename(
-                columns={c: f"{c}{suffix}" for c in right_cols}
-            ),
-            on=on,
-            direction="backward",
-        )
-        merged.index = lpdf.index
-        for c in right_cols:
-            lpdf[f"{c}{suffix}"] = merged[f"{c}{suffix}"]
-        return lpdf[left_names + [f"{c}{suffix}" for c in right_cols]]
+        else:
+            rpdf = (
+                rpdf.sort_values(on, kind="mergesort")
+                .drop_duplicates(subset=[on], keep="last")
+            )
+            merged = pd.merge_asof(
+                lpdf,
+                rpdf[[on] + right_cols].rename(
+                    columns={c: f"{c}{suffix}" for c in right_cols}
+                ),
+                on=on,
+                direction="backward",
+            )
+            merged.index = lpdf.index
+            for c in right_cols:
+                lpdf[f"{c}{suffix}"] = merged[f"{c}{suffix}"]
+        if len(lnull):
+            lnull = lnull.copy()
+            for c in right_cols:
+                lnull[f"{c}{suffix}"] = None
+            lpdf = pd.concat([lpdf, lnull])
+        return lpdf[out_cols]
 
     return (
         lt.groupBy(by, "_chunk")

@@ -168,28 +168,29 @@ def weighted_percentile(
         if gcols
         else d.crossJoin(F.broadcast(minmax))
     )
-    out = None
-    for q in qs:
-        ql = F.lit(float(q))
-        # bracketing segment: _mid <= q < _next_mid; plus edge clamps
-        seg = d.where(
-            ((F.col("_mid") <= ql) & (ql < F.coalesce(F.col("_next_mid"), F.lit(float("inf")))))
-            | ((ql < F.col("_min_mid")) & (F.col("_mid") == F.col("_min_mid")))
-            | ((ql >= F.col("_max_mid")) & (F.col("_mid") == F.col("_max_mid")))
-        )
-        interp = F.when(ql <= F.col("_min_mid"), F.col("_min_v")).when(
-            ql >= F.col("_max_mid"), F.col("_max_v")
-        ).otherwise(
-            F.col("_v")
-            + (F.col("_next_v") - F.col("_v"))
-            * (ql - F.col("_mid"))
-            / (F.col("_next_mid") - F.col("_mid"))
-        )
-        one = seg.select(
-            *gcols, F.lit(float(q)).alias("q"), interp.alias("value")
-        ).groupBy(*gcols, "q").agg(F.min("value").alias("value"))
-        out = one if out is None else out.unionByName(one)
-    return out
+    # ALL quantiles in ONE scan: explode the (tiny, literal) q list per
+    # row and keep each q's bracketing row — a per-q filter loop would
+    # rescan the fact table len(qs) times
+    ql = F.col("_q")
+    d = d.withColumn("_q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
+    seg = d.where(
+        ((F.col("_mid") <= ql) & (ql < F.coalesce(F.col("_next_mid"), F.lit(float("inf")))))
+        | ((ql < F.col("_min_mid")) & (F.col("_mid") == F.col("_min_mid")))
+        | ((ql >= F.col("_max_mid")) & (F.col("_mid") == F.col("_max_mid")))
+    )
+    interp = F.when(ql <= F.col("_min_mid"), F.col("_min_v")).when(
+        ql >= F.col("_max_mid"), F.col("_max_v")
+    ).otherwise(
+        F.col("_v")
+        + (F.col("_next_v") - F.col("_v"))
+        * (ql - F.col("_mid"))
+        / (F.col("_next_mid") - F.col("_mid"))
+    )
+    return (
+        seg.select(*gcols, ql.alias("q"), interp.alias("value"))
+        .groupBy(*gcols, "q")
+        .agg(F.min("value").alias("value"))
+    )
 
 
 def histogram_vote_filter(

@@ -146,7 +146,6 @@ def _nearest_centroid_cols(vec: Column, centroids: list[list[float]], n_probe: i
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
-    dim: int,
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 2,

@@ -16,8 +16,10 @@ JVM/codegen warmup is a fixed cost that amortizes at scale and would
 otherwise dominate these small-SF timings.
 
 Scaling-efficiency evidence (north_rule: N vs 4N): run
-``python tools/bench_scaling.py`` which invokes this file at
-SPARK_GRAFT_CPUS=8 and 32 and writes BENCH/BASELINE.md.
+``python tools/bench_scaling.py``, which times the flagship pipeline in
+its own JVM at local[4]/local[16]/local[32] on a 48M-turn input, runs
+this file once at SPARK_GRAFT_CPUS=32 for the per-query table, and
+writes BENCH/BASELINE.md.
 """
 
 from __future__ import annotations

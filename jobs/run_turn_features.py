@@ -74,6 +74,17 @@ def main(argv: list[str] | None = None) -> int:
     manifest_dir = os.path.join(args.output, "_manifest")
     done = completed_partitions(manifest_dir) if args.resume else set()
     prev = RunManifest.load(manifest_dir) if args.resume else None
+    if prev is not None:
+        # a resumed run MUST partition identically: mismatched buckets /
+        # gap / input would silently skip or mis-normalize conversations
+        for k in ("buckets", "gap_seconds", "input", "generate"):
+            old_v, new_v = (prev.args or {}).get(k), vars(args).get(k)
+            if old_v is not None and str(old_v) != str(new_v):
+                raise SystemExit(
+                    f"--resume argument mismatch: manifest has {k}={old_v}, "
+                    f"this run has {k}={new_v}; rerun with matching arguments "
+                    f"or a fresh --output"
+                )
 
     run_id = f"run-{int(time.time())}"
     manifest = RunManifest(run_id=run_id, args=vars(args))
@@ -105,8 +116,15 @@ def main(argv: list[str] | None = None) -> int:
         part = t.where(F.col("_bucket") == b).drop("_bucket")
         feats = turn_features(part, gap_seconds=args.gap_seconds, frozen_stats=stats)
         out_path = os.path.join(args.output, pid)
-        feats.write.mode("overwrite").parquet(out_path)
-        rows = spark.read.parquet(out_path).count()
+        # row count via Observation on the write itself — re-reading the
+        # fresh output would double the job's I/O at scale
+        from pyspark.sql import Observation
+
+        obs = Observation(f"rows_{pid}")
+        feats.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(out_path)
+        rows = int(obs.get["rows"])
         total_rows += rows
         manifest.record_partition(pid, rows=rows, seconds=round(time.perf_counter() - t0, 3))
         manifest.save(manifest_dir)  # checkpoint after every bucket

@@ -215,26 +215,73 @@ def test_salted_asof_equals_unsalted(spark):
     """The salted, range-partitioned Arrow merge_asof (north_star
     centerpiece) must be frame-for-frame identical to the plain as-of
     join — carry rows hand the true predecessor across every salt
-    boundary. Small chunk_seconds forces many chunks per entity."""
+    boundary. Small chunk_seconds forces many chunks per entity. The
+    right payload includes NULLS and the comparison also covers the
+    matched row's own timestamp, so a carry that skipped a null payload
+    or stitched fields from different right rows would be caught."""
+    import pyspark.sql.functions as F
     from acoustic_feature_extractor_spark.operators.asof import asof_join_salted
 
     l, r, lpdf, rpdf = _two_sides(spark, n_left=80, n_right=50, seed=7)
+    # null payloads on a deterministic subset + the matched ts as a column
+    r = r.withColumn(
+        "state", F.when(F.second("ts") % 5 != 0, F.col("state"))
+    ).withColumn("rts", F.col("ts").cast("double"))
     plain = (
-        asof_join(l, r, right_cols=["state"])
+        asof_join(l, r, right_cols=["state", "rts"])
         .orderBy("conv_id", "ts")
         .toPandas()
     )
     for chunk_seconds in (500.0, 7_000.0, 1e9):  # many chunks .. one chunk
         salted = (
-            asof_join_salted(l, r, right_cols=["state"], chunk_seconds=chunk_seconds)
+            asof_join_salted(
+                l, r, right_cols=["state", "rts"], chunk_seconds=chunk_seconds
+            )
             .orderBy("conv_id", "ts")
             .toPandas()
         )
-        np.testing.assert_allclose(
-            salted["state_asof"].to_numpy(dtype=float),
-            plain["state_asof"].to_numpy(dtype=float),
-            equal_nan=True,
+        for col in ("state_asof", "rts_asof"):
+            np.testing.assert_allclose(
+                salted[col].to_numpy(dtype=float),
+                plain[col].to_numpy(dtype=float),
+                equal_nan=True,
+                err_msg=f"chunk_seconds={chunk_seconds} col={col}",
+            )
+
+
+def test_salted_asof_null_timestamps(spark):
+    """Null-ts left rows pass through with null payloads (as in the pure
+    Catalyst asof_join); null-ts right rows are ignored."""
+    from acoustic_feature_extractor_spark.operators.asof import asof_join_salted
+
+    base = pd.Timestamp("2024-01-01")
+    lpdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "a"],
+            "ts": [base, pd.NaT, base + pd.Timedelta(seconds=100)],
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a"],
+            "ts": [base + pd.Timedelta(seconds=50), pd.NaT],
+            "state": [1.0, 99.0],
+        }
+    )
+    got = (
+        asof_join_salted(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            right_cols=["state"],
+            chunk_seconds=10.0,
         )
+        .toPandas()
+        .sort_values("ts", na_position="first")
+    )
+    vals = got["state_asof"].tolist()
+    assert np.isnan(vals[0])  # null-ts left row -> null payload
+    assert np.isnan(vals[1])  # ts=base precedes all right rows
+    assert vals[2] == 1.0  # never 99.0: null-ts right row is invisible
 
 
 def test_salted_asof_mega_entity(spark):

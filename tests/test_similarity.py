@@ -68,7 +68,7 @@ def test_ivf_full_probe_equals_bruteforce(spark):
     q = e.where(F.col("vec_id") < 5)
     exact = cosine_topk(q, e, k=5).orderBy("query_id", "rank").collect()
     ivf = (
-        cosine_topk_ivf(q, e, dim=64, k=5, n_centroids=4, n_probe=4)
+        cosine_topk_ivf(q, e, k=5, n_centroids=4, n_probe=4)
         .orderBy("query_id", "rank")
         .collect()
     )
@@ -91,7 +91,7 @@ def test_ivf_partial_probe_recall(spark):
     }
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in cosine_topk_ivf(q, e, dim=64, k=5, n_centroids=8, n_probe=3).collect()
+        for r in cosine_topk_ivf(q, e, k=5, n_centroids=8, n_probe=3).collect()
     }
     # partial probe: meaningful overlap with the exact answer, full row count
     assert len(approx) == len(exact)
