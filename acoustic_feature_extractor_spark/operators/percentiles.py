@@ -109,6 +109,10 @@ def weighted_percentile(
     d = d.withColumn("_lcw", F.sum("_w").over(w_local_cum)).withColumn(
         "_lrn", F.row_number().over(w_local)
     )
+    # the chunked cumsum feeds four branches (offsets, first-row stitch,
+    # extrema, the fact scan itself) — materialize it once rather than
+    # re-sorting the fact table per branch; evicted by Spark's LRU
+    d = d.persist()
     # tiny per-(group, partition) summary -> exclusive prefix offsets.
     # It also carries each chunk's value extrema and edge weights so the
     # group-level clamps come from THIS summary — no second full-data pass.
