@@ -38,6 +38,59 @@ def streaming_session_agg(
     )
 
 
+def streaming_state_fill(
+    stream: DataFrame,
+    value_col: str = "tool",
+    key: str = "conv_id",
+    ts: str = "ts",
+    timeout_seconds: int = 0,
+):
+    """Custom stateful operator via ``applyInPandasWithState``: streaming
+    forward-fill of the latest non-null ``value_col`` per entity — the
+    streaming twin of the batch ``operators/fill.forward_fill`` (and the
+    as-of state fill of the flagship pipeline).
+
+    Per micro-batch, each entity's rows are sorted by ``ts``, filled from
+    the carried GroupState, and the last non-null value is written back to
+    state — exactly the salted-window carry hand-off, with GroupState as
+    the cross-batch carrier. Arrow-batched; no per-row Python.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key} string, {ts} timestamp, {value_col} string, filled string"
+    state_schema = "last string"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts, kind="mergesort")
+            s = pdf[value_col].ffill()
+            if last is not None:
+                s = s.fillna(last)
+            if len(s) and not pd.isna(s.iloc[-1]):
+                last = s.iloc[-1]
+            pdf = pdf[[key, ts, value_col]].copy()
+            pdf["filled"] = s
+            frames.append(pdf)
+        state.update((last,))
+        yield pd.concat(frames) if frames else pd.DataFrame(
+            columns=[key, ts, value_col, "filled"]
+        )
+
+    return (
+        stream.groupBy(key)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_turn_rate(
     stream: DataFrame,
     window: str = "5 minutes",

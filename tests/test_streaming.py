@@ -31,3 +31,49 @@ def test_streaming_session_agg(spark, transcripts):
             q.stop()
         assert len(rows) > 0
         assert all(r["n_turns"] >= 1 for r in rows)
+
+
+def test_streaming_state_fill_matches_batch(spark, transcripts):
+    """applyInPandasWithState forward-fill over TWO sequential file drops
+    must equal the batch forward_fill over the full table — GroupState is
+    the cross-micro-batch carrier."""
+    from acoustic_feature_extractor_spark.operators.fill import forward_fill
+    from acoustic_feature_extractor_spark.streaming.sessions import streaming_state_fill
+    import pyspark.sql.functions as F
+
+    t = transcripts.limit(1500).select("conv_id", "turn_idx", "ts", "tool").cache()
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        # two drops: early turns first, later turns second — state must
+        # carry the fill across the micro-batch boundary
+        t.where(F.col("turn_idx") < 5).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_state_fill(stream, value_col="tool")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("fill_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            t.where(F.col("turn_idx") >= 5).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            got = (
+                spark.sql("SELECT * FROM fill_out")
+                .orderBy("conv_id", "ts")
+                .toPandas()
+            )
+        finally:
+            q.stop()
+    exp = (
+        forward_fill(t, "tool", out_col="filled")
+        .orderBy("conv_id", "ts")
+        .select("conv_id", "ts", "tool", "filled")
+        .toPandas()
+    )
+    assert len(got) == len(exp)
+    assert (
+        got["filled"].fillna("∅").to_numpy() == exp["filled"].fillna("∅").to_numpy()
+    ).all()
