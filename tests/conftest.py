@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from acoustic_feature_extractor_spark.session import get_spark
@@ -7,7 +9,13 @@ from acoustic_feature_extractor_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="afe_spark_tests", cores=8, shuffle_partitions=8)
+    # AFE_TEST_SHUFFLE_PARTITIONS: robustness sweeps run the suite at
+    # odd partition counts to flush partition-layout assumptions
+    s = get_spark(
+        app_name="afe_spark_tests",
+        cores=8,
+        shuffle_partitions=int(os.environ.get("AFE_TEST_SHUFFLE_PARTITIONS", "8")),
+    )
     yield s
 
 
