@@ -18,21 +18,50 @@ def stratified_entity_sample(
     df: DataFrame,
     max_entities: int,
     key: str = "conv_id",
+    num_chunks: int | None = None,
 ) -> DataFrame:
-    """Keep ≤ max_entities keys, evenly spaced over the sorted key space."""
+    """Keep ≤ max_entities keys, evenly spaced over the sorted key space.
+
+    The global rank is computed WITHOUT a single-partition window (the
+    10^10-entity anti-pattern): keys chunk on driver-collected literal
+    boundary keys (a deterministic function of the key, stable across
+    plan re-execution), rank locally per chunk, and add tiny broadcast
+    chunk-count offsets — the same two-phase shape as the distributed
+    weighted percentile.
+    """
     keys = df.select(key).distinct()
     n = keys.count()
     if n <= max_entities:
         return df
-    step = n / float(max_entities)
-    w = Window.orderBy(key)
-    picked = (
-        keys.withColumn("_rk", F.row_number().over(w) - 1)
-        # linspace pick: floor(i*step) for i in 0..max-1  ⇔ keep ranks where
-        # floor(rank/step) advances — identical spacing, no driver loop
-        .where(F.floor(F.col("_rk") / step) != F.floor((F.col("_rk") - 1) / step))
-        .select(key)
+    spark = df.sparkSession
+    n_chunks = num_chunks or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # boundary keys: deterministic hash-strided sample, any spacing works
+    stride = max(2, n // n_chunks)
+    bounds = sorted(
+        r[key]
+        for r in keys.where(F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(stride)) == 0)
+        .limit(n_chunks - 1)
+        .collect()
     )
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.aggregate(
+            barr, F.lit(0), lambda acc, b: acc + F.when(F.col(key) >= b, 1).otherwise(0)
+        )
+    else:
+        pid = F.lit(0)
+    k = keys.withColumn("_pid", pid)
+    w_local = Window.partitionBy("_pid").orderBy(key)
+    k = k.withColumn("_lrk", F.row_number().over(w_local) - 1)
+    counts = k.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+    k = k.join(F.broadcast(offsets.select("_pid", "_off")), "_pid")
+    step = n / float(max_entities)
+    rk = (F.col("_lrk") + F.col("_off")).cast("double")
+    # linspace pick: floor(i*step) for i in 0..max-1  ⇔ keep ranks where
+    # floor(rank/step) advances — identical spacing, no driver loop
+    picked = k.where(F.floor(rk / step) != F.floor((rk - 1) / step)).select(key)
     return df.join(F.broadcast(picked), key, "left_semi")
 
 
