@@ -1,0 +1,50 @@
+"""Golden-snapshot test — the reference's syrupy strategy (SURVEY §5.1):
+run the whole flagship pipeline on a deterministic synthetic input,
+round floats, compare to a committed snapshot. Guards against silent
+semantic drift that per-operator oracles can miss (e.g. a changed
+default). Refresh with:
+
+    AFE_UPDATE_SNAPSHOTS=1 python -m pytest tests/test_golden.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SNAP = os.path.join(REPO, "tests", "__snapshots__", "flagship_20convs.json")
+
+
+def _canon(df) -> list[dict]:
+    rows = df.orderBy("conv_id", "turn_idx").collect()
+    out = []
+    for r in rows:
+        d = {}
+        for k, v in r.asDict().items():
+            if isinstance(v, float):
+                d[k] = round(v, 3)
+            elif hasattr(v, "isoformat"):
+                d[k] = v.isoformat()
+            else:
+                d[k] = v
+        out.append(d)
+    return out
+
+
+def test_flagship_golden_snapshot(spark):
+    from acoustic_feature_extractor_spark.datagen import generate_transcripts
+    from acoustic_feature_extractor_spark.plans.pipeline import turn_features
+
+    got = _canon(turn_features(generate_transcripts(spark, n_convs=20)))
+    if os.environ.get("AFE_UPDATE_SNAPSHOTS") or not os.path.exists(SNAP):
+        os.makedirs(os.path.dirname(SNAP), exist_ok=True)
+        with open(SNAP, "w") as f:
+            json.dump(got, f, indent=1, sort_keys=True)
+        if os.environ.get("AFE_UPDATE_SNAPSHOTS"):
+            return
+    with open(SNAP) as f:
+        expected = json.load(f)
+    assert len(got) == len(expected)
+    for i, (g, e) in enumerate(zip(got, expected)):
+        assert g == e, f"row {i} drifted:\n got={g}\n exp={e}"
