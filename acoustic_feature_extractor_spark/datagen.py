@@ -148,8 +148,11 @@ def generate_spans(
 ) -> DataFrame:
     """spans(conv_id, span_id, label, start_ts, end_ts) — interval table.
 
-    Contiguous, non-overlapping, first span starts at the conversation's
-    first ts (reference interval invariants, ``phoneme.py:32-34,69-74``).
+    Ordered and non-overlapping; each span covers its turns' [min ts,
+    max ts], so consecutive spans have inter-turn GAPS between end and
+    next start (unlike the reference's strictly-contiguous phoneme
+    intervals, ``phoneme.py:69-74`` — the contiguity invariant is
+    verified on span ORDER, not shared edges; see tests).
     Labels from a closed vocabulary including the designated 'idle' label
     (space-phoneme analog).
     """

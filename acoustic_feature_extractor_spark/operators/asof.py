@@ -364,15 +364,14 @@ def resample_grid(
     value_cols = list(value_cols)
     ratio = float(src_rate) / float(dst_rate)
     n_src = source.groupBy(key).agg(F.max(index_col).alias("_max_idx"))
-    # scale_length semantics: len_dst = floor(len_src * dst_rate / src_rate)
-    grid = n_src.select(
-        key,
-        F.explode(
-            F.sequence(
-                F.lit(0),
-                F.floor((F.col("_max_idx") + 1) / F.lit(ratio)).cast("long") - 1,
-            )
-        ).alias(index_col),
+    # scale_length semantics: len_dst = floor(len_src * dst_rate / src_rate).
+    # Entities shorter than the ratio have len_dst = 0 and must emit ZERO
+    # rows — F.sequence(0, -1) yields the DESCENDING [0, -1], so the end
+    # index is guarded and empty grids are filtered before the explode.
+    end_idx = F.floor((F.col("_max_idx") + 1) / F.lit(ratio)).cast("long") - 1
+    grid = (
+        n_src.where(end_idx >= 0)
+        .select(key, F.explode(F.sequence(F.lit(0), end_idx)).alias(index_col))
     )
     pos = F.col(index_col) * F.lit(ratio)
     if kind == "nearest":

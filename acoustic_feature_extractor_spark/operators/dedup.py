@@ -7,8 +7,9 @@ equi-joins on shingle/band/bucket keys (never an O(n²) cross join), exact
 verification only on candidate pairs.
 
 Scale notes:
-- exact dedup groups on ``xxhash64(text)`` (8 bytes) not the text itself —
-  the shuffle carries hashes, payload joins back after the winner is known.
+- exact dedup groups on ``(md5(text), length)`` (collision-safe at 10^9+
+  docs) not the text itself — the shuffle carries hashes, payload joins
+  back after the winner is known.
 - shingle joins explode ~L shingles/doc; the join key is the shingle hash
   (long). Hot shingles (stop-phrases) are capped via a document-frequency
   filter — the classic LSH "ban frequent shingles" move — bounding join
@@ -45,11 +46,20 @@ def word_shingles(tokens: Column, w: int = 3) -> Column:
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the min-id representative of each exact-duplicate group."""
-    h = F.xxhash64(F.col(text_col)).alias("_h")
+    """Keep the min-id representative of each exact-duplicate group.
+
+    Group key = (md5, length) — 128+ bits. A 64-bit key alone is not
+    collision-safe at the 10^9-document scale (birthday bound ≈ 50% at
+    4·10^9 keys) and a collision would silently DELETE a distinct
+    document; 128-bit collisions are ~2^-64 even at that scale.
+    """
     winners = (
-        df.select(h, F.col(id_col))
-        .groupBy("_h")
+        df.select(
+            F.md5(F.col(text_col)).alias("_h"),
+            F.length(text_col).alias("_hl"),
+            F.col(id_col),
+        )
+        .groupBy("_h", "_hl")
         .agg(F.min(id_col).alias(id_col))
     )
     return df.join(winners.select(id_col), id_col, "left_semi")

@@ -86,6 +86,7 @@ def mask_from_spans(
             "left_semi",
         )
         .select(key, ts)
+        .distinct()  # duplicate (key, ts) frames must not multiply on join-back
         .withColumn("_cov", F.lit(True))
     )
     return frames.join(covered, [key, ts], "left").withColumn(

@@ -119,7 +119,9 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     keep every n-th — the distributed part of frame sampling; the per-frame
     decode is the stubbed kernel above."""
     return (
-        df.where(F.col("meta.n_frames").isNotNull())
+        # n_frames > 0, not just non-null: sequence(0, -1) would yield the
+        # descending [0, -1] and emit a plan row for a nonexistent frame
+        df.where(F.col("meta.n_frames") > 0)
         .select(
             "media_id",
             F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1)).alias("frame_idx"),

@@ -113,29 +113,32 @@ def weighted_percentile(
     # extrema, the fact scan itself) — materialize it once rather than
     # re-sorting the fact table per branch; evicted by Spark's LRU
     d = d.persist()
-    # tiny per-(group, partition) summary -> exclusive prefix offsets.
-    # It also carries each chunk's value extrema and edge weights so the
-    # group-level clamps come from THIS summary — no second full-data pass.
+    # tiny per-(group, partition) summary -> exclusive prefix offsets
     psum = d.groupBy(*gcols, "_pid").agg(
         F.sum("_w").alias("_pw"),
-        F.min("_v").alias("_pminv"),
-        F.max("_v").alias("_pmaxv"),
-        F.min_by("_w", "_v").alias("_fw"),
-        F.max_by("_w", "_v").alias("_lw"),
+        F.count("*").alias("_pc"),
     )
     w_off = Window.partitionBy(*gcols).orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    psum = psum.withColumn("_off", F.coalesce(F.sum("_pw").over(w_off), F.lit(0.0)))
-    totals = psum.groupBy(*gcols).agg(F.sum("_pw").alias("_total"))
-    d = d.join(F.broadcast(psum.select(*gcols, "_pid", "_off")), gcols + ["_pid"])
+    psum = psum.withColumn(
+        "_off", F.coalesce(F.sum("_pw").over(w_off), F.lit(0.0))
+    ).withColumn("_roff", F.coalesce(F.sum("_pc").over(w_off), F.lit(0)))
+    totals = psum.groupBy(*gcols).agg(
+        F.sum("_pw").alias("_total"), F.sum("_pc").alias("_ntot")
+    )
+    d = d.join(
+        F.broadcast(psum.select(*gcols, "_pid", "_off", "_roff")), gcols + ["_pid"]
+    )
     d = (
         d.join(F.broadcast(totals), gcols)
         if gcols
         else d.crossJoin(F.broadcast(totals))
     )
-    d = d.withColumn("_cw", F.col("_lcw") + F.col("_off")).withColumn(
-        "_mid", (F.col("_cw") - F.col("_w") / 2) / F.col("_total")
+    d = (
+        d.withColumn("_cw", F.col("_lcw") + F.col("_off"))
+        .withColumn("_mid", (F.col("_cw") - F.col("_w") / 2) / F.col("_total"))
+        .withColumn("_grn", F.col("_lrn") + F.col("_roff"))  # global rank
     )
     # bracketing lead: partition-local, stitched across partition edges
     # with each partition's first (mid, v) (one row per partition)
@@ -156,39 +159,30 @@ def weighted_percentile(
     d = d.withColumn(
         "_next_mid", F.coalesce(F.col("_next_mid_l"), F.col("_nf_mid"))
     ).withColumn("_next_v", F.coalesce(F.col("_next_v_l"), F.col("_nf_v")))
-    # group extrema for edge clamps, derived from the tiny summary:
-    # min_mid = mid of the globally-first row = (w_first/2)/total,
-    # max_mid = (total - w_last/2)/total — no second pass over the data
-    minmax = psum.groupBy(*gcols).agg(
-        F.min("_pminv").alias("_min_v"),
-        F.max("_pmaxv").alias("_max_v"),
-        (F.min_by("_fw", "_pid") / 2 / F.sum("_pw")).alias("_min_mid"),
-        ((F.sum("_pw") - F.max_by("_lw", "_pid") / 2) / F.sum("_pw")).alias(
-            "_max_mid"
-        ),
-    )
-    d = (
-        d.join(F.broadcast(minmax), gcols)
-        if gcols
-        else d.crossJoin(F.broadcast(minmax))
-    )
     # ALL quantiles in ONE scan: explode the (tiny, literal) q list per
     # row and keep each q's bracketing row — a per-q filter loop would
-    # rescan the fact table len(qs) times
+    # rescan the fact table len(qs) times.
+    # Edge clamps use the first/last ROW itself (global rank 1 / _ntot),
+    # never a float-equality match against independently-aggregated
+    # extrema — two float sums over different orders can differ by ulps,
+    # and a failed equality would silently drop the quantile. The first
+    # row's _v IS the min value and the last row's _v IS the max, so no
+    # separate extrema pass is needed (numpy.interp edge semantics).
     ql = F.col("_q")
     d = d.withColumn("_q", F.explode(F.array(*[F.lit(float(q)) for q in qs])))
     seg = d.where(
         ((F.col("_mid") <= ql) & (ql < F.coalesce(F.col("_next_mid"), F.lit(float("inf")))))
-        | ((ql < F.col("_min_mid")) & (F.col("_mid") == F.col("_min_mid")))
-        | ((ql >= F.col("_max_mid")) & (F.col("_mid") == F.col("_max_mid")))
+        | ((ql < F.col("_mid")) & (F.col("_grn") == 1))
     )
-    interp = F.when(ql <= F.col("_min_mid"), F.col("_min_v")).when(
-        ql >= F.col("_max_mid"), F.col("_max_v")
-    ).otherwise(
-        F.col("_v")
-        + (F.col("_next_v") - F.col("_v"))
-        * (ql - F.col("_mid"))
-        / (F.col("_next_mid") - F.col("_mid"))
+    interp = (
+        F.when(ql < F.col("_mid"), F.col("_v"))        # below-range clamp
+        .when(F.col("_next_mid").isNull(), F.col("_v"))  # last row: clamp
+        .otherwise(
+            F.col("_v")
+            + (F.col("_next_v") - F.col("_v"))
+            * (ql - F.col("_mid"))
+            / (F.col("_next_mid") - F.col("_mid"))
+        )
     )
     return (
         seg.select(*gcols, ql.alias("q"), interp.alias("value"))
@@ -213,14 +207,26 @@ def histogram_vote_filter(
     broadcast join back — the fact table shuffles zero times.
     """
     gcols = group_cols or []
+    if log_space:
+        # log bins are only defined for positive values; non-positive rows
+        # are dropped up front (F.log would yield null and the null-skipping
+        # least() would silently dump them into the TOP bin)
+        df = df.where(F.col(value_col) > 0)
     v = F.log(F.col(value_col)) if log_space else F.col(value_col)
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     d = df.withColumn("_lv", v).withColumn("_w", w)
     rng = d.groupBy(*gcols).agg(F.min("_lv").alias("_lo"), F.max("_lv").alias("_hi"))
     d = d.join(F.broadcast(rng), gcols) if gcols else d.crossJoin(F.broadcast(rng))
-    bin_col = F.least(
-        F.lit(n_bins - 1),
-        F.floor((F.col("_lv") - F.col("_lo")) / ((F.col("_hi") - F.col("_lo")) / n_bins)).cast("int"),
+    # constant-valued group: every row in bin 0 (bare division by the zero
+    # width would abort under ANSI mode)
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+    bin_col = F.when(
+        F.col("_hi") == F.col("_lo"), F.lit(0)
+    ).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col("_lv") - F.col("_lo")) / width).cast("int"),
+        )
     )
     d = d.withColumn("_bin", bin_col)
     mass = d.groupBy(*gcols, "_bin").agg(F.sum("_w").alias("_m"))

@@ -31,7 +31,11 @@ def l2norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2norm(a) * l2norm(b))
+    """Cosine similarity; NULL for zero-norm vectors (a bare division
+    would abort the job under Spark 4's default ANSI mode — null instead
+    ranks the degenerate vector last / fails threshold filters)."""
+    denom = l2norm(a) * l2norm(b)
+    return F.when(denom != 0.0, dot(a, b) / denom)
 
 
 def cosine_topk(

@@ -57,14 +57,20 @@ def salted_rolling(
     """
     out_col = out_col or f"{value_col}_{agg}"
     margin = max(abs(lo), abs(hi))
+    # a carry row reaches only the ADJACENT chunk, so the chunk must cover
+    # the whole frame reach; and a row near BOTH edges (margin close to
+    # chunk_rows) must be carried BOTH ways — two independent when()s, not
+    # a first-match chain
+    assert chunk_rows >= margin, (
+        f"chunk_rows={chunk_rows} must be >= window margin={margin}"
+    )
     own = _chunk(order, chunk_rows)
     offset_in = F.col(order) % chunk_rows
-    extra = F.when((offset_in < margin) & (own > 0), own - 1).when(
-        offset_in >= chunk_rows - margin, own + 1
-    )
-    d = df.withColumn("_chunks", F.array_compact(F.array(own, extra))).select(
-        "*", F.explode("_chunks").alias("_chunk")
-    ).drop("_chunks")
+    prev_extra = F.when((offset_in < margin) & (own > 0), own - 1)
+    next_extra = F.when(offset_in >= chunk_rows - margin, own + 1)
+    d = df.withColumn(
+        "_chunks", F.array_compact(F.array(own, prev_extra, next_extra))
+    ).select("*", F.explode("_chunks").alias("_chunk")).drop("_chunks")
     w = (
         Window.partitionBy(key, "_chunk")
         .orderBy(order)

@@ -75,9 +75,14 @@ def normalize(
     import math
 
     tv = math.sqrt(target_var)
-    converted = (F.lit(tv) / F.col("_iv")) * (F.col(value_col) - F.col("_im")) + F.lit(
-        target_mean
-    )
+    # constant-valued group => stddev 0: every value IS the mean, so the
+    # normalized value is target_mean (a bare division would abort the job
+    # under Spark 4's default ANSI mode)
+    converted = F.when(
+        F.col("_iv") != 0.0,
+        (F.lit(tv) / F.col("_iv")) * (F.col(value_col) - F.col("_im"))
+        + F.lit(target_mean),
+    ).otherwise(F.lit(float(target_mean)))
     if valid_col:
         converted = F.when(F.col(valid_col), converted).otherwise(F.col(value_col))
     return j.withColumn(out_col, converted).drop("_im", "_iv")

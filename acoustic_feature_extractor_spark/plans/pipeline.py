@@ -58,10 +58,12 @@ def turn_features(
     if frozen_stats is not None:
         # stats pinned by the caller (resumable bucketed runs: every bucket
         # must normalize against the SAME corpus numbers, jobs/run_turn_features.py)
+        sd = float(frozen_stats["stddev"])
         d = d.withColumn(
             "text_len_z",
-            (F.col("text_len") - F.lit(float(frozen_stats["mean"])))
-            / F.lit(float(frozen_stats["stddev"])),
+            (F.col("text_len") - F.lit(float(frozen_stats["mean"]))) / F.lit(sd)
+            if sd != 0.0
+            else F.lit(0.0),
         )
         return d
     # stats read the RAW input, not the windowed frame: text_len depends
@@ -72,6 +74,10 @@ def turn_features(
         "text_len",
     ).select(F.col("mean").alias("_gm"), F.col("stddev").alias("_gs"))
     d = d.crossJoin(F.broadcast(st)).withColumn(
-        "text_len_z", (F.col("text_len") - F.col("_gm")) / F.col("_gs")
+        "text_len_z",
+        F.when(
+            F.col("_gs") != 0.0,
+            (F.col("text_len") - F.col("_gm")) / F.col("_gs"),
+        ).otherwise(F.lit(0.0)),
     ).drop("_gm", "_gs")
     return d
