@@ -130,23 +130,10 @@ def ngram_jaccard_pairs(
     return j.select("id_a", "id_b", "jaccard")
 
 
-def minhash_signatures(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    w: int = 3,
-    num_hashes: int = 64,
-    seed: int = 42,
+def _signatures_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int, seed: int
 ) -> DataFrame:
-    """MinHash signatures: sig[i] = min over shingles of (aᵢ·h + bᵢ mod p).
-
-    One explode + one groupBy with ``num_hashes`` min-aggregates — a single
-    shuffle, all JVM-side. Signature returned as array<long>. The shingle
-    dedup shuffle is skipped: min() is duplicate-invariant, and Catalyst's
-    partial aggregation already collapses each partition to one row per
-    (id × hash) before the exchange.
-    """
-    sh = _shingle_table(df, text_col, id_col, w, distinct=False)
+    """Signature aggregation over an existing (id, shingle) table."""
     rnd = __import__("random").Random(seed)
     coeffs = [(rnd.randrange(1, _P), rnd.randrange(0, _P)) for _ in range(num_hashes)]
     # fold hash into [0, p) first so a*x+b stays within long-safe range via
@@ -164,6 +151,26 @@ def minhash_signatures(
     return g.select(
         id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature")
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min over shingles of (aᵢ·h + bᵢ mod p).
+
+    One explode + one groupBy with ``num_hashes`` min-aggregates — a single
+    shuffle, all JVM-side. Signature returned as array<long>. The shingle
+    dedup shuffle is skipped: min() is duplicate-invariant, and Catalyst's
+    partial aggregation already collapses each partition to one row per
+    (id × hash) before the exchange.
+    """
+    sh = _shingle_table(df, text_col, id_col, w, distinct=False)
+    return _signatures_from_shingles(sh, id_col, num_hashes, seed)
 
 
 def minhash_lsh_pairs(
@@ -184,7 +191,11 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, w, num_hashes, seed)
+    # one materialized shingle table feeds both the signature aggregation
+    # and the exact-Jaccard verify (otherwise each branch re-tokenizes and
+    # re-explodes the corpus); LRU-evicted after the job
+    sh = _shingle_table(df, text_col, id_col, w).persist()
+    sig = _signatures_from_shingles(sh, id_col, num_hashes, seed)
     banded = sig.select(
         id_col,
         F.explode(
@@ -205,7 +216,6 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = _shingle_table(df, text_col, id_col, w)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
     ja = sh.select(F.col(id_col).alias("id_a"), "shingle")
     jb = sh.select(F.col(id_col).alias("id_b"), "shingle")
