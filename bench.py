@@ -31,32 +31,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_QUERIES = [
-    "flagship_features",
-    "lag_lead_context",
-    "rolling_stats",
-    "sessionize",
-    "session_bounds",
-    "forward_fill",
-    "interp_fill",
-    "asof_join",
-    "resample_nearest",
-    "resample_linear",
-    "multi_align",
-    "stats_normalize",
-    "grouped_stats",
-    "weighted_percentile",
-    "histogram_filter",
-    "topk_per_group",
-    "tpch_q1",
-    "revenue_by_nation",
-    "interval_expand",
-    "dedup_exact",
-    "dedup_minhash",
-    "text_profile",
-    "ann_bruteforce",
-    "media_features",
-]
+# benchmarked queries = the FULL queries() registry (every operator shows
+# up in BENCH_r{N}.json); None means "resolve at runtime"
+BENCH_QUERIES = None
 
 N_CONVS_BENCH = 50_000  # ~2.4M turns incl. mega-conversation skew
 
@@ -100,7 +77,7 @@ def main() -> None:
     t.unpersist()
 
     qs = entry_mod.queries()
-    for name in BENCH_QUERIES:
+    for name in (BENCH_QUERIES or sorted(qs)):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
