@@ -111,7 +111,7 @@ Steady-state timing: one warmup run per JVM, best of 3 timed runs.
 
 **Scaling efficiency** = (thr@4N / thr@N) / 4 = **{eff:.3f}**
 (north_rule target ≥ 0.8 between N and 4N executors; repeated runs of
-this benchmark measured 0.91–1.05 — single-JVM timing noise of a few
+this benchmark measured 0.83–1.05 — single-JVM timing noise of a few
 seconds moves the ratio, values at or above 1.0 are noise, not true
 superlinearity). The 16→32 step
 adds only {thr32 / thr16:.2f}× on this single-socket 32-core box: all
