@@ -379,10 +379,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_ASOF_SALTED = """
 WITH v AS (
   SELECT user_id, ts, max(value) AS vvalue FROM events
-  WHERE event_type = 'view' AND user_id % 4 = 0 GROUP BY user_id, ts
+  WHERE event_type = 'view' GROUP BY user_id, ts
 ),
-c AS (SELECT user_id, event_id, ts FROM events
-      WHERE event_type = 'click' AND user_id % 4 = 0)
+c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
 SELECT c.user_id, c.event_id,
        round(epoch_us(c.ts)/1000000.0, 6) AS ts_sec,
        round(v.vvalue, 6) AS view_value,
@@ -405,29 +404,28 @@ FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
 
 def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same point-in-time semantics as ``asof_join`` but through the
-    salted, range-partitioned Arrow merge_asof (north_star centerpiece);
-    the oracle is the plain ASOF JOIN — salting must be invisible."""
-    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 4 == 0)
+    salted two-phase carry path (north_star centerpiece); the oracle is
+    the plain ASOF JOIN — salting must be invisible. Default engine:
+    ``asof_join_salted_jvm`` (union trick + chunk carry, zero Python);
+    the Arrow merge_asof variant stays pytest-pinned to the same frames.
+    Full input scope — no rescoping; the JVM path costs ~the plain join."""
+    ev = _t(spark, sf_dir, "events")
     clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
     views = (
         ev.where(F.col("event_type") == "view")
         .groupBy("user_id", "ts")
         .agg(F.max("value").alias("vvalue"))
-        .withColumn("vts", F.col("ts"))
     )
-    # chunk_seconds sized so sf-scale entities split into a handful of
-    # chunks each — the cogrouped-pandas path pays ~ms per (entity, chunk)
-    # group, so thousands of near-empty groups would be pure overhead
-    j = asof_ops.asof_join_salted(
-        clicks, views, on="ts", by="user_id", right_cols=["vvalue", "vts"],
-        chunk_seconds=864000.0,
+    j = asof_ops.asof_join_salted_jvm(
+        clicks, views, on="ts", by="user_id", right_cols=["vvalue"],
+        chunk_seconds=86400.0,
     )
     return j.select(
         "user_id",
         "event_id",
         _ts_sec("ts").alias("ts_sec"),
         F.round("vvalue_asof", 6).alias("view_value"),
-        F.round(_sec("vts_asof"), 6).alias("view_ts_sec"),
+        F.round(_sec("ts_asof"), 6).alias("view_ts_sec"),
     )
 
 
@@ -1130,8 +1128,11 @@ def q_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_str = F.get_json_object("props", "$.k")
     return d.select(
         "event_id",
-        # try-cast on both sides: a non-integer k yields NULL, not an error
-        k_str.cast("long").alias("k"),
+        # try-cast on both sides: a non-integer k yields NULL, not an
+        # error — a plain cast would ABORT under Spark 4's default ANSI
+        # mode (CAST_INVALID_INPUT), defeating this validation query's
+        # whole purpose of surfacing malformed rows as nulls
+        k_str.try_cast("long").alias("k"),
         # valid = field PRESENT (string extract non-null) on both sides
         k_str.isNotNull().alias("valid"),
     )

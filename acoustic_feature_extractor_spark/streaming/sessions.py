@@ -62,22 +62,27 @@ def streaming_state_fill(
     state_schema = "last string"
 
     def fn(key_tuple, pdfs, state: GroupState):
+        # applyInPandasWithState gives NO ts ordering across the Arrow
+        # chunks of one group: a later-ts chunk can arrive first, and a
+        # chunk-at-a-time fill would back-fill earlier rows from it.
+        # Materialize the whole group, sort ONCE globally, then fill —
+        # the state update reads the globally-last non-null value.
         last = state.get[0] if state.exists else None
-        frames = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts, kind="mergesort")
-            s = pdf[value_col].ffill()
-            if last is not None:
-                s = s.fillna(last)
-            if len(s) and not pd.isna(s.iloc[-1]):
-                last = s.iloc[-1]
-            pdf = pdf[[key, ts, value_col]].copy()
-            pdf["filled"] = s
-            frames.append(pdf)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            state.update((last,))
+            yield pd.DataFrame(columns=[key, ts, value_col, "filled"])
+            return
+        pdf = pd.concat(frames).sort_values(ts, kind="mergesort")
+        s = pdf[value_col].ffill()
+        if last is not None:
+            s = s.fillna(last)
+        if len(s) and not pd.isna(s.iloc[-1]):
+            last = s.iloc[-1]
+        pdf = pdf[[key, ts, value_col]].copy()
+        pdf["filled"] = s
         state.update((last,))
-        yield pd.concat(frames) if frames else pd.DataFrame(
-            columns=[key, ts, value_col, "filled"]
-        )
+        yield pdf
 
     return (
         stream.groupBy(key)

@@ -13,8 +13,14 @@ from acoustic_feature_extractor_spark.operators.asof import (
     align_sources,
     asof_join,
     asof_join_cogroup,
+    asof_join_salted,
+    asof_join_salted_jvm,
     resample_grid,
 )
+
+# both salted engines must be indistinguishable from the unsalted join
+SALTED_IMPLS = [asof_join_salted, asof_join_salted_jvm]
+SALTED_IDS = ["arrow", "jvm"]
 
 
 def _two_sides(spark, n_left=60, n_right=40, seed=3):
@@ -211,16 +217,16 @@ def test_align_sources_tolerance_rejects(spark):
     assert set(out["conv_id"]) == {"a"}  # b's spans differ by ~10h > 60s
 
 
-def test_salted_asof_equals_unsalted(spark):
-    """The salted, range-partitioned Arrow merge_asof (north_star
-    centerpiece) must be frame-for-frame identical to the plain as-of
+@pytest.mark.parametrize("salted_impl", SALTED_IMPLS, ids=SALTED_IDS)
+def test_salted_asof_equals_unsalted(spark, salted_impl):
+    """Both salted engines (Arrow merge_asof and the pure-JVM union-trick
+    + chunk-carry) must be frame-for-frame identical to the plain as-of
     join — carry rows hand the true predecessor across every salt
     boundary. Small chunk_seconds forces many chunks per entity. The
     right payload includes NULLS and the comparison also covers the
     matched row's own timestamp, so a carry that skipped a null payload
     or stitched fields from different right rows would be caught."""
     import pyspark.sql.functions as F
-    from acoustic_feature_extractor_spark.operators.asof import asof_join_salted
 
     l, r, lpdf, rpdf = _two_sides(spark, n_left=80, n_right=50, seed=7)
     # null payloads on a deterministic subset + the matched ts as a column
@@ -234,7 +240,7 @@ def test_salted_asof_equals_unsalted(spark):
     )
     for chunk_seconds in (500.0, 7_000.0, 1e9):  # many chunks .. one chunk
         salted = (
-            asof_join_salted(
+            salted_impl(
                 l, r, right_cols=["state", "rts"], chunk_seconds=chunk_seconds
             )
             .orderBy("conv_id", "ts")
@@ -249,11 +255,10 @@ def test_salted_asof_equals_unsalted(spark):
             )
 
 
-def test_salted_asof_null_timestamps(spark):
+@pytest.mark.parametrize("salted_impl", SALTED_IMPLS, ids=SALTED_IDS)
+def test_salted_asof_null_timestamps(spark, salted_impl):
     """Null-ts left rows pass through with null payloads (as in the pure
     Catalyst asof_join); null-ts right rows are ignored."""
-    from acoustic_feature_extractor_spark.operators.asof import asof_join_salted
-
     base = pd.Timestamp("2024-01-01")
     lpdf = pd.DataFrame(
         {
@@ -269,7 +274,7 @@ def test_salted_asof_null_timestamps(spark):
         }
     )
     got = (
-        asof_join_salted(
+        salted_impl(
             spark.createDataFrame(lpdf),
             spark.createDataFrame(rpdf),
             right_cols=["state"],
@@ -284,10 +289,9 @@ def test_salted_asof_null_timestamps(spark):
     assert vals[2] == 1.0  # never 99.0: null-ts right row is invisible
 
 
-def test_salted_asof_mega_entity(spark):
+@pytest.mark.parametrize("salted_impl", SALTED_IMPLS, ids=SALTED_IDS)
+def test_salted_asof_mega_entity(spark, salted_impl):
     """A mega-entity spread over many chunks still matches the oracle."""
-    from acoustic_feature_extractor_spark.operators.asof import asof_join_salted
-
     rng = np.random.RandomState(11)
     base = pd.Timestamp("2024-01-01")
     n = 3000
@@ -304,7 +308,7 @@ def test_salted_asof_mega_entity(spark):
         }
     )
     got = (
-        asof_join_salted(
+        salted_impl(
             spark.createDataFrame(lpdf),
             spark.createDataFrame(rpdf),
             right_cols=["state"],
