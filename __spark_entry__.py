@@ -32,6 +32,7 @@ from acoustic_feature_extractor_spark.functions import text as tx
 from acoustic_feature_extractor_spark.operators import (
     asof as asof_ops,
     dedup as dedup_ops,
+    features as feat_ops,
     fill as fill_ops,
     intervals as interval_ops,
     multimodal as mm_ops,
@@ -529,6 +530,71 @@ FROM cv ASOF LEFT JOIN p ON cv.user_id = p.user_id AND cv.ts >= p.ts
 """
 
 
+def q_multi_align_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source alignment, mode="max" (``sampling_data.py:111-121``):
+    the grid is the UNION of all sources' timestamps (pad-to-longest) and
+    every source zero-fills outside its own span — the reference's
+    numpy.pad behavior recast as full-outer grid + as-of + capped fill."""
+    ev = _t(spark, sf_dir, "events")
+    mk = lambda et, alias: (  # noqa: E731
+        ev.where(F.col("event_type") == et)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias(alias))
+    )
+    clicks = mk("click", "click_value")
+    views = mk("view", "view_value")
+    purchases = mk("purchase", "purchase_value")
+    a = asof_ops.align_sources(
+        [clicks, views, purchases],
+        on="ts",
+        by="user_id",
+        value_cols=[["click_value"], ["view_value"], ["purchase_value"]],
+        mode="max",
+    )
+    return a.select(
+        "user_id",
+        _ts_sec("ts").alias("ts_sec"),
+        F.round("click_value_s0", 6).alias("click_value"),
+        F.round("view_value_s1", 6).alias("view_value"),
+        F.round("purchase_value_s2", 6).alias("purchase_value"),
+    )
+
+
+_SQL_MULTI_ALIGN_MAX = """
+WITH c AS (
+  SELECT user_id, ts, max(value) AS click_value FROM events WHERE event_type='click' GROUP BY user_id, ts
+),
+v AS (SELECT user_id, ts, max(value) AS view_value FROM events WHERE event_type='view' GROUP BY user_id, ts),
+p AS (SELECT user_id, ts, max(value) AS purchase_value FROM events WHERE event_type='purchase' GROUP BY user_id, ts),
+grid AS (
+  SELECT user_id, ts FROM c UNION SELECT user_id, ts FROM v UNION SELECT user_id, ts FROM p
+),
+ce AS (SELECT user_id, max(ts) AS e FROM c GROUP BY user_id),
+ve AS (SELECT user_id, max(ts) AS e FROM v GROUP BY user_id),
+pe AS (SELECT user_id, max(ts) AS e FROM p GROUP BY user_id),
+g1 AS (
+  SELECT g.user_id, g.ts, c.click_value
+  FROM grid g ASOF LEFT JOIN c ON g.user_id = c.user_id AND g.ts >= c.ts
+),
+g2 AS (
+  SELECT g.user_id, g.ts, g.click_value, v.view_value
+  FROM g1 g ASOF LEFT JOIN v ON g.user_id = v.user_id AND g.ts >= v.ts
+),
+g3 AS (
+  SELECT g.user_id, g.ts, g.click_value, g.view_value, p.purchase_value
+  FROM g2 g ASOF LEFT JOIN p ON g.user_id = p.user_id AND g.ts >= p.ts
+)
+SELECT g.user_id, round(epoch_us(g.ts)/1000000.0, 6) AS ts_sec,
+       round(CASE WHEN g.ts <= ce.e AND g.click_value IS NOT NULL THEN g.click_value ELSE 0.0 END, 6) AS click_value,
+       round(CASE WHEN g.ts <= ve.e AND g.view_value IS NOT NULL THEN g.view_value ELSE 0.0 END, 6) AS view_value,
+       round(CASE WHEN g.ts <= pe.e AND g.purchase_value IS NOT NULL THEN g.purchase_value ELSE 0.0 END, 6) AS purchase_value
+FROM g3 g
+LEFT JOIN ce ON g.user_id = ce.user_id
+LEFT JOIN ve ON g.user_id = ve.user_id
+LEFT JOIN pe ON g.user_id = pe.user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # queries — aggregation pack
 # --------------------------------------------------------------------------
@@ -942,10 +1008,16 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs. No SQL oracle (hash-family dependent) —
-    rows-only check; exactness vs jaccard is tested in pytest."""
+    """MinHash+LSH near-dup pairs, oracled by the exact-Jaccard pair SQL.
+
+    Banding at r=1 (64 bands of one hash each): a true pair at jaccard
+    j ≥ 0.5 misses every band with probability (1-j)^64 ≤ 5e-20, and
+    pytest asserts recall is exactly 1.0 on this fixture — so the LSH
+    output (candidates → exact-Jaccard verify) EQUALS the exact pair set
+    and the DuckDB exact SQL is a valid oracle. Production banding
+    (r > 1, lower candidate volume) is pytest-equivalence-tested."""
     d = _t(spark, sf_dir, "documents")
-    p = dedup_ops.minhash_lsh_pairs(d, w=3, num_hashes=64, bands=16, threshold=0.5)
+    p = dedup_ops.minhash_lsh_pairs(d, w=3, num_hashes=64, bands=64, threshold=0.5)
     return p.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -954,15 +1026,62 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3). No SQL oracle (murmur-based) —
-    rows-only check; semantics tested in pytest."""
+    """SimHash near-dup pairs (Hamming ≤ 3), fully oracle-checked: the
+    token hash is the SQL-portable 62-bit polynomial (exact int64
+    arithmetic in both engines), so DuckDB recomputes the identical
+    fingerprints and verifies the pigeonhole-banded pair search against
+    its all-pairs bit_count(xor). The xxhash64 production variant is
+    pytest-equivalence-tested."""
     d = _t(spark, sf_dir, "documents")
-    p = dedup_ops.simhash_pairs(d, max_hamming=3)
+    p = dedup_ops.simhash_pairs(
+        d, max_hamming=3, bits=62, hash_fn=dedup_ops.token_hash_portable
+    )
     return p.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         F.col("hamming").cast("long").alias("hamming"),
     )
+
+
+def _simhash_sql() -> str:
+    # bit-vote terms for each of the 62 fingerprint bits, built from the
+    # same portable polynomial token hash the Spark side uses
+    votes = ",\n         ".join(
+        f"CASE WHEN sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST(1 AS BIGINT) << {j} ELSE 0 END AS b{j}"
+        for j in range(62)
+    )
+    fp = " | ".join(f"b{j}" for j in range(62))
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CASE WHEN length(t) = 0 THEN 0 ELSE
+           list_reduce(list_transform(generate_series(1, length(t)),
+                                      i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)),
+                       (acc, x) -> (acc * 31 + x) % 2147483647)
+         END * (CAST(1 AS BIGINT) << 31)
+         + CASE WHEN length(t) = 0 THEN 0 ELSE
+           list_reduce(list_transform(generate_series(1, length(t)),
+                                      i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)),
+                       (acc, x) -> (acc * 131 + x) % 2147483629)
+         END AS h
+  FROM tok
+),
+bitsum AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+),
+fp AS (SELECT doc_id, {fp} AS simhash FROM bitsum)
+SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1051,11 +1170,15 @@ FROM (
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path). Deterministic hyperplanes but no SQL
-    oracle — recall vs brute force is asserted in pytest instead."""
+    """LSH-bucketed ANN at FULL multi-probe: probing every bucket within
+    Hamming n_planes of the query's bucket covers the whole table, so the
+    bucketed candidate join provably returns the exact brute-force top-k —
+    which makes the brute-force SQL a valid DuckDB oracle for the LSH
+    machinery (bucketing, probe fan-out, per-bucket equi-join, top-k).
+    Partial-probe recall (the production trade-off) is pytest-tested."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    r = sim_ops.cosine_topk_lsh(q, e, dim=64, k=5, n_planes=4)
+    r = sim_ops.cosine_topk_lsh(q, e, dim=64, k=5, n_planes=4, probe_hamming=4)
     return r.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -1064,11 +1187,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (coarse-quantizer scale path). Rows-only check;
-    exactness at full probe + recall at partial probe tested in pytest."""
+    """IVF-bucketed ANN at FULL probe (n_probe = n_centroids): probing
+    every inverted list degrades provably to exact brute force, so the
+    brute-force SQL oracles the IVF machinery (centroid assignment,
+    inverted-list join, probe union, top-k). Partial-probe recall is
+    pytest-tested."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    r = sim_ops.cosine_topk_ivf(q, e, k=5, n_centroids=8, n_probe=2)
+    r = sim_ops.cosine_topk_ivf(q, e, k=5, n_centroids=8, n_probe=8)
     return r.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -1077,13 +1203,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs — exact verify primitive (broadcast
-    self-join), oracle-checked against DuckDB list_cosine_similarity. The
-    LSH-blocked scale path (embedding_neardup_pairs) is recall-tested in
-    pytest. Threshold 0.45: the synthetic embeddings are near-orthogonal
-    (max pairwise cosine ≈ 0.6), so 0.45 yields a real, non-empty answer."""
+    """Embedding-cosine near-dup pairs — EXACT all-pairs via the
+    distributed block-matrix self-join (one BLAS matmul per block pair,
+    nothing on the driver at any corpus size), oracle-checked against
+    DuckDB list_cosine_similarity. The small-corpus broadcast verify
+    (embedding_neardup_exact) and the LSH-blocked approximate path
+    (embedding_neardup_pairs) are pytest-pinned to the same frames.
+    Threshold 0.45: the synthetic embeddings are near-orthogonal (max
+    pairwise cosine ≈ 0.6), so 0.45 yields a real, non-empty answer."""
     e = _t(spark, sf_dir, "embeddings")
-    p = sim_ops.embedding_neardup_exact(e, threshold=0.45)
+    p = sim_ops.embedding_neardup_blocked(e, threshold=0.45, n_blocks=4)
     return p.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -1143,6 +1272,63 @@ SELECT event_id,
        TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        json_extract_string(props, '$.k') IS NOT NULL AS valid
 FROM events
+"""
+
+
+_ONEHOT_VOCAB = ["click", "error", "purchase", "signup", "view", "pad"]
+
+
+def q_onehot_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-vocabulary onehot assembly with pre/post context — the
+    reference's flagship output vector (``phoneme.py:44-48`` onehot,
+    ``linguistic_feature.py:97-127`` assembly): onehot(label) ++
+    onehot(prev) ++ onehot(next) ++ (dur, prev_dur, next_dur), boundary
+    rows taking the synthetic 'pad' label with zero duration. Emitted
+    long-form (one row per vector element) so the driver hashes every
+    dimension's value."""
+    d = _indexed_events(spark, sf_dir)
+    f = feat_ops.assemble_context_onehot(
+        d, "event_type", _ONEHOT_VOCAB, key="user_id", order="idx",
+        boundary_label="pad", duration_col="value",
+    )
+    return f.select(
+        "user_id",
+        "event_id",
+        F.posexplode("features").alias("dim", "value"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def _onehot_sql_block(label_expr: str) -> str:
+    return ", ".join(
+        f"CAST({label_expr} = '{v}' AS DOUBLE)" for v in _ONEHOT_VOCAB
+    )
+
+
+_SQL_ONEHOT = f"""
+WITH base AS ({_IDX_SQL}),
+d AS (
+  SELECT user_id, event_id, idx, event_type, value,
+         coalesce(lag(event_type) OVER w, 'pad') AS prev_et,
+         coalesce(lead(event_type) OVER w, 'pad') AS next_et,
+         coalesce(lag(value) OVER w, 0.0) AS prev_v,
+         coalesce(lead(value) OVER w, 0.0) AS next_v
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY idx)
+),
+vec AS (
+  SELECT user_id, event_id,
+         [{_onehot_sql_block('event_type')},
+          {_onehot_sql_block('prev_et')},
+          {_onehot_sql_block('next_et')},
+          coalesce(value, 0.0), prev_v, next_v]::DOUBLE[] AS v
+  FROM d
+)
+SELECT user_id, event_id, CAST(i - 1 AS BIGINT) AS dim, round(v[i], 6) AS value
+FROM vec, unnest(generate_series(1, {3 * len(_ONEHOT_VOCAB) + 3})) AS t(i)
 """
 
 
@@ -1485,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_nearest": q_resample_nearest,
         "resample_linear": q_resample_linear,
         "multi_align": q_multi_align,
+        "multi_align_max": q_multi_align_max,
         "stats_normalize": q_stats_normalize,
         "grouped_stats": q_grouped_stats,
         "percentile_report": q_percentile_report,
@@ -1499,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_expand": q_interval_expand,
         "interval_overlap": q_interval_overlap,
         "props_parse": q_props_parse,
+        "onehot_features": q_onehot_features,
         "salted_rolling": q_salted_rolling,
         "salted_cumsum": q_salted_cumsum,
         "salted_ffill": q_salted_ffill,
@@ -1536,6 +1724,7 @@ def oracle_sql() -> dict[str, str]:
         "resample_nearest": _SQL_RESAMPLE_NEAREST,
         "resample_linear": _SQL_RESAMPLE_LINEAR,
         "multi_align": _SQL_MULTI_ALIGN,
+        "multi_align_max": _SQL_MULTI_ALIGN_MAX,
         "stats_normalize": _SQL_STATS_NORMALIZE,
         "grouped_stats": _SQL_GROUPED_STATS,
         "percentile_report": _SQL_PERCENTILES,
@@ -1550,6 +1739,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_expand": _SQL_INTERVAL_EXPAND,
         "interval_overlap": _SQL_INTERVAL_OVERLAP,
         "props_parse": _SQL_PROPS_PARSE,
+        "onehot_features": _SQL_ONEHOT,
         "salted_rolling": _SQL_SALTED_ROLLING,
         "salted_cumsum": _SQL_SALTED_CUMSUM,
         "salted_ffill": _SQL_SALTED_FFILL,
@@ -1560,10 +1750,19 @@ def oracle_sql() -> dict[str, str]:
         "range_refine": _SQL_RANGE_REFINE,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+        # minhash-LSH at r=1 banding has provably-total recall on this
+        # fixture (pytest-asserted), so its verified output equals the
+        # exact-Jaccard pair set — same oracle SQL, different physical plan
+        "dedup_minhash": _SQL_NGRAM_JACCARD,
         "text_profile": _SQL_TEXT_PROFILE,
         "ann_bruteforce": _SQL_ANN_BRUTEFORCE,
+        # full-probe LSH / full-probe IVF degrade provably to exact brute
+        # force — the brute-force SQL oracles the bucketed machinery
+        "ann_lsh": _SQL_ANN_BRUTEFORCE,
+        "ann_ivf": _SQL_ANN_BRUTEFORCE,
+        # portable polynomial token hash -> DuckDB recomputes identical
+        # fingerprints and checks the banded pair search against all-pairs
+        "dedup_simhash": _simhash_sql(),
         "embedding_neardup": _SQL_EMBEDDING_NEARDUP,
         "media_features": _SQL_MEDIA,
-        # no oracle (non-SQL-expressible hash families / LSH):
-        # dedup_minhash, dedup_simhash, ann_lsh, ann_ivf
     }

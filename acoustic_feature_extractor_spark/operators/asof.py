@@ -527,41 +527,116 @@ def resample_grid(
     raise ValueError(f"unknown resample kind: {kind}")
 
 
+def _source_spans(
+    sources: list[DataFrame], on: str, by: str
+) -> DataFrame:
+    """One row per entity: each source's max timestamp (epoch seconds) +
+    the max pairwise span difference — the alignment-tolerance input."""
+    spans = None
+    for i, s in enumerate(sources):
+        sp = s.groupBy(by).agg(
+            F.max(F.col(on).cast("timestamp").cast("double")).alias(f"end_{i}")
+        )
+        spans = sp if spans is None else spans.join(sp, by, "full")
+    ends = [F.col(f"end_{i}") for i in range(len(sources))]
+    # Spark's greatest/least SKIP nulls — an entity missing from one
+    # source would otherwise look perfectly aligned. Null out span_diff
+    # explicitly when any source has no rows for the entity.
+    any_missing = ends[0].isNull()
+    for e in ends[1:]:
+        any_missing = any_missing | e.isNull()
+    return spans.withColumn(
+        "span_diff",
+        F.when(any_missing, F.lit(None)).otherwise(F.greatest(*ends) - F.least(*ends)),
+    )
+
+
+def align_rejected_entities(
+    sources: list[DataFrame],
+    error_time_length: float,
+    on: str = "ts",
+    by: str = "conv_id",
+) -> DataFrame:
+    """The tolerance-reject VALIDATION OUTPUT of multi-source alignment.
+
+    The reference hard-asserts that every source covers the same span
+    within ``error_time_length`` (``sampling_data.py:98-103``);
+    :func:`align_sources` silently drops violators from its result — this
+    surfaces them as a real table: one row per rejected entity with each
+    source's end timestamp and the span difference, ready for a metrics
+    manifest / quarantine sink. Entities missing from any source (null
+    span_diff) are rejected too — the reference would KeyError on them.
+    """
+    spans = _source_spans(sources, on, by)
+    return spans.where(
+        F.col("span_diff").isNull() | (F.col("span_diff") > F.lit(error_time_length))
+    )
+
+
 def align_sources(
     sources: list[DataFrame],
     on: str = "ts",
     by: str = "conv_id",
     value_cols: list[list[str]] | None = None,
-    mode: str = "min",  # min | first
+    mode: str = "min",  # min | max | first
     error_time_length: float | None = None,
+    pad_value: float = 0.0,
 ) -> DataFrame:
-    """Multi-source alignment (``SamplingData.collect`` analog).
+    """Multi-source alignment (``SamplingData.collect`` analog,
+    ``sampling_data.py:87-139``).
 
-    Builds the target grid from the first source ("first" mode) or the
-    intersection span ("min" mode = truncate to shortest,
-    ``sampling_data.py:105-116``), as-of joins every other source onto it,
-    and emits one row per (by, on) with all features side by side.
+    Length modes map to join types exactly as SURVEY §2.3 J6 promises:
 
-    ``error_time_length``: per-entity span-difference tolerance — entities
-    whose sources' max timestamps differ by more than this are REJECTED
-    into a validation side-channel, mirroring the reference's assert
-    (``sampling_data.py:98-103``); here we filter them out (callers can
-    diff counts to detect).
+    - ``min``  — truncate to the shortest source (inner span,
+      ``sampling_data.py:105-110``): grid = first source's rows within
+      every source's covered span.
+    - ``max``  — pad to the LONGEST source with ``pad_value``
+      (``sampling_data.py:111-121``, numpy.pad zero fill): grid = the
+      union of every source's (entity, ts) rows; every source is as-of
+      joined on, and rows beyond a source's last timestamp (or before its
+      first) read ``pad_value``. All value columns come back suffixed
+      ``_s{i}`` (including source 0 — its own rows are a subset of the
+      grid now).
+    - ``first`` — the first source's grid, others as-of joined (left+fill).
+
+    ``error_time_length``: per-entity span tolerance — violating entities
+    are dropped here and surfaced by :func:`align_rejected_entities` (the
+    reference's assert, recast as a validation query).
     """
     assert len(sources) >= 2
     if value_cols is None:
         value_cols = [[c for c in s.columns if c not in (by, on)] for s in sources]
 
     if error_time_length is not None:
-        spans = None
-        for i, s in enumerate(sources):
-            sp = s.groupBy(by).agg(F.max(F.col(on).cast("timestamp").cast("double")).alias(f"_end_{i}"))
-            spans = sp if spans is None else spans.join(sp, by)
-        ends = [F.col(f"_end_{i}") for i in range(len(sources))]
-        ok = spans.where(
-            (F.greatest(*ends) - F.least(*ends)) <= F.lit(error_time_length)
-        ).select(by)
+        spans = _source_spans(sources, on, by)
+        ok = spans.where(F.col("span_diff") <= F.lit(error_time_length)).select(by)
         sources = [s.join(ok, by, "left_semi") for s in sources]
+
+    if mode == "max":
+        grid = sources[0].select(by, on)
+        for s in sources[1:]:
+            grid = grid.unionByName(s.select(by, on))
+        grid = grid.where(F.col(on).isNotNull()).distinct()
+        out = grid
+        for i, s in enumerate(sources):
+            out = asof_join(
+                out, s, on=on, by=by, right_cols=value_cols[i], suffix=f"_s{i}"
+            )
+            out = out.drop(f"{on}_s{i}")
+            # zero-fill outside the source's span (the reference pads the
+            # SHORT sources to max length with zeros); per-entity end
+            # table joins without a forced broadcast (AQE decides)
+            end = s.groupBy(by).agg(F.max(F.col(on)).alias(f"_end_{i}"))
+            out = out.join(end, by, "left")
+            for c in value_cols[i]:
+                capped = F.when(
+                    F.col(on) <= F.col(f"_end_{i}"), F.col(f"{c}_s{i}")
+                )
+                out = out.withColumn(
+                    f"{c}_s{i}", F.coalesce(capped, F.lit(pad_value))
+                )
+            out = out.drop(f"_end_{i}")
+        return out
 
     grid = sources[0].select(by, on, *value_cols[0])
     if mode == "min":

@@ -87,13 +87,16 @@ def _shingle_table(
         sh = sh.distinct()
     if max_doc_freq is not None:
         assert distinct, "doc-frequency cap counts one row per (doc, shingle)"
+        # no forced broadcast: the hot-shingle set scales with the corpus
+        # (more docs -> more shingles over the cap); AQE broadcasts it at
+        # runtime while it is actually small
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
             .where(F.col("_df") > max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = sh.join(hot, "shingle", "left_anti")
     return sh
 
 
@@ -121,9 +124,12 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_i"))
     )
+    # sizes has ONE ROW PER DOCUMENT — unbroadcastable at 10^9 docs. No
+    # hint: AQE picks broadcast at runtime when the relation is actually
+    # small; at scale this stays a shuffle join on the (narrow) id key.
     j = (
-        inter.join(F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))), "id_a")
-        .join(F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))), "id_b")
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
         .withColumn("jaccard", F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")))
         .where(F.col("jaccard") >= threshold)
     )
@@ -222,13 +228,41 @@ def minhash_lsh_pairs(
     inter = (
         cand.join(ja, "id_a").join(jb, ["id_b", "shingle"]).groupBy("id_a", "id_b").agg(F.count("*").alias("_i"))
     )
+    # per-document sizes table: no forced broadcast (see ngram_jaccard_pairs)
     return (
-        inter.join(F.broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))), "id_a")
-        .join(F.broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))), "id_b")
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
         .withColumn("jaccard", F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def token_hash_portable(tok: Column) -> Column:
+    """62-bit polynomial token hash computable IDENTICALLY in ANSI SQL.
+
+    Two 31-bit polynomial rolling hashes (multipliers 31/131, distinct
+    Mersenne-ish moduli) packed as ``h1 * 2^31 + h2``. Every step stays
+    below 2^37, so int64 arithmetic is exact in any engine — this is what
+    lets DuckDB oracle the simhash pipeline end-to-end (xxhash64 is the
+    faster default for production, same downstream math).
+    """
+
+    def poly(mult: int, mod: int) -> Column:
+        codes = F.transform(
+            F.sequence(F.lit(1), F.length(tok)),
+            lambda i: F.ascii(tok.substr(i, F.lit(1))).cast("long"),
+        )
+        folded = F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * F.lit(mult) + x) % F.lit(mod),
+        )
+        # empty token: sequence(1, 0) is DESCENDING [1, 0], not empty —
+        # pin the hash to 0 (the SQL side guards the same case)
+        return F.when(F.length(tok) == 0, F.lit(0).cast("long")).otherwise(folded)
+
+    return poly(31, 2147483647) * F.lit(1 << 31) + poly(131, 2147483629)
 
 
 def simhash(
@@ -236,14 +270,19 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
-    """64-bit SimHash over token hashes (single explode + one groupBy).
+    """SimHash over token hashes (single explode + one groupBy).
 
     bit j of the fingerprint = sign of Σ_tokens (±1 by token-hash bit j).
+    ``hash_fn``: token-hash column fn — default ``xxhash64`` (64-bit,
+    fastest); pass :func:`token_hash_portable` with ``bits=62`` for the
+    SQL-reproducible variant the oracle checks.
     """
+    hash_fn = hash_fn or (lambda c: F.xxhash64(c))
     tok = df.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    ).withColumn("_h", hash_fn(F.col("_t")))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -264,25 +303,34 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    bits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
-    Pigeonhole banding: split 64 bits into (max_hamming+1) chunks — any
-    pair within the radius agrees exactly on ≥1 chunk → equi-join per chunk,
-    verify with bit_count(xor). No cross join.
+    Pigeonhole banding: PARTITION the ``bits`` fingerprint bits into
+    (max_hamming+1) chunks (remainder bits spread over the first chunks so
+    every bit is covered) — any pair within the radius agrees exactly on
+    ≥1 chunk → equi-join per chunk, verify with bit_count(xor). No cross
+    join.
     """
     n_chunks = max_hamming + 1
-    width = 64 // n_chunks
-    s = simhash(df, text_col, id_col)
+    base_w, extra = divmod(bits, n_chunks)
+    offsets, off = [], 0
+    for ci in range(n_chunks):
+        w = base_w + (1 if ci < extra else 0)
+        offsets.append((off, w))
+        off += w
+    s = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
     # static chunk list (shiftright needs a literal bit count)
     chunk_structs = [
         F.struct(
             F.lit(ci).alias("chunk"),
-            F.shiftright(F.col("simhash"), ci * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
+            F.shiftright(F.col("simhash"), o)
+            .bitwiseAND(F.lit((1 << w) - 1))
             .alias("ch"),
         )
-        for ci in range(n_chunks)
+        for ci, (o, w) in enumerate(offsets)
     ]
     chunks = s.select(
         id_col, "simhash", F.explode(F.array(*chunk_structs)).alias("_c")

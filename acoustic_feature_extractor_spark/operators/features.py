@@ -1,0 +1,88 @@
+"""Closed-vocabulary onehot feature assembly — the reference's flagship
+output vector shape.
+
+Reference parity targets:
+- onehot over a class-level closed vocabulary
+  (``/root/reference/src/acoustic_feature_extractor/data/phoneme.py:44-48``:
+  ``array[phoneme_id] = True`` over ``phoneme_list``), membership asserted
+  by ``verify`` (``phoneme.py:32-34``).
+- feature assembly with pre/post context
+  (``/root/reference/src/acoustic_feature_extractor/data/linguistic_feature.py:97-127``):
+  per row, concatenate [onehot(label), onehot(prev), onehot(post),
+  durations...]; out-of-range neighbors become a synthetic boundary label
+  (the zero-duration space phoneme, ``linguistic_feature.py:81-95``).
+
+Transcript analog: role/tool vocabularies onehot-encoded with
+previous/next-turn context — the categorical feature block of the
+training vector. All pure Catalyst: one window exchange on the entity
+key, array construction via literal comparisons (codegen'd), no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def onehot(col: Column | str, vocab: list[str]) -> Column:
+    """array<double> onehot over a closed vocabulary (``phoneme.py:44-48``).
+
+    A label outside the vocabulary yields the all-zero vector (the
+    reference instead hard-asserts membership — use
+    :func:`vocabulary_violations` as the validation query); a NULL label
+    also yields all zeros.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array(
+        *[F.coalesce((c == F.lit(v)).cast("double"), F.lit(0.0)) for v in vocab]
+    )
+
+
+def vocabulary_violations(
+    df: DataFrame, label_col: str, vocab: list[str]
+) -> DataFrame:
+    """Rows whose label is outside the closed vocabulary — the engine's
+    recast of the reference's ``verify`` assert (``phoneme.py:32-34``):
+    empty result ⇔ the vocabulary contract holds."""
+    return df.where(~F.col(label_col).isin(vocab) | F.col(label_col).isNull())
+
+
+def assemble_context_onehot(
+    df: DataFrame,
+    label_col: str,
+    vocab: list[str],
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    boundary_label: str | None = None,
+    duration_col: str | None = None,
+    out_col: str = "features",
+) -> DataFrame:
+    """Per-row feature vector: onehot(label) ++ onehot(prev) ++ onehot(next)
+    [++ (duration, prev_duration, next_duration)].
+
+    Mirrors ``linguistic_feature.py:97-127`` (PHONEME / PRE_PHONEME /
+    POST_PHONEME onehots + the *_DURATION features): boundary rows take
+    ``boundary_label`` (the synthetic space phoneme of
+    ``linguistic_feature.py:81-95``) and zero duration. The output is one
+    ``array<double>`` column of fixed width — the reference's dense
+    ``(N, d)`` block as an array column, per SURVEY §1.3.
+    """
+    w = Window.partitionBy(key).orderBy(order)
+    lbl = F.col(label_col)
+    prev = F.lag(label_col).over(w)
+    nxt = F.lead(label_col).over(w)
+    if boundary_label is not None:
+        prev = F.coalesce(prev, F.lit(boundary_label))
+        nxt = F.coalesce(nxt, F.lit(boundary_label))
+    parts = [onehot(lbl, vocab), onehot(prev, vocab), onehot(nxt, vocab)]
+    if duration_col is not None:
+        dur = F.col(duration_col).cast("double")
+        parts.append(
+            F.array(
+                F.coalesce(dur, F.lit(0.0)),
+                F.coalesce(F.lag(dur).over(w), F.lit(0.0)),
+                F.coalesce(F.lead(dur).over(w), F.lit(0.0)),
+            )
+        )
+    return df.withColumn(out_col, F.concat(*parts))

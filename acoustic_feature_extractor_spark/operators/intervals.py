@@ -73,15 +73,19 @@ def mask_from_spans(
 ) -> DataFrame:
     """Flag frames covered by any span (``extract_silence_from_phoneme.py:28-33``).
 
-    Implemented as a left-semi range join; frames keep all columns and gain
-    a boolean. Spans are usually far smaller than frames → broadcast.
+    Implemented as a left-semi range join; frames keep all columns and
+    gain a boolean. Spans are smaller than frames but SCALE WITH the
+    conversation count, so no forced broadcast — AQE broadcasts at
+    runtime while the span side is actually small, and falls back to a
+    shuffle join when it is not (a forced hint past the 8 GB ceiling
+    would fail the job).
     """
     sp = spans.select(
         F.col(key).alias("_k"), F.col(start_col).alias("_s"), F.col(end_col).alias("_e")
     )
     covered = (
         frames.join(
-            F.broadcast(sp),
+            sp,
             (frames[key] == F.col("_k")) & (frames[ts] >= F.col("_s")) & (frames[ts] < F.col("_e")),
             "left_semi",
         )
@@ -168,7 +172,8 @@ def adjust_boundaries_to_idle(
         F.col(idle_start).cast("double").alias("_is"),
         F.col(idle_end).cast("double").alias("_ie"),
     )
-    j = spans.join(F.broadcast(ir), key, "left")
+    # idle runs scale with the conversation count — no forced broadcast
+    j = spans.join(ir, key, "left")
     start_hit = F.when((F.col("_is") < s) & (s <= F.col("_ie")), F.col("_is"))
     end_hit = F.when((F.col("_is") <= e) & (e < F.col("_ie")), F.col("_ie"))
     agg = j.groupBy(*spans.columns).agg(

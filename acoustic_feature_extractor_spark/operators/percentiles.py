@@ -118,7 +118,13 @@ def weighted_percentile(
         F.sum("_w").alias("_pw"),
         F.count("*").alias("_pc"),
     )
-    w_off = Window.partitionBy(*gcols).orderBy("_pid").rowsBetween(
+    # summary windows run over the tiny per-(group, chunk) table — one row
+    # per chunk, bounded by shuffle partitions per group. Partition on a
+    # literal when ungrouped: same single-partition plan, but an EXPLICIT
+    # one — silences the global-window warning so it stays a reliable
+    # signal for real regressions.
+    summary_part = gcols if gcols else [F.lit(0)]
+    w_off = Window.partitionBy(*summary_part).orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     psum = psum.withColumn(
@@ -127,14 +133,13 @@ def weighted_percentile(
     totals = psum.groupBy(*gcols).agg(
         F.sum("_pw").alias("_total"), F.sum("_pc").alias("_ntot")
     )
-    d = d.join(
-        F.broadcast(psum.select(*gcols, "_pid", "_off", "_roff")), gcols + ["_pid"]
-    )
-    d = (
-        d.join(F.broadcast(totals), gcols)
-        if gcols
-        else d.crossJoin(F.broadcast(totals))
-    )
+    # psum is per-(group, chunk) and totals per-group — both grow with the
+    # input (group cardinality / chunk count), so no forced broadcast
+    # hints: AQE picks broadcast at runtime while they are actually tiny.
+    d = d.join(psum.select(*gcols, "_pid", "_off", "_roff"), gcols + ["_pid"])
+    # totals is a 1-row global aggregate in the ungrouped case — Catalyst's
+    # stats already pick a broadcast nested-loop join, no hint needed
+    d = d.join(totals, gcols) if gcols else d.crossJoin(totals)
     d = (
         d.withColumn("_cw", F.col("_lcw") + F.col("_off"))
         .withColumn("_mid", (F.col("_cw") - F.col("_w") / 2) / F.col("_total"))
@@ -148,14 +153,14 @@ def weighted_percentile(
     firsts = d.where(F.col("_lrn") == 1).select(
         *gcols, "_pid", F.col("_mid").alias("_f_mid"), F.col("_v").alias("_f_v")
     )
-    w_nextp = Window.partitionBy(*gcols).orderBy("_pid")
+    w_nextp = Window.partitionBy(*summary_part).orderBy("_pid")
     nexts = firsts.select(
         *gcols,
         "_pid",
         F.lead("_f_mid").over(w_nextp).alias("_nf_mid"),
         F.lead("_f_v").over(w_nextp).alias("_nf_v"),
     )
-    d = d.join(F.broadcast(nexts), gcols + ["_pid"], "left")
+    d = d.join(nexts, gcols + ["_pid"], "left")
     d = d.withColumn(
         "_next_mid", F.coalesce(F.col("_next_mid_l"), F.col("_nf_mid"))
     ).withColumn("_next_v", F.coalesce(F.col("_next_v_l"), F.col("_nf_v")))

@@ -103,17 +103,34 @@ def cosine_topk_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     At scale the corpus is pre-bucketed (partitioned by bucket); a query
     touches one partition instead of the full scan. Recall is tunable via
-    n_planes / multi-probe (not implemented: probe = exact bucket only).
+    ``n_planes`` and ``probe_hamming`` (multi-probe): the query also
+    probes every bucket within that Hamming distance of its own —
+    ``probe_hamming = n_planes`` probes ALL buckets and degrades exactly
+    to brute force (the oracle identity the driver checks), while small
+    values trade recall for scan fraction. The probe fan-out is a literal
+    XOR-mask explode on the query side only — the (large) corpus is still
+    touched once per probed bucket via the equi-join.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
     ).withColumn("_bkt", lsh_bucket(F.col("_qv"), dim, n_planes, seed))
+    if probe_hamming > 0:
+        masks = [
+            m for m in range(1 << n_planes) if bin(m).count("1") <= probe_hamming
+        ]
+        q = q.withColumn(
+            "_bkt",
+            F.explode(
+                F.array(*[F.col("_bkt").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
@@ -155,43 +172,35 @@ def cosine_topk_ivf(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization.
 
-    Centroids = a deterministic stratified pick of corpus vectors (the
-    reference's linspace subsample shape,
+    Centroids = a deterministic pseudo-random pick of corpus vectors (the
+    reference's subsample shape,
     ``/root/reference/src/extractor/extract_f0_range.py:177-184``); every
     corpus vector is assigned to its nearest centroid (its inverted list),
     and a query scans only its ``n_probe`` nearest lists. ``n_probe =
     n_centroids`` degrades gracefully to exact brute force (tests pin
-    this).
+    this). Pass ``centroids`` to reuse a trained/cached set across calls —
+    repeated invocations then cost zero extra jobs.
 
     Scale shape: the corpus is partitioned by centroid id (at rest:
     partition the table by ``_cid``), a query touches n_probe/n_centroids
-    of the data; the only shuffle is the per-query top-k.
+    of the data; the only shuffle is the per-query top-k. Centroid pick is
+    ONE distributed TakeOrdered job (hash order spreads the picks; no
+    count(), no global row_number).
     """
-    total = corpus.count()
-    n_centroids = max(1, min(n_centroids, total))
-    # deterministic hash-strided pick (no global sort/row_number — a
-    # single-partition rank at 10^12 rows is exactly the anti-pattern):
-    # keep ids whose hash falls on the stride, take the first n by id via
-    # distributed TakeOrdered.
-    stride = max(1, total // (n_centroids * 4))
-    picked = (
-        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
-        .where(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(stride)) == 0)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .collect()
-    )
-    if len(picked) < n_centroids:  # tiny corpus fallback
+    if centroids is None:
         picked = (
             corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
-            .orderBy(id_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
             .limit(n_centroids)
             .collect()
         )
-    centroids = [list(r["_v"]) for r in picked]
+        centroids = [list(r["_v"]) for r in picked]
+    n_centroids = len(centroids)
+    n_probe = min(n_probe, n_centroids)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
@@ -220,6 +229,7 @@ def embedding_neardup_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "numpy",  # "numpy" (Arrow-batched matmul) | "jvm"
+    max_driver_rows: int = 200_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (broadcast self-join verify).
 
@@ -231,8 +241,11 @@ def embedding_neardup_exact(
 
     ``method="numpy"``: each corpus partition multiplies its normalized
     block against the broadcast normalized matrix with one BLAS matmul
-    inside ``mapInPandas`` — the charter's "vectorized Pandas UDF" path,
-    ~10x the interpreted per-pair HOF. ``method="jvm"`` keeps everything
+    inside ``mapInPandas``. The broadcast matrix is built on the driver,
+    so this path is gated by ``max_driver_rows`` — it is a small-corpus
+    VERIFY primitive, not the scale path. For the distributed exact
+    all-pairs plan (no driver materialization at any size) use
+    :func:`embedding_neardup_blocked`. ``method="jvm"`` keeps everything
     in Catalyst expressions (no Python) for environments where that
     matters more than speed.
     """
@@ -241,8 +254,16 @@ def embedding_neardup_exact(
         import pandas as pd
         from typing import Iterator
 
+        n = df.count()
+        assert n <= max_driver_rows, (
+            f"embedding_neardup_exact(method='numpy') materializes the corpus "
+            f"on the driver: {n} rows > max_driver_rows={max_driver_rows}. "
+            f"Use embedding_neardup_blocked (distributed block matmul) instead."
+        )
+        id_dt = df.schema[id_col].dataType.simpleString()
         rows = df.select(id_col, F.col(vec_col).cast("array<double>")).collect()
-        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        # id dtype follows the input schema (object for strings/decimals)
+        ids = np.array([r[0] for r in rows])
         mat = np.array([r[1] for r in rows], dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = np.inf  # zero vectors match nothing
@@ -275,7 +296,7 @@ def embedding_neardup_exact(
         return df.select(
             F.col(id_col).alias("_id"),
             F.col(vec_col).cast("array<double>").alias("_v"),
-        ).mapInPandas(kernel, schema="id_a long, id_b long, cos_sim double")
+        ).mapInPandas(kernel, schema=f"id_a {id_dt}, id_b {id_dt}, cos_sim double")
     # pre-normalize ONCE per row: higher-order-function expressions are
     # interpreted (not codegen'd), so recomputing both norms per PAIR
     # multiplies the dominant cost by ~3x on the O(n^2) join
@@ -291,6 +312,100 @@ def embedding_neardup_exact(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def embedding_neardup_blocked(
+    df: DataFrame,
+    threshold: float = 0.45,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed EXACT all-pairs cosine near-dup — block-matrix self-join.
+
+    The classic block matmul: hash-assign every vector to one of
+    ``n_blocks`` blocks, pack each block into one fat row (ids array +
+    matrix), pair blocks with ``blk_a <= blk_b`` (B(B+1)/2 tasks), and run
+    one BLAS matmul per block pair inside ``mapInPandas``. Nothing ever
+    touches the driver — the exact O(n²) work is spread over block-pair
+    tasks, and shuffle volume is O(n·d·B) (each block replicated B times),
+    tunable against task memory: choose ``n_blocks`` so one block is
+    ~64–256 MB (well under the 2 GB Arrow cell cap).
+
+    Same output contract as :func:`embedding_neardup_exact`:
+    (id_a, id_b, cos_sim) with id_a < id_b, cos ≥ threshold; zero-norm
+    vectors match nothing. Tests pin frame equality between the two.
+    """
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn(
+        "_blk",
+        F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_blocks)).cast("int"),
+    )
+
+    pack_schema = f"_blk int, _ids array<{id_dt}>, _vecs array<array<double>>"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "_blk": [int(pdf["_blk"].iloc[0])],
+                "_ids": [list(pdf["_id"])],
+                "_vecs": [[list(v) for v in pdf["_v"]]],
+            }
+        )
+
+    blocks = src.groupBy("_blk").applyInPandas(pack, schema=pack_schema)
+    a = blocks.select(
+        F.col("_blk").alias("_ba"), F.col("_ids").alias("_ia"), F.col("_vecs").alias("_va")
+    )
+    b = blocks.select(
+        F.col("_blk").alias("_bb"), F.col("_ids").alias("_ib"), F.col("_vecs").alias("_vb")
+    )
+    # B rows × B rows — a tiny-row-count join; the payload is the fat part
+    pairs = a.join(b, F.col("_ba") <= F.col("_bb"))
+    thr = float(threshold)
+
+    def _unit(vecs) -> "np.ndarray":
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0] = np.inf
+        return m / nrm
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # name=None: underscore-leading column names would otherwise
+            # be positionally renamed by itertuples
+            for ba, ids_a, vecs_a, bb, ids_b, vecs_b in pdf[
+                ["_ba", "_ia", "_va", "_bb", "_ib", "_vb"]
+            ].itertuples(index=False, name=None):
+                ua, ub = _unit(vecs_a), _unit(vecs_b)
+                ia = np.array(list(ids_a))
+                ib = np.array(list(ids_b))
+                sims = ua @ ub.T
+                xi, yi = np.nonzero(sims >= thr)
+                if len(xi) == 0:
+                    continue
+                lid, rid = ia[xi], ib[yi]
+                if ba == bb:
+                    keep = lid < rid  # upper triangle within a block
+                else:
+                    keep = lid != rid  # cross-block: canonicalize below
+                lid, rid, s = lid[keep], rid[keep], sims[xi, yi][keep]
+                swap = lid > rid
+                lo = np.where(swap, rid, lid)
+                hi = np.where(swap, lid, rid)
+                yield pd.DataFrame(
+                    {"id_a": lo, "id_b": hi, "cos_sim": np.round(s, 6)}
+                )
+
+    out_schema = f"id_a {id_dt}, id_b {id_dt}, cos_sim double"
+    return pairs.mapInPandas(kernel, schema=out_schema)
 
 
 def embedding_neardup_pairs(

@@ -116,8 +116,12 @@ def salted_cumsum(
         Window.partitionBy(key).orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.withColumn("_offset", F.coalesce(F.sum("_chunk_total").over(w_off), F.lit(0.0)))
+    # offsets has one row per (key, chunk) — it GROWS with the fact table
+    # (10^8 rows at 10^12 turns / chunk 8192), so no forced broadcast: a
+    # hint past the 8 GB driver ceiling fails the job outright. AQE
+    # broadcasts at runtime while the table is actually small.
     return (
-        d.join(F.broadcast(offsets.select(key, "_chunk", "_offset")), [key, "_chunk"])
+        d.join(offsets.select(key, "_chunk", "_offset"), [key, "_chunk"])
         .withColumn(out_col, F.col("_local") + F.col("_offset"))
         .drop("_chunk", "_local", "_offset")
     )
@@ -146,8 +150,9 @@ def salted_forward_fill(
     carry = lasts.withColumn(
         "_carry", F.last("_chunk_last", ignorenulls=True).over(w_carry)
     )
+    # carry is per-(key, chunk) — fact-scaled; no forced broadcast (AQE)
     return (
-        d.join(F.broadcast(carry.select(key, "_chunk", "_carry")), [key, "_chunk"])
+        d.join(carry.select(key, "_chunk", "_carry"), [key, "_chunk"])
         .withColumn(out_col, F.coalesce(F.col("_local"), F.col("_carry")))
         .drop("_chunk", "_local", "_carry")
     )

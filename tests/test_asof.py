@@ -328,3 +328,74 @@ def test_salted_asof_mega_entity(spark, salted_impl):
         exp["state_asof"].to_numpy(dtype=float),
         equal_nan=True,
     )
+
+
+def test_align_sources_max_mode_zero_pads(spark):
+    """mode="max" mirrors the reference's pad-to-longest with zero fill
+    (sampling_data.py:111-121): the grid is the union of all sources'
+    timestamps, and each source reads 0.0 outside its own span."""
+    import pyspark.sql.functions as F
+
+    base = pd.Timestamp("2024-01-01")
+    t = lambda s: base + pd.Timedelta(seconds=s)  # noqa: E731
+    a = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["x"] * 3, "ts": [t(0), t(10), t(20)], "av": [1.0, 2.0, 3.0]})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["x"] * 2, "ts": [t(5), t(40)], "bv": [10.0, 20.0]})
+    )
+    out = (
+        align_sources([a, b], value_cols=[["av"], ["bv"]], mode="max")
+        .orderBy("ts")
+        .toPandas()
+    )
+    # grid = union of both sources' timestamps
+    assert [int(x) for x in (out["ts"] - base).dt.total_seconds()] == [0, 5, 10, 20, 40]
+    # source a: as-of within span, 0.0 beyond its last ts (t=40 > 20)
+    assert out["av_s0"].tolist() == [1.0, 1.0, 2.0, 3.0, 0.0]
+    # source b: 0.0 before its first row (t=0), as-of elsewhere
+    assert out["bv_s1"].tolist() == [0.0, 10.0, 10.0, 10.0, 20.0]
+
+    # min mode on the same fixture: grid truncated to the shortest span
+    out_min = (
+        align_sources([a, b], value_cols=[["av"], ["bv"]], mode="min")
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert [int(x) for x in (out_min["ts"] - base).dt.total_seconds()] == [0, 10, 20]
+
+    # first mode: grid = source a's rows, b as-of'd (left+fill)
+    out_first = (
+        align_sources([a, b], value_cols=[["av"], ["bv"]], mode="first")
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert [int(x) for x in (out_first["ts"] - base).dt.total_seconds()] == [0, 10, 20]
+    assert np.isnan(out_first["bv_s1"].iloc[0])  # no zero-pad in first mode
+
+
+def test_align_rejected_entities_side_channel(spark):
+    """The tolerance check surfaces violators as a real validation table
+    (the reference's assert at sampling_data.py:98-103), including
+    entities missing from one source entirely."""
+    from acoustic_feature_extractor_spark.operators.asof import (
+        align_rejected_entities,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    t = lambda s: base + pd.Timedelta(seconds=s)  # noqa: E731
+    a = spark.createDataFrame(
+        pd.DataFrame(
+            {"conv_id": ["ok", "bad", "half"], "ts": [t(100), t(100), t(100)], "av": [1.0] * 3}
+        )
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["ok", "bad"], "ts": [t(110), t(9000)], "bv": [1.0] * 2})
+    )
+    rej = align_rejected_entities([a, b], error_time_length=60.0).toPandas()
+    assert set(rej["conv_id"]) == {"bad", "half"}
+    # rejected set is exactly the complement of what align_sources keeps
+    kept = align_sources(
+        [a, b], value_cols=[["av"], ["bv"]], mode="first", error_time_length=60.0
+    ).toPandas()
+    assert set(kept["conv_id"]) == {"ok"}

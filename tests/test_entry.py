@@ -26,9 +26,8 @@ def test_registry_consistency():
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
-    # documented omissions only
-    no_oracle = set(qs) - set(oracles)
-    assert no_oracle == {"dedup_minhash", "dedup_simhash", "ann_lsh", "ann_ivf"}
+    # every query is oracle-checked — no rows-only omissions remain
+    assert set(qs) == set(oracles)
 
 
 @pytest.mark.parametrize(

@@ -1,0 +1,84 @@
+"""Closed-vocabulary onehot assembly vs a numpy reference kernel
+(the reference's phoneme onehot + linguistic-feature assembly,
+``phoneme.py:44-48`` / ``linguistic_feature.py:97-127``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from acoustic_feature_extractor_spark.operators.features import (
+    assemble_context_onehot,
+    onehot,
+    vocabulary_violations,
+)
+
+VOCAB = ["user", "assistant", "tool", "pad"]
+
+
+def _fixture(spark):
+    rows = []
+    rng = np.random.RandomState(3)
+    for conv in ["c1", "c2"]:
+        n = int(rng.randint(3, 9))
+        for i in range(n):
+            rows.append(
+                (conv, i, VOCAB[rng.randint(0, 3)], float(rng.rand() * 10))
+            )
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "dur"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def _numpy_assembly(pdf: pd.DataFrame) -> dict[tuple, np.ndarray]:
+    """Reference-semantics kernel: onehot(label) ++ onehot(prev) ++
+    onehot(next) ++ (dur, prev_dur, next_dur); boundaries = 'pad' / 0."""
+
+    def oh(label: str) -> np.ndarray:
+        a = np.zeros(len(VOCAB))
+        a[VOCAB.index(label)] = 1.0
+        return a
+
+    out = {}
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx").reset_index(drop=True)
+        for i in range(len(g)):
+            prev = g["role"][i - 1] if i > 0 else "pad"
+            nxt = g["role"][i + 1] if i + 1 < len(g) else "pad"
+            pd_dur = g["dur"][i - 1] if i > 0 else 0.0
+            nx_dur = g["dur"][i + 1] if i + 1 < len(g) else 0.0
+            out[(conv, i)] = np.concatenate(
+                [
+                    oh(g["role"][i]),
+                    oh(prev),
+                    oh(nxt),
+                    [g["dur"][i], pd_dur, nx_dur],
+                ]
+            )
+    return out
+
+
+def test_assembly_matches_numpy_kernel(spark):
+    df, pdf = _fixture(spark)
+    got = assemble_context_onehot(
+        df, "role", VOCAB, boundary_label="pad", duration_col="dur"
+    ).collect()
+    exp = _numpy_assembly(pdf)
+    assert len(got) == len(exp)
+    for r in got:
+        np.testing.assert_allclose(
+            np.array(r["features"]), exp[(r["conv_id"], r["turn_idx"])],
+            err_msg=str((r["conv_id"], r["turn_idx"])),
+        )
+
+
+def test_onehot_out_of_vocab_and_null(spark):
+    """Unknown or NULL labels yield the all-zero vector (the validation
+    query surfaces them; the operator itself never raises mid-job)."""
+    pdf = pd.DataFrame({"x": ["user", "INVALID", None]})
+    df = spark.createDataFrame(pdf)
+    rows = df.select(onehot("x", VOCAB).alias("v")).collect()
+    assert rows[0]["v"] == [1.0, 0.0, 0.0, 0.0]
+    assert rows[1]["v"] == [0.0, 0.0, 0.0, 0.0]
+    assert rows[2]["v"] == [0.0, 0.0, 0.0, 0.0]
+    bad = vocabulary_violations(df, "x", VOCAB).collect()
+    assert {r["x"] for r in bad} == {"INVALID", None}

@@ -73,3 +73,57 @@ def test_scan_prunes_to_two_columns(spark):
     d = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey").distinct()
     read = [l for l in _plan(d).splitlines() if "ReadSchema" in l][0]
     assert "struct<l_orderkey" in read and "l_extendedprice" not in read
+
+
+def test_no_forced_broadcast_of_fact_scaled_relations(spark, entry_mod):
+    """No operator may FORCE a broadcast of a relation that grows with
+    the input (per-document sizes, per-(key, chunk) offset/carry tables,
+    span/idle tables): a forced hint past the 8 GB ceiling fails the job
+    at scale, while AQE-chosen runtime broadcasts are fine (they fall
+    back to shuffle when the relation is big). The check walks the
+    ANALYZED logical plan for ResolvedHint nodes — those exist only for
+    explicit broadcast() calls, never for AQE decisions."""
+    fact_scaled = [
+        "dedup_ngram_jaccard",
+        "dedup_minhash",
+        "salted_cumsum",
+        "salted_ffill",
+        "weighted_percentile",
+        "boundary_adjust",
+    ]
+    for name in fact_scaled:
+        df = entry_mod.queries()[name](spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        hints = [l for l in analyzed.splitlines() if "ResolvedHint" in l]
+        # boundary_adjust legitimately broadcasts a 30-row LITERAL idle
+        # table (spark.range); anything else hinted is a scale hazard
+        allowed = 1 if name == "boundary_adjust" else 0
+        assert len(hints) <= allowed, (name, hints)
+
+
+def test_interval_ops_no_forced_broadcast(spark):
+    """mask_from_spans / adjust_boundaries_to_idle: span and idle tables
+    scale with the conversation count — the operators themselves must not
+    hint them."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from acoustic_feature_extractor_spark.operators.intervals import (
+        adjust_boundaries_to_idle,
+        mask_from_spans,
+    )
+
+    frames = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["a"] * 3, "ts": [1.0, 2.0, 3.0]})
+    )
+    spans = spark.createDataFrame(
+        pd.DataFrame(
+            {"conv_id": ["a"], "span_id": [0], "start_ts": [1.5], "end_ts": [2.5]}
+        )
+    )
+    for df in (
+        mask_from_spans(frames, spans.drop("span_id")),
+        adjust_boundaries_to_idle(spans, spans.drop("span_id")),
+    ):
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed

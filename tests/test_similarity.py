@@ -96,3 +96,85 @@ def test_ivf_partial_probe_recall(spark):
     # partial probe: meaningful overlap with the exact answer, full row count
     assert len(approx) == len(exact)
     assert len(exact & approx) / len(exact) >= 0.3
+
+
+def test_blocked_neardup_equals_broadcast_exact(spark):
+    """The distributed block-matrix all-pairs must emit exactly the same
+    (id_a, id_b, cos) set as the broadcast verify primitive, across block
+    counts (incl. n_blocks=1 and more blocks than occupied buckets)."""
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        embedding_neardup_blocked,
+        embedding_neardup_exact,
+    )
+
+    df, vecs = _emb(spark, n=80, seed=13)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_neardup_exact(df, threshold=0.2).collect()
+    }
+    assert exact  # non-trivial fixture
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in embedding_neardup_blocked(
+                df, threshold=0.2, n_blocks=n_blocks
+            ).collect()
+        }
+        assert set(got) == set(exact), n_blocks
+        for k in exact:
+            assert np.isclose(got[k], exact[k], atol=1e-6), (n_blocks, k)
+
+
+def test_exact_neardup_driver_cap(spark):
+    """The broadcast verify primitive refuses to materialize a corpus
+    larger than max_driver_rows on the driver."""
+    import pytest
+
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        embedding_neardup_exact,
+    )
+
+    df, _ = _emb(spark, n=30)
+    with pytest.raises(AssertionError, match="max_driver_rows"):
+        embedding_neardup_exact(df, threshold=0.9, max_driver_rows=10)
+
+
+def test_lsh_full_probe_equals_bruteforce(spark):
+    """probe_hamming = n_planes probes every bucket -> exact brute force
+    (the identity that lets the driver oracle the LSH machinery)."""
+    df, vecs = _emb(spark)
+    q = df.where("vec_id < 5")
+    exact = [
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk(q, df, k=4).orderBy("query_id", "rank").collect()
+    ]
+    full_probe = [
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk_lsh(
+            q, df, dim=DIM, k=4, n_planes=4, probe_hamming=4
+        ).orderBy("query_id", "rank").collect()
+    ]
+    assert full_probe == exact
+
+
+def test_lsh_partial_probe_recall_improves(spark):
+    """Multi-probe at hamming 1 retrieves at least as much of the exact
+    answer as single-bucket probing."""
+    df, vecs = _emb(spark, n=100, seed=5)
+    q = df.where("vec_id < 10")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, df, k=3).collect()
+    }
+
+    def recall(h):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_lsh(
+                q, df, dim=DIM, k=3, n_planes=4, probe_hamming=h
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    assert recall(1) >= recall(0)
+    assert recall(4) == 1.0
