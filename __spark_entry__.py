@@ -1010,14 +1010,14 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, oracled by the exact-Jaccard pair SQL.
 
-    Banding at r=1 (64 bands of one hash each): a true pair at jaccard
-    j ≥ 0.5 misses every band with probability (1-j)^64 ≤ 5e-20, and
+    Banding at r=1 (32 bands of one hash each): a true pair at jaccard
+    j ≥ 0.5 misses every band with probability (1-j)^32 ≤ 2.4e-10, and
     pytest asserts recall is exactly 1.0 on this fixture — so the LSH
     output (candidates → exact-Jaccard verify) EQUALS the exact pair set
     and the DuckDB exact SQL is a valid oracle. Production banding
     (r > 1, lower candidate volume) is pytest-equivalence-tested."""
     d = _t(spark, sf_dir, "documents")
-    p = dedup_ops.minhash_lsh_pairs(d, w=3, num_hashes=64, bands=64, threshold=0.5)
+    p = dedup_ops.minhash_lsh_pairs(d, w=3, num_hashes=32, bands=32, threshold=0.5)
     return p.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),

@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
+
 # Mersenne prime 2^61-1: modulus for the universal-hash family used by
 # minhash (a*x+b mod p); constants are small odd numbers → reproducible.
 _P = (1 << 61) - 1
@@ -87,16 +89,16 @@ def _shingle_table(
         sh = sh.distinct()
     if max_doc_freq is not None:
         assert distinct, "doc-frequency cap counts one row per (doc, shingle)"
-        # no forced broadcast: the hot-shingle set scales with the corpus
-        # (more docs -> more shingles over the cap); AQE broadcasts it at
-        # runtime while it is actually small
+        # the hot-shingle set scales with the corpus (more docs -> more
+        # shingles over the cap) — broadcast only while Catalyst's size
+        # estimate says it is small; AQE decides at scale
         hot = (
             sh.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
             .where(F.col("_df") > max_doc_freq)
             .select("shingle")
         )
-        sh = sh.join(hot, "shingle", "left_anti")
+        sh = sh.join(maybe_broadcast(hot), "shingle", "left_anti")
     return sh
 
 
@@ -124,12 +126,12 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_i"))
     )
-    # sizes has ONE ROW PER DOCUMENT — unbroadcastable at 10^9 docs. No
-    # hint: AQE picks broadcast at runtime when the relation is actually
-    # small; at scale this stays a shuffle join on the (narrow) id key.
+    # sizes has ONE ROW PER DOCUMENT — unbroadcastable at 10^9 docs. The
+    # hint is gated on the optimizer's size estimate (maybe_broadcast):
+    # static broadcast while provably small, AQE/shuffle join at scale.
     j = (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        inter.join(maybe_broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))), "id_a")
+        .join(maybe_broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))), "id_b")
         .withColumn("jaccard", F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")))
         .where(F.col("jaccard") >= threshold)
     )
@@ -228,10 +230,10 @@ def minhash_lsh_pairs(
     inter = (
         cand.join(ja, "id_a").join(jb, ["id_b", "shingle"]).groupBy("id_a", "id_b").agg(F.count("*").alias("_i"))
     )
-    # per-document sizes table: no forced broadcast (see ngram_jaccard_pairs)
+    # per-document sizes table: estimate-gated hint (see ngram_jaccard_pairs)
     return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        inter.join(maybe_broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))), "id_a")
+        .join(maybe_broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))), "id_b")
         .withColumn("jaccard", F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -248,21 +250,27 @@ def token_hash_portable(tok: Column) -> Column:
     faster default for production, same downstream math).
     """
 
-    def poly(mult: int, mod: int) -> Column:
-        codes = F.transform(
-            F.sequence(F.lit(1), F.length(tok)),
-            lambda i: F.ascii(tok.substr(i, F.lit(1))).cast("long"),
+    m1, m2 = 2147483647, 2147483629
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(tok)),
+        lambda i: F.ascii(tok.substr(i, F.lit(1))).cast("long"),
+    )
+    # ONE fold carries both 31-bit accumulators packed as a1·2^31 + a2
+    # (higher-order functions are interpreted, so a second pass over the
+    # characters would double the dominant cost). Unpack/pack via BITWISE
+    # shifts — `/` is double division in Spark and loses exactness past
+    # 2^53; every intermediate here stays < 2^62, exact in int64.
+    folded = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: F.shiftleft(
+            (F.shiftright(acc, 31) * 31 + x) % F.lit(m1), 31
         )
-        folded = F.aggregate(
-            codes,
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * F.lit(mult) + x) % F.lit(mod),
-        )
-        # empty token: sequence(1, 0) is DESCENDING [1, 0], not empty —
-        # pin the hash to 0 (the SQL side guards the same case)
-        return F.when(F.length(tok) == 0, F.lit(0).cast("long")).otherwise(folded)
-
-    return poly(31, 2147483647) * F.lit(1 << 31) + poly(131, 2147483629)
+        + (acc.bitwiseAND(F.lit((1 << 31) - 1)) * 131 + x) % F.lit(m2),
+    )
+    # empty token: sequence(1, 0) is DESCENDING [1, 0], not empty —
+    # pin the hash to 0 (the SQL side guards the same case)
+    return F.when(F.length(tok) == 0, F.lit(0).cast("long")).otherwise(folded)
 
 
 def simhash(

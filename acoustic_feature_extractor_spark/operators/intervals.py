@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
+
 
 def expand_spans_to_grid(
     spans: DataFrame,
@@ -85,7 +87,7 @@ def mask_from_spans(
     )
     covered = (
         frames.join(
-            sp,
+            maybe_broadcast(sp),
             (frames[key] == F.col("_k")) & (frames[ts] >= F.col("_s")) & (frames[ts] < F.col("_e")),
             "left_semi",
         )
@@ -172,8 +174,8 @@ def adjust_boundaries_to_idle(
         F.col(idle_start).cast("double").alias("_is"),
         F.col(idle_end).cast("double").alias("_ie"),
     )
-    # idle runs scale with the conversation count — no forced broadcast
-    j = spans.join(ir, key, "left")
+    # idle runs scale with the conversation count — estimate-gated hint
+    j = spans.join(maybe_broadcast(ir), key, "left")
     start_hit = F.when((F.col("_is") < s) & (s <= F.col("_ie")), F.col("_is"))
     end_hit = F.when((F.col("_is") <= e) & (e < F.col("_ie")), F.col("_ie"))
     agg = j.groupBy(*spans.columns).agg(

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
+
 
 def percentile_report(
     df: DataFrame,
@@ -120,10 +122,11 @@ def weighted_percentile(
     )
     # summary windows run over the tiny per-(group, chunk) table — one row
     # per chunk, bounded by shuffle partitions per group. Partition on a
-    # literal when ungrouped: same single-partition plan, but an EXPLICIT
+    # constant when ungrouped: same single-partition plan, but an EXPLICIT
     # one — silences the global-window warning so it stays a reliable
-    # signal for real regressions.
-    summary_part = gcols if gcols else [F.lit(0)]
+    # signal for real regressions. (_pid * 0, not lit(0): Catalyst folds
+    # literal partition keys away and the warning returns.)
+    summary_part = gcols if gcols else [F.col("_pid") * 0]
     w_off = Window.partitionBy(*summary_part).orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -134,12 +137,10 @@ def weighted_percentile(
         F.sum("_pw").alias("_total"), F.sum("_pc").alias("_ntot")
     )
     # psum is per-(group, chunk) and totals per-group — both grow with the
-    # input (group cardinality / chunk count), so no forced broadcast
-    # hints: AQE picks broadcast at runtime while they are actually tiny.
-    d = d.join(psum.select(*gcols, "_pid", "_off", "_roff"), gcols + ["_pid"])
-    # totals is a 1-row global aggregate in the ungrouped case — Catalyst's
-    # stats already pick a broadcast nested-loop join, no hint needed
-    d = d.join(totals, gcols) if gcols else d.crossJoin(totals)
+    # input (group cardinality / chunk count): estimate-gated hints,
+    # AQE decides past the gate.
+    d = d.join(maybe_broadcast(psum.select(*gcols, "_pid", "_off", "_roff")), gcols + ["_pid"])
+    d = d.join(maybe_broadcast(totals), gcols) if gcols else d.crossJoin(maybe_broadcast(totals))
     d = (
         d.withColumn("_cw", F.col("_lcw") + F.col("_off"))
         .withColumn("_mid", (F.col("_cw") - F.col("_w") / 2) / F.col("_total"))
@@ -160,7 +161,7 @@ def weighted_percentile(
         F.lead("_f_mid").over(w_nextp).alias("_nf_mid"),
         F.lead("_f_v").over(w_nextp).alias("_nf_v"),
     )
-    d = d.join(nexts, gcols + ["_pid"], "left")
+    d = d.join(maybe_broadcast(nexts), gcols + ["_pid"], "left")
     d = d.withColumn(
         "_next_mid", F.coalesce(F.col("_next_mid_l"), F.col("_nf_mid"))
     ).withColumn("_next_v", F.coalesce(F.col("_next_v_l"), F.col("_nf_v")))
@@ -221,7 +222,7 @@ def histogram_vote_filter(
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     d = df.withColumn("_lv", v).withColumn("_w", w)
     rng = d.groupBy(*gcols).agg(F.min("_lv").alias("_lo"), F.max("_lv").alias("_hi"))
-    d = d.join(F.broadcast(rng), gcols) if gcols else d.crossJoin(F.broadcast(rng))
+    d = d.join(maybe_broadcast(rng), gcols) if gcols else d.crossJoin(maybe_broadcast(rng))
     # constant-valued group: every row in bin 0 (bare division by the zero
     # width would abort under ANSI mode)
     width = (F.col("_hi") - F.col("_lo")) / n_bins
@@ -237,9 +238,9 @@ def histogram_vote_filter(
     mass = d.groupBy(*gcols, "_bin").agg(F.sum("_w").alias("_m"))
     total = d.groupBy(*gcols).agg(F.sum("_w").alias("_t"))
     keep = (
-        mass.join(F.broadcast(total), gcols) if gcols else mass.crossJoin(F.broadcast(total))
+        mass.join(maybe_broadcast(total), gcols) if gcols else mass.crossJoin(maybe_broadcast(total))
     ).where(F.col("_m") / F.col("_t") >= min_mass).select(*gcols, "_bin")
-    out = d.join(F.broadcast(keep), gcols + ["_bin"], "left_semi")
+    out = d.join(maybe_broadcast(keep), gcols + ["_bin"], "left_semi")
     return out.drop("_lv", "_w", "_lo", "_hi", "_bin")
 
 

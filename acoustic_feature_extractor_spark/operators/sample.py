@@ -54,9 +54,10 @@ def stratified_entity_sample(
     w_local = Window.partitionBy("_pid").orderBy(key)
     k = k.withColumn("_lrk", F.row_number().over(w_local) - 1)
     counts = k.groupBy("_pid").agg(F.count("*").alias("_n"))
-    # counts is n_chunks rows; literal partition key = explicit single
-    # partition without the global-window warning
-    w_off = Window.partitionBy(F.lit(0)).orderBy("_pid").rowsBetween(
+    # counts is n_chunks rows; constant (non-foldable — Catalyst folds
+    # literals away) partition key = explicit single partition without
+    # the global-window warning
+    w_off = Window.partitionBy(F.col("_pid") * 0).orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))

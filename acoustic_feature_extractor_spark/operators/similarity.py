@@ -17,6 +17,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -57,7 +59,7 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
     )
-    j = c.crossJoin(F.broadcast(q))
+    j = c.crossJoin(maybe_broadcast(q))
     if not include_self:
         j = j.where(F.col("query_id") != F.col("neighbor_id"))
     scored = j.withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
@@ -135,7 +137,7 @@ def cosine_topk_lsh(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     ).withColumn("_bkt", lsh_bucket(F.col("_cv"), dim, n_planes, seed))
-    j = c.join(F.broadcast(q), "_bkt").where(F.col("query_id") != F.col("neighbor_id"))
+    j = c.join(maybe_broadcast(q), "_bkt").where(F.col("query_id") != F.col("neighbor_id"))
     scored = j.withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -213,7 +215,7 @@ def cosine_topk_ivf(
         "_cid",
         F.explode(_nearest_centroid_cols(F.col("_qv"), centroids, n_probe)),
     )
-    j = c.join(F.broadcast(q), "_cid").where(F.col("query_id") != F.col("neighbor_id"))
+    j = c.join(maybe_broadcast(q), "_cid").where(F.col("query_id") != F.col("neighbor_id"))
     scored = j.withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
     wk = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -306,7 +308,7 @@ def embedding_neardup_exact(
     a = df.select(F.col(id_col).alias("id_a"), unit.alias("_ua"))
     b = df.select(F.col(id_col).alias("id_b"), unit.alias("_ub"))
     return (
-        a.crossJoin(F.broadcast(b))
+        a.crossJoin(maybe_broadcast(b))
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", dot(F.col("_ua"), F.col("_ub")))
         .where(F.col("cos_sim") >= threshold)

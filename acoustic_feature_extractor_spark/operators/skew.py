@@ -24,6 +24,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
+
 DEFAULT_CHUNK = 8192
 
 
@@ -117,11 +119,11 @@ def salted_cumsum(
     )
     offsets = totals.withColumn("_offset", F.coalesce(F.sum("_chunk_total").over(w_off), F.lit(0.0)))
     # offsets has one row per (key, chunk) — it GROWS with the fact table
-    # (10^8 rows at 10^12 turns / chunk 8192), so no forced broadcast: a
-    # hint past the 8 GB driver ceiling fails the job outright. AQE
-    # broadcasts at runtime while the table is actually small.
+    # (10^8 rows at 10^12 turns / chunk 8192): a forced hint past the 8 GB
+    # ceiling fails the job outright. Estimate-gated hint instead — static
+    # broadcast while provably small, AQE at scale.
     return (
-        d.join(offsets.select(key, "_chunk", "_offset"), [key, "_chunk"])
+        d.join(maybe_broadcast(offsets.select(key, "_chunk", "_offset")), [key, "_chunk"])
         .withColumn(out_col, F.col("_local") + F.col("_offset"))
         .drop("_chunk", "_local", "_offset")
     )
@@ -150,9 +152,9 @@ def salted_forward_fill(
     carry = lasts.withColumn(
         "_carry", F.last("_chunk_last", ignorenulls=True).over(w_carry)
     )
-    # carry is per-(key, chunk) — fact-scaled; no forced broadcast (AQE)
+    # carry is per-(key, chunk) — fact-scaled; estimate-gated hint
     return (
-        d.join(carry.select(key, "_chunk", "_carry"), [key, "_chunk"])
+        d.join(maybe_broadcast(carry.select(key, "_chunk", "_carry")), [key, "_chunk"])
         .withColumn(out_col, F.coalesce(F.col("_local"), F.col("_carry")))
         .drop("_chunk", "_local", "_carry")
     )

@@ -18,6 +18,7 @@ broadcast into the projection — no second shuffle over the fact table.
 
 from __future__ import annotations
 
+from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -69,9 +70,9 @@ def normalize(
         F.col("stddev").alias("_iv"),
     )
     if group_cols:
-        j = df.join(F.broadcast(sel), group_cols, "left")
+        j = df.join(maybe_broadcast(sel), group_cols, "left")
     else:
-        j = df.crossJoin(F.broadcast(sel))
+        j = df.crossJoin(maybe_broadcast(sel))
     import math
 
     tv = math.sqrt(target_var)
@@ -100,4 +101,5 @@ def all_same_filter(
         .where(F.col("_mn") == F.col("_mx"))
         .select(key)
     )
-    return df.join(F.broadcast(degenerate_keys), key, "left_anti")
+    # degenerate-key set is fact-scaled: estimate-gated hint
+    return df.join(maybe_broadcast(degenerate_keys), key, "left_anti")

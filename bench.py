@@ -84,6 +84,11 @@ def main() -> None:
             force(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # operators that persist() intermediates (minhash shingles,
+        # weighted-percentile cumsum) build a FRESH cache per invocation;
+        # drop them between queries so cache pressure from earlier
+        # queries can't skew later timings
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

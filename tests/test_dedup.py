@@ -85,10 +85,11 @@ def test_minhash_r1_banding_total_recall(spark):
     import os
 
     def check(df, threshold):
+        # 32/32 = the exact parameters q_dedup_minhash ships
         lsh = {
             (r["id_a"], r["id_b"])
             for r in minhash_lsh_pairs(
-                df, threshold=threshold, num_hashes=64, bands=64
+                df, threshold=threshold, num_hashes=32, bands=32
             ).collect()
         }
         exact = {

@@ -75,55 +75,46 @@ def test_scan_prunes_to_two_columns(spark):
     assert "struct<l_orderkey" in read and "l_extendedprice" not in read
 
 
-def test_no_forced_broadcast_of_fact_scaled_relations(spark, entry_mod):
-    """No operator may FORCE a broadcast of a relation that grows with
-    the input (per-document sizes, per-(key, chunk) offset/carry tables,
-    span/idle tables): a forced hint past the 8 GB ceiling fails the job
-    at scale, while AQE-chosen runtime broadcasts are fine (they fall
-    back to shuffle when the relation is big). The check walks the
-    ANALYZED logical plan for ResolvedHint nodes — those exist only for
-    explicit broadcast() calls, never for AQE decisions."""
-    fact_scaled = [
-        "dedup_ngram_jaccard",
-        "dedup_minhash",
-        "salted_cumsum",
-        "salted_ffill",
-        "weighted_percentile",
-        "boundary_adjust",
-    ]
-    for name in fact_scaled:
-        df = entry_mod.queries()[name](spark, SF)
-        analyzed = df._jdf.queryExecution().analyzed().toString()
-        hints = [l for l in analyzed.splitlines() if "ResolvedHint" in l]
-        # boundary_adjust legitimately broadcasts a 30-row LITERAL idle
-        # table (spark.range); anything else hinted is a scale hazard
-        allowed = 1 if name == "boundary_adjust" else 0
-        assert len(hints) <= allowed, (name, hints)
-
-
-def test_interval_ops_no_forced_broadcast(spark):
-    """mask_from_spans / adjust_boundaries_to_idle: span and idle tables
-    scale with the conversation count — the operators themselves must not
-    hint them."""
-    import pandas as pd
-    from pyspark.sql import functions as F
-
-    from acoustic_feature_extractor_spark.operators.intervals import (
-        adjust_boundaries_to_idle,
-        mask_from_spans,
+def test_size_gated_broadcast(spark):
+    """A broadcast hint on a relation that grows with the input is a
+    scale hazard (a forced hint past the 8 GB ceiling FAILS the job
+    instead of falling back to a shuffle join). maybe_broadcast gates the
+    hint on Catalyst's own optimizer size estimate: a small relation gets
+    the static hint, a large one is left for AQE to decide at runtime."""
+    from acoustic_feature_extractor_spark.plans.hints import (
+        estimated_size_bytes,
+        maybe_broadcast,
     )
 
-    frames = spark.createDataFrame(
-        pd.DataFrame({"conv_id": ["a"] * 3, "ts": [1.0, 2.0, 3.0]})
-    )
-    spans = spark.createDataFrame(
-        pd.DataFrame(
-            {"conv_id": ["a"], "span_id": [0], "start_ts": [1.5], "end_ts": [2.5]}
+    small = spark.range(100)
+    big = spark.range(1 << 33)  # est ~64 GB — far past any threshold
+    assert estimated_size_bytes(big) > (8 << 30)
+    hinted = maybe_broadcast(small)._jdf.queryExecution().analyzed().toString()
+    unhinted = maybe_broadcast(big)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in hinted
+    assert "ResolvedHint" not in unhinted
+
+
+def test_no_unconditional_broadcast_of_fact_scaled_relations():
+    """Source lint: every ``F.broadcast`` in the operator package must be
+    either size-gated (``maybe_broadcast``) or on a relation bounded BY
+    CONSTRUCTION (1-row global stats, n_chunks-row offset tables,
+    caller-capped entity picks). Any new raw hint site fails here until
+    it is justified below — the review gate for the 8 GB-ceiling hazard."""
+    import pathlib
+
+    pkg = pathlib.Path("acoustic_feature_extractor_spark")
+    allowed = {
+        # file -> bounded-by-construction justification
+        "plans/pipeline.py": 1,   # 1-row global corpus stats
+        "operators/sample.py": 2,  # n_chunks offsets + <=max_entities picks
+    }
+    for f in pkg.rglob("*.py"):
+        if f.name == "hints.py":
+            continue
+        n = open(f).read().count("F.broadcast(")
+        rel = str(f.relative_to(pkg))
+        assert n <= allowed.get(rel, 0), (
+            f"{rel}: {n} raw F.broadcast sites (allowed "
+            f"{allowed.get(rel, 0)}) — use maybe_broadcast or justify here"
         )
-    )
-    for df in (
-        mask_from_spans(frames, spans.drop("span_id")),
-        adjust_boundaries_to_idle(spans, spans.drop("span_id")),
-    ):
-        analyzed = df._jdf.queryExecution().analyzed().toString()
-        assert "ResolvedHint" not in analyzed
