@@ -55,6 +55,34 @@ def onehot(label: Column, vocabulary: list[str]) -> Column:
     return F.array(*[(label == F.lit(v)).cast("int") for v in vocabulary])
 
 
+def searchsorted(col: Column, bounds: list) -> Column:
+    """Number of ``bounds`` values ≤ ``col`` (numpy.searchsorted side
+    'right' over a SORTED literal boundary list), as a balanced tree of
+    nested CASE WHENs.
+
+    This is the range-chunk assignment primitive (weighted percentile,
+    stratified sample): a linear ``aggregate`` over the boundary array
+    costs O(n_bounds) INTERPRETED steps per fact row — fine at 64
+    boundaries, a hot-path tax at a 2048-partition cluster. The CASE tree
+    is O(n_bounds) in expression size but O(log n) comparisons per row at
+    runtime (only the taken branch evaluates), and stays inside
+    whole-stage codegen.
+    """
+    if not bounds:
+        return F.lit(0)
+
+    def rec(lo: int, hi: int) -> Column:
+        # result pid is known to lie in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        return F.when(col >= F.lit(bounds[mid - 1]), rec(mid, hi)).otherwise(
+            rec(lo, mid - 1)
+        )
+
+    return rec(0, len(bounds))
+
+
 def index_to_seconds(idx: Column, rate: float) -> Column:
     """frame index → seconds (``linguistic_feature.py:71-75``)."""
     return idx.cast("double") / F.lit(float(rate))

@@ -201,7 +201,9 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     # one materialized shingle table feeds both the signature aggregation
     # and the exact-Jaccard verify (otherwise each branch re-tokenizes and
-    # re-explodes the corpus); LRU-evicted after the job
+    # re-explodes the corpus). Lifetime: reclaimed by the ContextCleaner
+    # when the plan is dropped / LRU under pressure; long-lived callers
+    # can clearCache() between invocations (bench.py does).
     sh = _shingle_table(df, text_col, id_col, w).persist()
     sig = _signatures_from_shingles(sh, id_col, num_hashes, seed)
     banded = sig.select(

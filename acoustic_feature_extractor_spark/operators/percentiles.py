@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from acoustic_feature_extractor_spark.functions.scalars import searchsorted
 from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
 
 
@@ -97,15 +98,10 @@ def weighted_percentile(
             if fractions
             else []
         )
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        d = d.withColumn(
-            "_pid",
-            F.aggregate(
-                barr,
-                F.lit(0),
-                lambda acc, b: acc + F.when(F.col("_v") >= b, 1).otherwise(0),
-            ),
-        )
+        # log-depth codegen'd CASE tree, not a linear interpreted HOF —
+        # at 2048 cluster partitions the per-row cost is 11 comparisons,
+        # not 2047 interpreted lambda steps
+        d = d.withColumn("_pid", searchsorted(F.col("_v"), [float(b) for b in bounds]))
     w_local = Window.partitionBy(*gcols, "_pid").orderBy("_v")
     w_local_cum = w_local.rowsBetween(Window.unboundedPreceding, 0)
     d = d.withColumn("_lcw", F.sum("_w").over(w_local_cum)).withColumn(
@@ -113,7 +109,10 @@ def weighted_percentile(
     )
     # the chunked cumsum feeds four branches (offsets, first-row stitch,
     # extrema, the fact scan itself) — materialize it once rather than
-    # re-sorting the fact table per branch; evicted by Spark's LRU
+    # re-sorting the fact table per branch. Lifetime: the cache is
+    # reclaimed by Spark's ContextCleaner once this plan is unreachable
+    # (or by LRU under pressure); long-lived drivers issuing many calls
+    # can spark.catalog.clearCache() between them (bench.py does).
     d = d.persist()
     # tiny per-(group, partition) summary -> exclusive prefix offsets
     psum = d.groupBy(*gcols, "_pid").agg(
@@ -124,9 +123,10 @@ def weighted_percentile(
     # per chunk, bounded by shuffle partitions per group. Partition on a
     # constant when ungrouped: same single-partition plan, but an EXPLICIT
     # one — silences the global-window warning so it stays a reliable
-    # signal for real regressions. (_pid * 0, not lit(0): Catalyst folds
-    # literal partition keys away and the warning returns.)
-    summary_part = gcols if gcols else [F.col("_pid") * 0]
+    # signal for real regressions. (pmod(_pid, 1), not _pid * 0 or
+    # lit(0): Catalyst simplifies those to foldable literals and drops
+    # the partition spec entirely.)
+    summary_part = gcols if gcols else [F.pmod(F.col("_pid"), F.lit(1))]
     w_off = Window.partitionBy(*summary_part).orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from acoustic_feature_extractor_spark.functions.scalars import searchsorted
+
 
 def stratified_entity_sample(
     df: DataFrame,
@@ -43,21 +45,17 @@ def stratified_entity_sample(
         .limit(n_chunks - 1)
         .collect()
     )
-    if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        pid = F.aggregate(
-            barr, F.lit(0), lambda acc, b: acc + F.when(F.col(key) >= b, 1).otherwise(0)
-        )
-    else:
-        pid = F.lit(0)
+    # log-depth CASE tree (codegen'd) instead of a linear interpreted HOF
+    pid = searchsorted(F.col(key), bounds)
     k = keys.withColumn("_pid", pid)
     w_local = Window.partitionBy("_pid").orderBy(key)
     k = k.withColumn("_lrk", F.row_number().over(w_local) - 1)
     counts = k.groupBy("_pid").agg(F.count("*").alias("_n"))
-    # counts is n_chunks rows; constant (non-foldable — Catalyst folds
-    # literals away) partition key = explicit single partition without
-    # the global-window warning
-    w_off = Window.partitionBy(F.col("_pid") * 0).orderBy("_pid").rowsBetween(
+    # counts is n_chunks rows; constant partition key = explicit single
+    # partition without the global-window warning. pmod(_pid, 1), NOT
+    # _pid * 0 or lit(0): Catalyst simplifies both of those to a foldable
+    # literal and then drops the partition spec entirely
+    w_off = Window.partitionBy(F.pmod(F.col("_pid"), F.lit(1))).orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))

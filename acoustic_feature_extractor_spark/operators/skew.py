@@ -145,8 +145,12 @@ def salted_forward_fill(
         Window.partitionBy(key, "_chunk").orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
     )
     d = d.withColumn("_local", F.last(value_col, ignorenulls=True).over(w_local))
+    # chunk state = the _local of the chunk's LAST row BY ORDER (its
+    # running fill is the chunk's last non-null). max_by, not
+    # F.last-in-agg: aggregate last() follows encounter order, which is
+    # partition-layout-dependent — nondeterministic across runs.
     lasts = d.groupBy(key, "_chunk").agg(
-        F.last("_local", ignorenulls=True).alias("_chunk_last")
+        F.max_by("_local", F.col(order)).alias("_chunk_last")
     )
     w_carry = Window.partitionBy(key).orderBy("_chunk").rowsBetween(Window.unboundedPreceding, -1)
     carry = lasts.withColumn(
