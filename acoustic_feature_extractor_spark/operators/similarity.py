@@ -151,15 +151,24 @@ def _nearest_centroid_cols(vec: Column, centroids: list[list[float]], n_probe: i
     """Array of the ``n_probe`` nearest centroid ids (by cosine) for ``vec``.
 
     Centroids are literal arrays (driver-picked, tiny), so the whole
-    assignment is one JVM-side expression — no join, no Python.
+    assignment is one JVM-side expression — no join, no Python. The
+    centroids are UNIT-normalized on the driver and ranked by plain dot
+    product: cosine's division by |vec| is constant across candidates, so
+    the argmax is identical — and the expression skips both the
+    per-centroid |vec| recomputation and the division (HOF expressions
+    are interpreted; halving their count halves the assignment cost).
     """
+    units = []
+    for c in centroids:
+        nrm = sum(x * x for x in c) ** 0.5 or 1.0
+        units.append([float(x) / nrm for x in c])
     sims = F.array(
         *[
             F.struct(
-                cosine(vec, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+                dot(vec, F.array(*[F.lit(x) for x in u])).alias("sim"),
                 F.lit(i).alias("cid"),
             )
-            for i, c in enumerate(centroids)
+            for i, u in enumerate(units)
         ]
     )
     top = F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)

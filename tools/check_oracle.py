@@ -10,6 +10,7 @@ value representation (rows sorted, floats canonicalized). Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -44,7 +45,7 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from acoustic_feature_extractor_spark.session import get_spark
 
-    sf_dir = "/root/testdata/sf0.01"
+    sf_dir = os.environ.get("AFE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     spark = get_spark(cores=16)
     con = duckdb.connect()
     for t in (
