@@ -37,6 +37,7 @@ from acoustic_feature_extractor_spark.operators import (
     intervals as interval_ops,
     multimodal as mm_ops,
     percentiles as pct_ops,
+    pack as pack_ops,
     sample as sample_ops,
     sessionize as sess_ops,
     similarity as sim_ops,
@@ -974,8 +975,15 @@ WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-join near-dup with the hot-shingle cap ON (max_doc_freq):
+    shingles shared by >20% of the corpus are banned from candidate
+    generation AND from the Jaccard sets — the classic LSH move that
+    bounds join fan-out at web scale. The oracle applies the same cap."""
     d = _t(spark, sf_dir, "documents")
-    p = dedup_ops.ngram_jaccard_pairs(d, w=3, threshold=0.5)
+    n_docs = d.count()
+    p = dedup_ops.ngram_jaccard_pairs(
+        d, w=3, threshold=0.5, max_doc_freq=max(n_docs // 5, 10)
+    )
     return p.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -991,6 +999,42 @@ sh AS (
   SELECT DISTINCT doc_id,
          array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
   FROM tok, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS t(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+# same shingle pipeline with the hot-shingle document-frequency cap the
+# Spark query applies (max_doc_freq = max(N/5, 10)) — capped shingles are
+# excluded from candidates AND from the Jaccard sets on both engines
+_SQL_NGRAM_JACCARD_CAPPED = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+  FROM tok, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS t(i)
+),
+hot AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING count(*) > (SELECT greatest(CAST(floor(count(DISTINCT doc_id) / 5.0) AS BIGINT), 10)
+                     FROM documents)
+),
+sh AS (
+  SELECT s.doc_id, s.shingle FROM sh0 s
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = s.shingle)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -1651,6 +1695,161 @@ SELECT round(lo, 6) AS lo, round(hi, 6) AS hi FROM bracket2
 """
 
 
+def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents laid on a
+    per-bucket token tape, sequences cut every ``capacity`` tokens; pure
+    window-cumsum plan (one shuffle). Bucket = doc_id % 8 here so the
+    DuckDB oracle reproduces the layout (production default: xxhash64)."""
+    d = _t(spark, sf_dir, "documents")
+    p = pack_ops.pack_concat(
+        d,
+        tokens_col="n_chars",
+        id_col="doc_id",
+        capacity=2048,
+        bucket=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return p.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("tape_start").cast("long").alias("tape_start"),
+        F.col("pack_first").cast("long").alias("pack_first"),
+        F.col("pack_last").cast("long").alias("pack_last"),
+        F.col("n_pieces").cast("long").alias("n_pieces"),
+    )
+
+
+_SQL_PACK_CONCAT = """
+WITH d AS (SELECT doc_id, n_chars, doc_id % 8 AS bucket FROM documents),
+c AS (
+  SELECT doc_id, n_chars, bucket,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tape_start
+  FROM d),
+p AS (
+  SELECT doc_id, n_chars, bucket, tape_start,
+         CAST(floor(tape_start / 2048.0) AS BIGINT) AS pack_first,
+         CAST(greatest(floor((tape_start + n_chars - 1) / 2048.0),
+                       floor(tape_start / 2048.0)) AS BIGINT) AS pack_last
+  FROM c)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(bucket AS BIGINT) AS bucket, CAST(tape_start AS BIGINT) AS tape_start,
+       pack_first, pack_last, pack_last - pack_first + 1 AS n_pieces
+FROM p
+"""
+
+
+def q_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing (no straddling): reset-on-overflow fill is
+    a true recursion, run as an O(#packs·log n) searchsorted loop per hash
+    bucket inside Arrow-batched applyInPandas; the DuckDB oracle replays
+    the identical recursion as a recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    p = pack_ops.pack_greedy(
+        d,
+        tokens_col="n_chars",
+        id_col="doc_id",
+        capacity=2048,
+        bucket=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return p.select(
+        "bucket",
+        "doc_id",
+        "n_chars",
+        "pack_id",
+        "pack_pos",
+    )
+
+
+_SQL_PACK_GREEDY = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, n_chars, doc_id % 8 AS bucket,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents),
+rec AS (
+  SELECT bucket, doc_id, n_chars, rn, CAST(0 AS BIGINT) AS pack_id,
+         n_chars AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT x.bucket, x.doc_id, x.n_chars, x.rn,
+         CASE WHEN r.fill + x.n_chars > 2048 THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.fill + x.n_chars > 2048 THEN x.n_chars ELSE r.fill + x.n_chars END
+  FROM rec r JOIN d x ON x.bucket = r.bucket AND x.rn = r.rn + 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars, pack_id,
+       CAST(rn - min(rn) OVER (PARTITION BY bucket, pack_id) AS BIGINT) AS pack_pos
+FROM rec
+"""
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (tf · (ln((N+1)/(df+1)) + 1)), ties broken by term text."""
+    d = _t(spark, sf_dir, "documents")
+    t = tx.tfidf_top_terms(d, k=3)
+    return t.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        F.col("rank").cast("long").alias("rank"),
+        "tfidf",
+    )
+
+
+_SQL_TFIDF = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf * (ln((n.n + 1) / (d.df + 1)) + 1.0) AS tfidf
+  FROM tf t JOIN dfq d USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(rank AS BIGINT) AS rank,
+       round(tfidf, 6) AS tfidf
+FROM r WHERE rank <= 3
+"""
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization: clip values to the exact [p5, p95]
+    percentile bounds (linear-interpolation percentile = numpy/DuckDB
+    quantile_cont semantics); bounds broadcast back, fact unshuffled."""
+    ev = _t(spark, sf_dir, "events")
+    wz = stats_ops.winsorize(
+        ev, "value", q_lo=0.05, q_hi=0.95, group_cols=["event_type"]
+    )
+    return wz.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        _ts_sec("ts").alias("ts_sec"),
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("value_w", 6).alias("value_w"),
+    )
+
+
+_SQL_WINSORIZE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT CAST(e.user_id AS BIGINT) AS user_id,
+       round(epoch_us(e.ts)/1000000.0, 6) AS ts_sec,
+       e.event_type,
+       round(e.value, 6) AS value,
+       round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w
+FROM events e JOIN b USING (event_type)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1705,6 +1904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
+        "pack_concat": q_pack_concat,
+        "pack_greedy": q_pack_greedy,
+        "tfidf_topk": q_tfidf_topk,
+        "winsorize": q_winsorize,
     }
 
 
@@ -1749,7 +1952,7 @@ def oracle_sql() -> dict[str, str]:
         "boundary_adjust": _SQL_BOUNDARY,
         "range_refine": _SQL_RANGE_REFINE,
         "dedup_exact": _SQL_DEDUP_EXACT,
-        "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD_CAPPED,
         # minhash-LSH at r=1 banding has provably-total recall on this
         # fixture (pytest-asserted), so its verified output equals the
         # exact-Jaccard pair set — same oracle SQL, different physical plan
@@ -1765,4 +1968,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "embedding_neardup": _SQL_EMBEDDING_NEARDUP,
         "media_features": _SQL_MEDIA,
+        "pack_concat": _SQL_PACK_CONCAT,
+        "pack_greedy": _SQL_PACK_GREEDY,
+        "tfidf_topk": _SQL_TFIDF,
+        "winsorize": _SQL_WINSORIZE,
     }

@@ -11,6 +11,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
 
 # Tiny stopword lists for the n-gram/lexicon language-ID heuristic.
 STOPWORDS = {
@@ -107,6 +110,44 @@ def fingerprint(text: Column) -> Column:
         ),
     )
     return F.pmod(acc["s"], F.lit(2147483647))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf = term count within the document; idf = ln((N+1)/(df+1)) + 1
+    (smoothed, sklearn-style); score = tf·idf. Ties broken by term text so
+    the top-k set is deterministic. Plan shape: one explode + two
+    aggregations + a broadcast-joined doc-count literal; the per-document
+    top-k is a window over (doc, term) rows — at web scale the term table
+    shuffles once on term (doc-frequency) and once on doc (top-k), both
+    unavoidable for exact TF-IDF.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(maybe_broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "rank", F.round("tfidf", 6).alias("tfidf"))
+    )
 
 
 def document_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -89,6 +89,40 @@ def normalize(
     return j.withColumn(out_col, converted).drop("_im", "_iv")
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    group_cols: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip ``value_col`` to its exact [q_lo, q_hi] percentile bounds.
+
+    The outlier-capping stage of a feature pipeline (the reference trims
+    by percentile range before computing statistics,
+    ``extract_f0_range.py:307-353``; winsorizing is the keep-the-row
+    variant). Exact ``percentile`` (linear interpolation — numpy/DuckDB
+    ``quantile_cont`` semantics); at 10^12 rows substitute
+    ``percentile_approx`` via ``exact=False``-style callers. The bounds
+    table is one row (global) or one per group — broadcast back, fact
+    table shuffles zero times in the global case.
+    """
+    out_col = out_col or f"{value_col}_w"
+    aggs = [
+        F.expr(f"percentile({value_col}, {float(q_lo)})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {float(q_hi)})").alias("_hi"),
+    ]
+    if group_cols:
+        bounds = df.groupBy(*group_cols).agg(*aggs)
+        j = df.join(maybe_broadcast(bounds), group_cols, "left")
+    else:
+        bounds = df.agg(*aggs)
+        j = df.crossJoin(maybe_broadcast(bounds))
+    clipped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    return j.withColumn(out_col, clipped).drop("_lo", "_hi")
+
+
 def all_same_filter(
     df: DataFrame, value_col: str, key: str = "conv_id"
 ) -> DataFrame:

@@ -85,3 +85,30 @@ def test_all_same_filter(spark):
     df = spark.createDataFrame(pdf)
     kept = all_same_filter(df, "v")
     assert set(r["conv_id"] for r in kept.select("conv_id").distinct().collect()) == {"a"}
+
+
+def test_winsorize_global_and_grouped(spark):
+    from acoustic_feature_extractor_spark.operators.stats import winsorize
+
+    rng = np.random.RandomState(21)
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 60 + ["b"] * 40,
+            "v": np.concatenate([rng.rand(60) * 10, rng.rand(40) * 1000]),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    out = winsorize(df, "v", 0.1, 0.9).select("g", "v", "v_w").toPandas()
+    lo, hi = np.percentile(pdf["v"], 10), np.percentile(pdf["v"], 90)
+    np.testing.assert_allclose(
+        np.sort(out["v_w"]), np.sort(pdf["v"].clip(lo, hi)), rtol=1e-9
+    )
+
+    outg = winsorize(df, "v", 0.1, 0.9, group_cols=["g"]).toPandas()
+    for g, grp in pdf.groupby("g"):
+        lo, hi = np.percentile(grp["v"], 10), np.percentile(grp["v"], 90)
+        got = np.sort(outg.loc[outg["g"] == g, "v_w"])
+        np.testing.assert_allclose(got, np.sort(grp["v"].clip(lo, hi)), rtol=1e-9)
+    # row count preserved (winsorize caps, never drops)
+    assert len(outg) == len(pdf)

@@ -38,3 +38,35 @@ def test_document_profile_oracle(spark):
     assert out[3]["lang_guess"] == "fr"
     # quality ordering: clean english sentence > garbage
     assert out[0]["quality"] > out[2]["quality"]
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from acoustic_feature_extractor_spark.functions.text import tfidf_top_terms
+
+    docs = [
+        (0, "apple apple banana common common common"),
+        (1, "banana cherry common common"),
+        (2, "cherry cherry cherry common durian"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    out = tfidf_top_terms(df, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"]) for r in out}
+
+    n = len(docs)
+    dfreq = {"apple": 1, "banana": 2, "cherry": 2, "common": 3, "durian": 1}
+
+    def score(tf, term):
+        return tf * (math.log((n + 1) / (dfreq[term] + 1)) + 1.0)
+
+    # doc0: apple tf=2 beats common tf=3 (idf penalizes the ubiquitous term)
+    assert got[(0, 1)][0] == "apple"
+    assert abs(got[(0, 1)][1] - round(score(2, "apple"), 6)) < 1e-9
+    # doc2: cherry tf=3 dominates
+    assert got[(2, 1)][0] == "cherry"
+    # doc1: common tf=2 wins; banana/cherry tie (same tf, same df) broken
+    # by term text -> banana takes rank 2
+    assert got[(1, 1)][0] == "common" and got[(1, 2)][0] == "banana"
+    # exactly k rows per doc
+    assert len(out) == 6
