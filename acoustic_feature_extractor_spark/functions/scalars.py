@@ -55,7 +55,7 @@ def onehot(label: Column, vocabulary: list[str]) -> Column:
     return F.array(*[(label == F.lit(v)).cast("int") for v in vocabulary])
 
 
-def searchsorted(col: Column, bounds: list) -> Column:
+def searchsorted(col: Column | str, bounds: list) -> Column:
     """Number of ``bounds`` values ≤ ``col`` (numpy.searchsorted side
     'right' over a SORTED literal boundary list), as a balanced tree of
     nested CASE WHENs.
@@ -67,9 +67,31 @@ def searchsorted(col: Column, bounds: list) -> Column:
     is O(n_bounds) in expression size but O(log n) comparisons per row at
     runtime (only the taken branch evaluates), and stays inside
     whole-stage codegen.
+
+    Pass ``col`` as a column NAME to build the tree as ONE parsed F.expr
+    string — a python-built F.when tree costs ~4 py4j round trips per
+    boundary (hundreds of ms of driver latency per plan at cluster
+    partition counts); the string parses JVM-side in a single call.
     """
     if not bounds:
         return F.lit(0)
+
+    if isinstance(col, str):
+        def lit(v) -> str:
+            if isinstance(v, str):
+                return "'" + v.replace("'", "''") + "'"
+            return repr(float(v)) + "d" if isinstance(v, float) else str(v)
+
+        def rec_s(lo: int, hi: int) -> str:
+            if lo == hi:
+                return str(lo)
+            mid = (lo + hi + 1) // 2
+            return (
+                f"CASE WHEN {col} >= {lit(bounds[mid - 1])} "
+                f"THEN {rec_s(mid, hi)} ELSE {rec_s(lo, mid - 1)} END"
+            )
+
+        return F.expr(rec_s(0, len(bounds)))
 
     def rec(lo: int, hi: int) -> Column:
         # result pid is known to lie in [lo, hi]

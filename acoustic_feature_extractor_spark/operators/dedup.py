@@ -35,14 +35,19 @@ def tokenize(text: Column) -> Column:
 
 
 def word_shingles(tokens: Column, w: int = 3) -> Column:
-    """Array of w-word shingles (space-joined)."""
+    """Array of w-word shingles (space-joined).
+
+    Built by zipping ``w`` shifted slices of the token array and joining
+    each tuple — ``w`` whole-array slices + one zip, with only a cheap
+    ``concat_ws`` per element. The obvious per-element
+    ``slice(tokens, i, w)`` lambda costs ~6× more: higher-order-function
+    lambdas are interpreted, so per-element array allocation dominates.
+    """
     n = F.size(tokens)
-    return F.when(n < w, F.array(F.array_join(tokens, " "))).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - w),
-            lambda i: F.array_join(F.slice(tokens, i + 1, w), " "),
-        )
-    )
+    m = n - (w - 1)
+    z = F.arrays_zip(*[F.slice(tokens, i + 1, m) for i in range(w)])
+    joined = F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(w)]))
+    return F.when(n < w, F.array(F.array_join(tokens, " "))).otherwise(joined)
 
 
 def exact_dedup(
@@ -150,11 +155,17 @@ def _signatures_from_shingles(
     # avoided: use (a%p)*(x%p) staying < 2^122 — NOT long-safe. Instead use
     # two-step mod with smaller 31-bit multipliers: collisions are
     # irrelevant at minhash precision.
+    # the folded shingle is shared by all num_hashes aggregates: project it
+    # ONCE (codegen CSE does not span aggregate expressions). Each agg is
+    # ONE F.expr string, not a chain of Column operators — building
+    # num_hashes × ~7 Column ops costs a py4j round trip each (~1s of
+    # driver latency per plan); a parsed SQL string is a single call.
+    sh = sh.withColumn("_x", F.pmod(F.col("shingle"), F.lit(2147483647)))
     aggs = []
     for i, (ai, bi) in enumerate(coeffs):
         a31, b31 = ai % 2147483647, bi % 2147483647
-        hv = (F.pmod(F.col("shingle"), F.lit(2147483647)) * F.lit(a31) + F.lit(b31)) % F.lit(_P)
-        aggs.append(F.min(hv).alias(f"_m{i}"))
+        # _x < 2^31 and a31 < 2^31 keep the product below 2^62: exact int64
+        aggs.append(F.expr(f"min((_x * {a31} + {b31}) % {_P}) AS _m{i}"))
     g = sh.groupBy(id_col).agg(*aggs)
     return g.select(
         id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature")
@@ -201,11 +212,18 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     # one materialized shingle table feeds both the signature aggregation
     # and the exact-Jaccard verify (otherwise each branch re-tokenizes and
-    # re-explodes the corpus). Lifetime: reclaimed by the ContextCleaner
-    # when the plan is dropped / LRU under pressure; long-lived callers
-    # can clearCache() between invocations (bench.py does).
-    sh = _shingle_table(df, text_col, id_col, w).persist()
-    sig = _signatures_from_shingles(sh, id_col, num_hashes, seed)
+    # re-explodes the corpus). NON-distinct: minhash is duplicate-invariant
+    # and the verify below dedups via collect_set, so the explicit
+    # distinct shuffle would be pure overhead. Lifetime: reclaimed by the
+    # ContextCleaner when the plan is dropped / LRU under pressure;
+    # long-lived callers can clearCache() between invocations (bench.py
+    # does).
+    sh = _shingle_table(df, text_col, id_col, w, distinct=False).persist()
+    # one row per doc (num_hashes longs): persisted because the band
+    # self-join below references it on BOTH sides — without the cache the
+    # whole signature aggregation (the pipeline's most expensive stage)
+    # executes twice
+    sig = _signatures_from_shingles(sh, id_col, num_hashes, seed).persist()
     banded = sig.select(
         id_col,
         F.explode(
@@ -226,17 +244,31 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
-    ja = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    jb = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(ja, "id_a").join(jb, ["id_b", "shingle"]).groupBy("id_a", "id_b").agg(F.count("*").alias("_i"))
+    # Exact verify WITHOUT re-exploding shingles per candidate: pack each
+    # doc's (distinct) shingle hashes into ONE sorted array row, join the
+    # candidate pairs against that table on both sides, and take the
+    # intersection with a vectorized JVM array op. The explode shape
+    # (cand ⋈ shingles ⋈ shingles) fans every pair out to ~|doc| rows
+    # before the count — an order of magnitude more shuffle for the same
+    # answer. The array table carries one row per doc (estimate-gated
+    # broadcast; a shuffle join at 10^9 docs still moves each set once,
+    # not |doc| times).
+    doc_sets = sh.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("shingle")).alias("_set")
     )
-    # per-document sizes table: estimate-gated hint (see ngram_jaccard_pairs)
+    j = cand.join(
+        maybe_broadcast(doc_sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))),
+        "id_a",
+    ).join(
+        maybe_broadcast(doc_sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))),
+        "id_b",
+    )
+    j = j.withColumn("_i", F.size(F.array_intersect("_sa", "_sb")))
     return (
-        inter.join(maybe_broadcast(sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na"))), "id_a")
-        .join(maybe_broadcast(sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb"))), "id_b")
-        .withColumn("jaccard", F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")))
+        j.withColumn(
+            "jaccard",
+            F.col("_i") / (F.size("_sa") + F.size("_sb") - F.col("_i")),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -293,19 +325,41 @@ def simhash(
     tok = df.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
     ).withColumn("_h", hash_fn(F.col("_t")))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{j}")
-        for j in range(bits)
-    ]
+    # SWAR bit-plane accumulation: instead of `bits` conditional ±1 sums
+    # (one agg buffer + CASE per bit per row), accumulate 16 planes —
+    # plane k packs the counts of bits {k, k+16, k+32, k+48} into four
+    # 16-bit lanes of ONE long: sum((h >> k) & 0x0001000100010001). Per
+    # row that is 16 shift+mask+adds instead of `bits` CASEs (~4-6×
+    # less aggregate work); the per-bit majority vote (2·cnt > n, the
+    # exact equivalent of sign(Σ±1)) unpacks lanes AFTER the aggregation,
+    # on one row per document. Lane capacity bounds the doc length:
+    # n ≤ 32767 tokens keeps every lane sum exact in int64 (try_sum +
+    # the explicit guard below null the fingerprint beyond the bound
+    # instead of failing the job under ANSI mode).
+    lane_mask = 0x0001000100010001
+    max_tokens = 32767
+    n_planes = min(16, bits)
+    aggs = [F.count("*").alias("_n")]
+    for k in range(n_planes):
+        plane = F.shiftright(F.col("_h"), k).bitwiseAND(F.lit(lane_mask))
+        aggs.append(F.try_sum(plane).alias(f"_p{k}"))
     g = tok.groupBy(id_col).agg(*aggs)
-    fp = None
+    # ONE F.expr string for the vote/assembly, not a python loop of
+    # Column.bitwiseOR calls: chaining `bits` Columns costs ~8 py4j round
+    # trips per bit (~1.5s of driver latency per plan build); a flat SQL
+    # sum of disjoint bit terms is a single call and analyzes JVM-side.
+    terms = []
     for j in range(bits):
-        bit = F.when(F.col(f"_b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, j)
-        fp = term if fp is None else fp.bitwiseOR(term)
-    return g.select(id_col, fp.alias("simhash"))
+        k, lane = j % 16, j // 16
+        cnt = f"(shiftright(_p{k}, {16 * lane}) & 65535)"
+        terms.append(
+            f"(CASE WHEN {cnt} * 2 > _n THEN shiftleft(CAST(1 AS BIGINT), {j}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    fp = F.expr(" + ".join(terms))
+    return g.select(
+        id_col, F.when(F.col("_n") <= max_tokens, fp).alias("simhash")
+    )
 
 
 def simhash_pairs(
@@ -331,7 +385,10 @@ def simhash_pairs(
         w = base_w + (1 if ci < extra else 0)
         offsets.append((off, w))
         off += w
-    s = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
+    # one row per doc: persisted because the pigeonhole self-join below
+    # references the fingerprint table on both sides — without the cache
+    # the whole token-explode aggregation executes twice
+    s = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn).persist()
     # static chunk list (shiftright needs a literal bit count)
     chunk_structs = [
         F.struct(

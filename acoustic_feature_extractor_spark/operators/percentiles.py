@@ -94,14 +94,17 @@ def weighted_percentile(
     else:
         fractions = [i / n_part for i in range(1, n_part)]
         bounds = (
-            sorted(set(d.stat.approxQuantile("_v", fractions, 0.001)))
+            # 0.01 relative error: the bounds only balance the chunking
+            # (never the percentile values), so a loose sketch is free
+            # accuracy-wise and cheaper to merge
+            sorted(set(d.stat.approxQuantile("_v", fractions, 0.01)))
             if fractions
             else []
         )
         # log-depth codegen'd CASE tree, not a linear interpreted HOF —
         # at 2048 cluster partitions the per-row cost is 11 comparisons,
         # not 2047 interpreted lambda steps
-        d = d.withColumn("_pid", searchsorted(F.col("_v"), [float(b) for b in bounds]))
+        d = d.withColumn("_pid", searchsorted("_v", [float(b) for b in bounds]))
     w_local = Window.partitionBy(*gcols, "_pid").orderBy("_v")
     w_local_cum = w_local.rowsBetween(Window.unboundedPreceding, 0)
     d = d.withColumn("_lcw", F.sum("_w").over(w_local_cum)).withColumn(

@@ -46,7 +46,7 @@ def stratified_entity_sample(
         .collect()
     )
     # log-depth CASE tree (codegen'd) instead of a linear interpreted HOF
-    pid = searchsorted(F.col(key), bounds)
+    pid = searchsorted(key, bounds)
     k = keys.withColumn("_pid", pid)
     w_local = Window.partitionBy("_pid").orderBy(key)
     k = k.withColumn("_lrk", F.row_number().over(w_local) - 1)

@@ -85,15 +85,25 @@ def _hyperplane(dim: int, plane: int, seed: int) -> list[float]:
 
 
 def lsh_bucket(
-    vec: Column, dim: int, n_planes: int = 8, seed: int = 42
+    vec: str, dim: int, n_planes: int = 8, seed: int = 42
 ) -> Column:
-    """Random-hyperplane LSH bucket id (int in [0, 2^n_planes))."""
-    bucket = F.lit(0)
+    """Random-hyperplane LSH bucket id (int in [0, 2^n_planes)).
+
+    ``vec`` is a column NAME: the whole projection is ONE parsed F.expr
+    string — building n_planes × dim literal Columns costs a py4j round
+    trip each (driver-latency hot spot); the string is a single call.
+    """
+    terms = []
     for p in range(n_planes):
-        wts = F.array(*[F.lit(w) for w in _hyperplane(dim, p, seed)])
-        bit = F.when(dot(vec, wts) > 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bucket * 2 + bit
-    return bucket
+        vals = ", ".join(f"{w!r}d" for w in _hyperplane(dim, p, seed))
+        proj = (
+            f"aggregate(zip_with({vec}, array({vals}), (x, y) -> x * y), "
+            "0d, (acc, v) -> acc + v)"
+        )
+        terms.append(
+            f"(CASE WHEN {proj} > 0d THEN {1 << (n_planes - 1 - p)} ELSE 0 END)"
+        )
+    return F.expr(" + ".join(terms))
 
 
 def cosine_topk_lsh(
@@ -122,7 +132,7 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
-    ).withColumn("_bkt", lsh_bucket(F.col("_qv"), dim, n_planes, seed))
+    ).withColumn("_bkt", lsh_bucket("_qv", dim, n_planes, seed))
     if probe_hamming > 0:
         masks = [
             m for m in range(1 << n_planes) if bin(m).count("1") <= probe_hamming
@@ -136,7 +146,7 @@ def cosine_topk_lsh(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
-    ).withColumn("_bkt", lsh_bucket(F.col("_cv"), dim, n_planes, seed))
+    ).withColumn("_bkt", lsh_bucket("_cv", dim, n_planes, seed))
     j = c.join(maybe_broadcast(q), "_bkt").where(F.col("query_id") != F.col("neighbor_id"))
     scored = j.withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
@@ -147,7 +157,7 @@ def cosine_topk_lsh(
     )
 
 
-def _nearest_centroid_cols(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+def _nearest_centroid_cols(vec: str, centroids: list[list[float]], n_probe: int) -> Column:
     """Array of the ``n_probe`` nearest centroid ids (by cosine) for ``vec``.
 
     Centroids are literal arrays (driver-picked, tiny), so the whole
@@ -162,17 +172,21 @@ def _nearest_centroid_cols(vec: Column, centroids: list[list[float]], n_probe: i
     for c in centroids:
         nrm = sum(x * x for x in c) ** 0.5 or 1.0
         units.append([float(x) / nrm for x in c])
-    sims = F.array(
-        *[
-            F.struct(
-                dot(vec, F.array(*[F.lit(x) for x in u])).alias("sim"),
-                F.lit(i).alias("cid"),
-            )
-            for i, u in enumerate(units)
-        ]
+    # ONE F.expr string for the whole assignment: building it from Column
+    # operators costs n_centroids × dim py4j round trips for the literals
+    # alone (~1s driver latency per plan at 16×32); a parsed SQL string is
+    # a single call. `repr(float)` round-trips exactly, `d` marks doubles.
+    structs = ", ".join(
+        "named_struct('sim', aggregate(zip_with({v}, array({vals}), "
+        "(x, y) -> x * y), 0d, (acc, v) -> acc + v), 'cid', {i})".format(
+            v=vec, vals=", ".join(f"{x!r}d" for x in u), i=i
+        )
+        for i, u in enumerate(units)
     )
-    top = F.slice(F.reverse(F.array_sort(sims)), 1, n_probe)
-    return F.transform(top, lambda s: s["cid"])
+    return F.expr(
+        f"transform(slice(reverse(array_sort(array({structs}))), 1, {n_probe}), "
+        "s -> s.cid)"
+    )
 
 
 def cosine_topk_ivf(
@@ -216,13 +230,13 @@ def cosine_topk_ivf(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
     ).withColumn(
-        "_cid", F.element_at(_nearest_centroid_cols(F.col("_cv"), centroids, 1), 1)
+        "_cid", F.element_at(_nearest_centroid_cols("_cv", centroids, 1), 1)
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
     ).withColumn(
         "_cid",
-        F.explode(_nearest_centroid_cols(F.col("_qv"), centroids, n_probe)),
+        F.explode(_nearest_centroid_cols("_qv", centroids, n_probe)),
     )
     j = c.join(maybe_broadcast(q), "_cid").where(F.col("query_id") != F.col("neighbor_id"))
     scored = j.withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
@@ -431,7 +445,7 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs via LSH bucketing + verify."""
     v = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).withColumn("_bkt", lsh_bucket(F.col("_v"), dim, n_planes, seed))
+    ).withColumn("_bkt", lsh_bucket("_v", dim, n_planes, seed))
     a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bkt")
     b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bkt")
     return (

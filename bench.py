@@ -67,23 +67,34 @@ def main() -> None:
     t = t.persist()
     n_turns = t.count()  # materialize input outside the timed window
     force(turn_features(t))  # warmup
-    flagship_sec = float("inf")
+    runs = []
     for _ in range(2):
         t0 = time.perf_counter()
         force(turn_features(t))
-        flagship_sec = min(flagship_sec, time.perf_counter() - t0)
+        runs.append(time.perf_counter() - t0)
+    if max(runs) > 1.4 * min(runs):  # noisy-neighbor guard (see below)
+        t0 = time.perf_counter()
+        force(turn_features(t))
+        runs.append(time.perf_counter() - t0)
+    flagship_sec = min(runs)
     timings["transcripts_turn_features"] = round(flagship_sec, 3)
     turns_per_sec = n_turns / flagship_sec
     t.unpersist()
 
     qs = entry_mod.queries()
     for name in (BENCH_QUERIES or sorted(qs)):
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             force(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        # noisy-neighbor guard: when the two runs disagree badly the slow
+        # one was contended — one more sample, keep the best
+        if max(runs) > 1.4 * min(runs):
+            t0 = time.perf_counter()
+            force(qs[name](spark, sf_dir))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
         # operators that persist() intermediates (minhash shingles,
         # weighted-percentile cumsum) build a FRESH cache per invocation;
         # drop them between queries so cache pressure from earlier
