@@ -53,6 +53,7 @@ def weighted_percentile(
     qs: list[float],
     group_cols: list[str] | None = None,
     num_partitions: int | None = None,
+    chunk_bounds: list[float] | None = None,
 ) -> DataFrame:
     """Exact weighted percentile, fully distributed (``extract_f0_range.py:113-150``).
 
@@ -92,15 +93,21 @@ def weighted_percentile(
     if gcols:
         d = d.withColumn("_pid", F.lit(0))
     else:
-        fractions = [i / n_part for i in range(1, n_part)]
-        bounds = (
-            # 0.01 relative error: the bounds only balance the chunking
-            # (never the percentile values), so a loose sketch is free
-            # accuracy-wise and cheaper to merge
-            sorted(set(d.stat.approxQuantile("_v", fractions, 0.01)))
-            if fractions
-            else []
-        )
+        if chunk_bounds is not None:
+            # caller-supplied bounds (e.g. the iterative-refinement loop
+            # reuses round 1's bounds every round): skips the sketch scan.
+            # Any sorted list is CORRECT — bounds only balance chunk sizes.
+            bounds = sorted(set(chunk_bounds))
+        else:
+            fractions = [i / n_part for i in range(1, n_part)]
+            bounds = (
+                # 0.01 relative error: the bounds only balance the
+                # chunking (never the percentile values), so a loose
+                # sketch is free accuracy-wise and cheaper to merge
+                sorted(set(d.stat.approxQuantile("_v", fractions, 0.01)))
+                if fractions
+                else []
+            )
         # log-depth codegen'd CASE tree, not a linear interpreted HOF —
         # at 2048 cluster partitions the per-row cost is 11 comparisons,
         # not 2047 interpreted lambda steps
@@ -266,6 +273,15 @@ def iterative_range_refine(
     """
     import math
 
+    # ONE chunk-bound sketch for the whole loop: every round's trimmed set
+    # is a subset of the full input, so the initial bounds stay balanced
+    # (some chunks empty out — harmless) and each round skips its own
+    # sketch scan. Bounds only balance chunking, never percentile values.
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fr = [i / n_part for i in range(1, n_part)]
+    bounds = df.stat.approxQuantile(value_col, fr, 0.01) if fr else []
+
     lo, hi = None, None
     for _ in range(n_rounds):
         cur = df
@@ -273,7 +289,9 @@ def iterative_range_refine(
             cur = cur.where((F.col(value_col) >= lo) & (F.col(value_col) <= hi))
         pcts = {
             r["q"]: r["value"]
-            for r in weighted_percentile(cur, value_col, weight_col, [q_lo, q_hi]).collect()
+            for r in weighted_percentile(
+                cur, value_col, weight_col, [q_lo, q_hi], chunk_bounds=bounds
+            ).collect()
         }
         plo, phi = pcts[q_lo], pcts[q_hi]
         lo = math.exp(math.log(plo) - expand * (math.log(phi) - math.log(plo)))

@@ -51,8 +51,22 @@ def turn_features(
         .withColumn("roll_len_max", F.max("text_len").over(w_roll))
     )
     d = sessionize(d, gap_seconds=gap_seconds)
-    w_sess = Window.partitionBy("conv_id", "session_id").orderBy("turn_idx")
-    d = d.withColumn("turn_in_session", F.row_number().over(w_sess) - 1)
+    # turn_in_session = row_number over (conv_id, session_id) — but
+    # computed ON THE EXISTING (conv_id, turn_idx) sort: a window keyed by
+    # (conv_id, session_id) would insert a second local sort per
+    # partition. Since session_id is non-decreasing in turn_idx, position
+    # within the session = conv-position − conv-position at the session's
+    # first row (carried forward by last(ignorenulls) over the same spec).
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    changed = F.coalesce(
+        F.lag("session_id").over(w) != F.col("session_id"), F.lit(True)
+    )
+    d = d.withColumn("_rn", F.row_number().over(w))
+    d = d.withColumn(
+        "turn_in_session",
+        F.col("_rn")
+        - F.last(F.when(changed, F.col("_rn")), ignorenulls=True).over(w_run),
+    ).drop("_rn")
     d = forward_fill(d, "tool", out_col="last_tool")
 
     if frozen_stats is not None:
