@@ -79,7 +79,8 @@ def searchsorted(col: Column | str, bounds: list) -> Column:
     if isinstance(col, str):
         def lit(v) -> str:
             if isinstance(v, str):
-                return "'" + v.replace("'", "''") + "'"
+                # Spark SQL string literals use backslash escapes
+                return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
             return repr(float(v)) + "d" if isinstance(v, float) else str(v)
 
         def rec_s(lo: int, hi: int) -> str:

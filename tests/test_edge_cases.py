@@ -153,3 +153,30 @@ def test_exact_dedup_same_length_different_text(spark):
     )
     out = exact_dedup(spark.createDataFrame(pdf)).collect()
     assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+def test_searchsorted_str_equals_column_path(spark):
+    """The F.expr string build and the Column-tree build are the same
+    function; both must match numpy.searchsorted(side='right')."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from acoustic_feature_extractor_spark.functions.scalars import searchsorted
+
+    vals = [-5.0, 0.0, 0.25, 1.0, 3.5, 10.0, 99.0]
+    bounds = [0.0, 1.0, 3.5, 50.0]
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    got_str = [r["p"] for r in df.select(searchsorted("v", bounds).alias("p")).orderBy("v").collect()]
+    got_col = [r["p"] for r in df.select(searchsorted(F.col("v"), bounds).alias("p")).orderBy("v").collect()]
+    want = np.searchsorted(bounds, sorted(vals), side="right").tolist()
+    assert got_str == want == got_col
+
+    # string keys, including quote/backslash hazards in the literal path
+    svals = ["apple", "it's", "z\\end", "mango"]
+    sbounds = ["b", "it's", "y"]
+    sdf = spark.createDataFrame(pd.DataFrame({"k": svals}))
+    got_s = {r["k"]: r["p"] for r in sdf.select("k", searchsorted("k", sbounds).alias("p")).collect()}
+    import bisect
+    for v in svals:
+        assert got_s[v] == bisect.bisect_right(sbounds, v)
