@@ -126,3 +126,49 @@ def test_simhash_portable_hash_variant(spark):
     # fingerprints stay below 2^62 (exact int64 in any engine)
     fps = [r["simhash"] for r in simhash(d, bits=62, hash_fn=token_hash_portable).collect()]
     assert all(0 <= f < (1 << 62) for f in fps)
+
+
+def test_ngram_prefix_filter_lossless(spark):
+    """The PPJoin prefix filter must lose NO pair vs a filter-free exact
+    jaccard over all co-shingle pairs — including thresholds whose t*n
+    product is float-inexact (0.8*5 = 4.000000000000001)."""
+    import itertools
+
+    import pandas as pd
+
+    from acoustic_feature_extractor_spark.operators.dedup import (
+        tokenize,
+        word_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    rng = __import__("random").Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n = rng.randint(3, 12)
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # near-dup planted pairs
+    for i in range(40, 48):
+        base = docs[i - 40][1]
+        docs.append((i, base + " extra"))
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+
+    sets = {
+        r["doc_id"]: set(r["s"])
+        for r in df.select(
+            "doc_id", word_shingles(tokenize(F.col("text")), 3).alias("s")
+        ).collect()
+    }
+
+    for t in (0.4, 0.5, 0.8):
+        want = set()
+        for (ia, sa), (ib, sb) in itertools.combinations(sorted(sets.items()), 2):
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                want.add((ia, ib))
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(df, threshold=t).collect()
+        }
+        assert got == want, f"threshold {t}: {want - got} lost / {got - want} extra"
