@@ -618,16 +618,23 @@ def align_sources(
             grid = grid.unionByName(s.select(by, on))
         grid = grid.where(F.col(on).isNotNull()).distinct()
         out = grid
+        ends = None
         for i, s in enumerate(sources):
             out = asof_join(
                 out, s, on=on, by=by, right_cols=value_cols[i], suffix=f"_s{i}"
             )
             out = out.drop(f"{on}_s{i}")
-            # zero-fill outside the source's span (the reference pads the
-            # SHORT sources to max length with zeros); per-entity end
-            # table joins without a forced broadcast (AQE decides)
-            end = s.groupBy(by).agg(F.max(F.col(on)).alias(f"_end_{i}"))
-            out = out.join(end, by, "left")
+            # per-entity end of source i — the tiny end tables are joined
+            # to EACH OTHER first (full outer: an entity absent from a
+            # source pads everywhere), so the fact table pays ONE join
+            # for all sources instead of one per source
+            e = s.groupBy(by).agg(F.max(F.col(on)).alias(f"_end_{i}"))
+            ends = e if ends is None else ends.join(e, by, "full")
+        # zero-fill outside each source's span (the reference pads the
+        # SHORT sources to max length with zeros); joins without a forced
+        # broadcast (AQE decides)
+        out = out.join(ends, by, "left")
+        for i in range(len(sources)):
             for c in value_cols[i]:
                 capped = F.when(
                     F.col(on) <= F.col(f"_end_{i}"), F.col(f"{c}_s{i}")
@@ -635,8 +642,7 @@ def align_sources(
                 out = out.withColumn(
                     f"{c}_s{i}", F.coalesce(capped, F.lit(pad_value))
                 )
-            out = out.drop(f"_end_{i}")
-        return out
+        return out.drop(*[f"_end_{i}" for i in range(len(sources))])
 
     grid = sources[0].select(by, on, *value_cols[0])
     if mode == "min":

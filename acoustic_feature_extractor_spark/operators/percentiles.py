@@ -88,30 +88,32 @@ def weighted_percentile(
     # could describe a different partitioning than the fact rows. Instead:
     # driver-collected approx-quantile boundaries become literals, and the
     # chunk is "how many boundaries <= value" — pure column math, identical
-    # in every branch. Grouped calls chunk to 0 (the group key itself
-    # distributes; chunking inside mega-groups would need per-group bounds).
-    if gcols:
-        d = d.withColumn("_pid", F.lit(0))
+    # in every branch. Grouped calls use the SAME global value bounds:
+    # any monotone chunking of _v splits every group's sorted order into
+    # contiguous runs, so the per-(group, chunk) offset/stitch machinery
+    # below is exact for groups too — and a mega-group no longer sorts in
+    # ONE task (the old _pid = 0 behavior). Groups whose values cluster
+    # inside one global chunk still degrade to a single run, but never
+    # worse than the ungrouped chunk width.
+    if chunk_bounds is not None:
+        # caller-supplied bounds (e.g. the iterative-refinement loop
+        # reuses round 1's bounds every round): skips the sketch scan.
+        # Any sorted list is CORRECT — bounds only balance chunk sizes.
+        bounds = sorted(set(chunk_bounds))
     else:
-        if chunk_bounds is not None:
-            # caller-supplied bounds (e.g. the iterative-refinement loop
-            # reuses round 1's bounds every round): skips the sketch scan.
-            # Any sorted list is CORRECT — bounds only balance chunk sizes.
-            bounds = sorted(set(chunk_bounds))
-        else:
-            fractions = [i / n_part for i in range(1, n_part)]
-            bounds = (
-                # 0.01 relative error: the bounds only balance the
-                # chunking (never the percentile values), so a loose
-                # sketch is free accuracy-wise and cheaper to merge
-                sorted(set(d.stat.approxQuantile("_v", fractions, 0.01)))
-                if fractions
-                else []
-            )
-        # log-depth codegen'd CASE tree, not a linear interpreted HOF —
-        # at 2048 cluster partitions the per-row cost is 11 comparisons,
-        # not 2047 interpreted lambda steps
-        d = d.withColumn("_pid", searchsorted("_v", [float(b) for b in bounds]))
+        fractions = [i / n_part for i in range(1, n_part)]
+        bounds = (
+            # 0.01 relative error: the bounds only balance the
+            # chunking (never the percentile values), so a loose
+            # sketch is free accuracy-wise and cheaper to merge
+            sorted(set(d.stat.approxQuantile("_v", fractions, 0.01)))
+            if fractions
+            else []
+        )
+    # log-depth codegen'd CASE tree, not a linear interpreted HOF —
+    # at 2048 cluster partitions the per-row cost is 11 comparisons,
+    # not 2047 interpreted lambda steps
+    d = d.withColumn("_pid", searchsorted("_v", [float(b) for b in bounds]))
     w_local = Window.partitionBy(*gcols, "_pid").orderBy("_v")
     w_local_cum = w_local.rowsBetween(Window.unboundedPreceding, 0)
     d = d.withColumn("_lcw", F.sum("_w").over(w_local_cum)).withColumn(

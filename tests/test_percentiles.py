@@ -114,3 +114,35 @@ def test_weighted_percentile_partition_invariance(spark):
             for r in weighted_percentile(df, "v", "w", qs, num_partitions=n_part).collect()
         }
         np.testing.assert_allclose([got[q] for q in qs], expected, rtol=1e-9)
+
+
+def test_weighted_percentile_grouped_multichunk(spark):
+    """Grouped + chunked: global value bounds split every group across
+    chunks; per-(group, chunk) offsets and the cross-chunk bracketing
+    stitch must still reproduce numpy.interp per group exactly."""
+    rng = np.random.RandomState(17)
+    rows = []
+    for g, scale in (("a", 10.0), ("b", 1000.0), ("c", 3.0)):
+        n = {"a": 500, "b": 200, "c": 7}[g]
+        for v in rng.rand(n) * scale:
+            rows.append((g, float(v), float(rng.randint(1, 5))))
+    pdf = pd.DataFrame(rows, columns=["g", "v", "w"])
+    pdf = pdf.groupby(["g", "v"], as_index=False)["w"].sum()  # tie contract
+    df = spark.createDataFrame(pdf)
+
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    # explicit bounds force multi-chunk groups regardless of data layout
+    bounds = [1.0, 2.0, 5.0, 50.0, 500.0]
+    got = {
+        (r["g"], r["q"]): r["value"]
+        for r in weighted_percentile(
+            df, "v", "w", qs, group_cols=["g"], chunk_bounds=bounds
+        ).collect()
+    }
+    for g, grp in pdf.groupby("g"):
+        grp = grp.sort_values("v")
+        cw = grp["w"].cumsum()
+        mids = (cw - grp["w"] / 2) / grp["w"].sum()
+        for q in qs:
+            want = float(np.interp(q, mids, grp["v"]))
+            assert abs(got[(g, q)] - want) < 1e-9, (g, q, got[(g, q)], want)

@@ -128,3 +128,22 @@ def test_salted_asof_jvm_is_pure_jvm(spark, entry_mod):
     assert "ArrowEvalPython" not in plan
     assert "FlatMapCoGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_flagship_single_sort(spark):
+    """All five window passes of the flagship run on ONE (conv_id,
+    turn_idx) sort — the session-position window must not reintroduce a
+    (conv_id, session_id) local sort."""
+    import re
+
+    from acoustic_feature_extractor_spark.datagen import generate_transcripts
+    from acoustic_feature_extractor_spark.plans.pipeline import turn_features
+
+    t = generate_transcripts(spark, n_convs=20)
+    ex = turn_features(t)._jdf.queryExecution().executedPlan().toString()
+    sorts = re.findall(r"Sort \[([^\]]*)\]", ex)
+    # datagen itself orders by conv_idx (generation layout) — the
+    # pipeline may add exactly ONE sort, on (conv_id, turn_idx)
+    pipeline_sorts = [s for s in sorts if s.startswith("conv_id#")]
+    assert len(pipeline_sorts) == 1, sorts
+    assert "session_id" not in pipeline_sorts[0]
