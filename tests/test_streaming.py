@@ -128,3 +128,84 @@ def test_state_fill_multi_chunk_groups(spark, tmp_path):
         assert got["filled"].iloc[-1] == "t1"
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_streaming_exact_dedup_matches_batch(spark, transcripts):
+    """Streamed content-hash dedup keeps exactly one row per distinct
+    text (the batch exact-dedup cardinality) when everything arrives
+    within the watermark horizon."""
+    from acoustic_feature_extractor_spark.streaming.enrich import (
+        streaming_exact_dedup,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        base = transcripts.limit(500)
+        # plant exact duplicates
+        base.unionAll(base.limit(100)).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_exact_dedup(stream, text_col="text", watermark="1 hour")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("dedup_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql("SELECT text FROM dedup_out").collect()
+        finally:
+            q.stop()
+        n_distinct = base.select("text").distinct().count()
+        assert len(got) == n_distinct
+        assert len({r["text"] for r in got}) == n_distinct
+
+
+def test_streaming_asof_enrich_matches_batch_asof(spark, transcripts):
+    """The interval-join enrichment must equal the batch as-of join
+    row-for-row (backward, allow-exact-match semantics)."""
+    from pyspark.sql import functions as F
+
+    from acoustic_feature_extractor_spark.operators.asof import asof_join
+    from acoustic_feature_extractor_spark.streaming.enrich import (
+        intervalize_dimension,
+        streaming_asof_enrich,
+    )
+
+    left = transcripts.limit(800).select("conv_id", "turn_idx", "ts")
+    # dimension: every 5th turn publishes a state row
+    dim = (
+        transcripts.where(F.col("turn_idx") % 5 == 0)
+        .select("conv_id", "ts", F.col("tool").alias("state"))
+        .where(F.col("ts").isNotNull())
+    )
+    batch = asof_join(left, dim, on="ts", by="conv_id", right_cols=["state"], suffix="_dim")
+    want = {
+        (r["conv_id"], r["turn_idx"]): r["state_dim"]
+        for r in batch.collect()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        left.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        enriched = streaming_asof_enrich(
+            stream, intervalize_dimension(dim), on="ts", by="conv_id"
+        )
+        q = (
+            enriched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("enrich_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["conv_id"], r["turn_idx"]): r["state_dim"]
+                for r in spark.sql("SELECT * FROM enrich_out").collect()
+            }
+        finally:
+            q.stop()
+    assert got == want
