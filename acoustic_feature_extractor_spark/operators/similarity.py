@@ -217,13 +217,7 @@ def cosine_topk_ivf(
     count(), no global row_number).
     """
     if centroids is None:
-        picked = (
-            corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
-            .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
-            .limit(n_centroids)
-            .collect()
-        )
-        centroids = [list(r["_v"]) for r in picked]
+        centroids = pick_centroids(corpus, n_centroids, id_col, vec_col)
     n_centroids = len(centroids)
     n_probe = min(n_probe, n_centroids)
 
@@ -237,6 +231,81 @@ def cosine_topk_ivf(
     ).withColumn(
         "_cid",
         F.explode(_nearest_centroid_cols("_qv", centroids, n_probe)),
+    )
+    j = c.join(maybe_broadcast(q), "_cid").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = j.withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
+    wk = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
+def pick_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic pseudo-random centroid pick — ONE distributed
+    TakeOrdered job (hash order spreads picks over the corpus). Factored
+    out so an index build and later query sessions share one set."""
+    picked = (
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r["_v"]) for r in picked]
+
+
+def ivf_index_write(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF inverted lists AT REST: the corpus is written
+    partitioned by nearest-centroid id (``_cid=<i>/`` directories). At
+    10^9+ vectors this is the design that makes ANN queries touch
+    n_probe/n_centroids of the BYTES, not just the rows: the `_cid`
+    filter below prunes whole partition directories at planning time.
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).withColumn("_cid", F.element_at(_nearest_centroid_cols(vec_col, centroids, 1), 1))
+    c.write.partitionBy("_cid").mode("overwrite").parquet(path)
+
+
+def cosine_topk_ivf_at_rest(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a materialized IVF index with PARTITION PRUNING: queries are
+    assigned their n_probe nearest lists, and the corpus scan carries an
+    ``IN (probed lists)`` partition filter — only those directories are
+    read. Per-query candidate restriction then happens on the (already
+    pruned) equi-join, identical semantics to :func:`cosine_topk_ivf`
+    with the same centroids.
+    """
+    n_probe = min(n_probe, len(centroids))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).withColumn("_cid", F.explode(_nearest_centroid_cols("_qv", centroids, n_probe)))
+    probed = sorted({r["_cid"] for r in q.select("_cid").distinct().collect()})
+    c = (
+        spark.read.parquet(path)
+        .where(F.col("_cid").isin(probed))  # partition-pruned scan
+        .select("_cid", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     )
     j = c.join(maybe_broadcast(q), "_cid").where(F.col("query_id") != F.col("neighbor_id"))
     scored = j.withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))

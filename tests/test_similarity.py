@@ -178,3 +178,31 @@ def test_lsh_partial_probe_recall_improves(spark):
 
     assert recall(1) >= recall(0)
     assert recall(4) == 1.0
+
+
+def test_ivf_at_rest_matches_in_memory(spark, tmp_path):
+    """The materialized (partitioned-by-list) index must return exactly
+    the in-memory IVF results for the same centroids, and its scan must
+    carry a _cid partition filter (pruned directories, not a full read)."""
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_at_rest,
+        ivf_index_write,
+        pick_centroids,
+    )
+
+    corpus, _ = _emb(spark, n=300, seed=3)
+    queries = corpus.where("vec_id < 12")
+    cents = pick_centroids(corpus, n_centroids=8)
+
+    path = str(tmp_path / "ivf")
+    ivf_index_write(corpus, path, cents)
+
+    got = cosine_topk_ivf_at_rest(
+        spark, path, queries, cents, k=4, n_probe=2
+    )
+    want = cosine_topk_ivf(queries, corpus, k=4, n_probe=2, centroids=cents)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cid" in plan
