@@ -37,37 +37,68 @@ def turn_features(
     lo, hi = -(rolling // 2), rolling - 1 - rolling // 2
     w_roll = w.rowsBetween(lo, hi)
 
-    d = transcripts.withColumn("text_len", F.length("text").cast("double"))
-    d = (
-        d.withColumn("prev_role", F.lag("role").over(w))
-        .withColumn("next_role", F.lead("role").over(w))
-        .withColumn("prev_text_len", F.lag("text_len").over(w))
-        .withColumn(
-            "dt_prev_sec",
-            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w),
-        )
-        .withColumn("roll_len_mean", F.avg("text_len").over(w_roll))
-        .withColumn("roll_len_min", F.min("text_len").over(w_roll))
-        .withColumn("roll_len_max", F.max("text_len").over(w_roll))
-    )
-    d = sessionize(d, gap_seconds=gap_seconds)
-    # turn_in_session = row_number over (conv_id, session_id) — but
-    # computed ON THE EXISTING (conv_id, turn_idx) sort: a window keyed by
-    # (conv_id, session_id) would insert a second local sort per
-    # partition. Since session_id is non-decreasing in turn_idx, position
-    # within the session = conv-position − conv-position at the session's
-    # first row (carried forward by last(ignorenulls) over the same spec).
+    # THREE window passes total, all on one (conv_id, turn_idx) sort:
+    # pass 1 = every offset function (+ the conv-position row number),
+    # pass 2 = the rolling frame, pass 3 = ONE run-frame WindowExec
+    # fusing the session cumsum, the session-start carry, and the tool
+    # forward-fill (same spec + frame + projection step → Spark plans a
+    # single operator). The composable equivalents (sessionize(),
+    # forward_fill(), a (conv_id, session_id) row_number) spell the same
+    # semantics in 6 passes; the flagship is the headline path, so it is
+    # hand-fused and pinned by the golden + oracle tests.
     w_run = w.rowsBetween(Window.unboundedPreceding, 0)
-    changed = F.coalesce(
-        F.lag("session_id").over(w) != F.col("session_id"), F.lit(True)
+    d = transcripts.withColumn("text_len", F.length("text").cast("double"))
+    d = d.select(
+        "*",
+        F.lag("role").over(w).alias("prev_role"),
+        F.lead("role").over(w).alias("next_role"),
+        F.lag("text_len").over(w).alias("prev_text_len"),
+        (
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+        ).alias("dt_prev_sec"),
+        F.avg("text_len").over(w_roll).alias("roll_len_mean"),
+        F.min("text_len").over(w_roll).alias("roll_len_min"),
+        F.max("text_len").over(w_roll).alias("roll_len_max"),
+        F.row_number().over(w).alias("_rn"),
     )
-    d = d.withColumn("_rn", F.row_number().over(w))
+    # same gap predicate as operators/sessionize.py (strict >; first row
+    # of a conversation has a null gap and opens session 0)
     d = d.withColumn(
+        "_new", F.when(F.col("dt_prev_sec") > gap_seconds, 1).otherwise(0)
+    )
+    d = d.select(
+        "*",
+        F.sum("_new").over(w_run).cast("int").alias("session_id"),
+        # turn_in_session = conv-position − conv-position at the session's
+        # first row: a (conv_id, session_id)-keyed row_number would force
+        # a second local sort per partition
+        F.last(
+            F.when(
+                (F.col("_new") == 1) | F.col("dt_prev_sec").isNull(), F.col("_rn")
+            ),
+            ignorenulls=True,
+        ).over(w_run).alias("_sess_start"),
+        F.last("tool", ignorenulls=True).over(w_run).alias("last_tool"),
+    )
+    d = (
+        d.withColumn("turn_in_session", F.col("_rn") - F.col("_sess_start"))
+        .drop("_rn", "_new", "_sess_start")
+    )
+    # canonical column order (schema contract of entry()/golden snapshot)
+    base = [c for c in transcripts.columns] + ["text_len"]
+    d = d.select(
+        *base,
+        "prev_role",
+        "next_role",
+        "prev_text_len",
+        "dt_prev_sec",
+        "roll_len_mean",
+        "roll_len_min",
+        "roll_len_max",
+        "session_id",
         "turn_in_session",
-        F.col("_rn")
-        - F.last(F.when(changed, F.col("_rn")), ignorenulls=True).over(w_run),
-    ).drop("_rn")
-    d = forward_fill(d, "tool", out_col="last_tool")
+        "last_tool",
+    )
 
     if frozen_stats is not None:
         # stats pinned by the caller (resumable bucketed runs: every bucket
