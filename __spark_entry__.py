@@ -31,6 +31,7 @@ from pyspark.sql.window import Window
 from acoustic_feature_extractor_spark.functions import text as tx
 from acoustic_feature_extractor_spark.operators import (
     asof as asof_ops,
+    cluster as cluster_ops,
     dedup as dedup_ops,
     features as feat_ops,
     fill as fill_ops,
@@ -1860,6 +1861,192 @@ FROM events e JOIN b USING (event_type)
 
 
 # --------------------------------------------------------------------------
+# queries — training-data export: clusters / split / balance / shards
+# --------------------------------------------------------------------------
+
+def _sql_phash(expr: str) -> str:
+    """DuckDB recomputation of ``dedup.token_hash_portable(expr)``.
+
+    Same two 31-bit polynomial accumulators packed as h1*2^31 + h2;
+    list_reduce's implicit first-element seed equals the fold-from-0
+    first step (0*m + x0 = x0), so the engines agree exactly."""
+    def acc(mult: int, mod: int) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, length({expr})), "
+            f"i -> CAST(ascii(substring({expr}, i, 1)) AS BIGINT)), "
+            f"(acc, x) -> (acc * {mult} + x) % {mod})"
+        )
+
+    return (
+        f"(CASE WHEN length({expr}) = 0 THEN 0 ELSE {acc(31, 2147483647)} END"
+        f" * (CAST(1 AS BIGINT) << 31)"
+        f" + CASE WHEN length({expr}) = 0 THEN 0 ELSE {acc(131, 2147483629)} END)"
+    )
+
+
+def _sql_pmix(h: str) -> str:
+    """DuckDB recomputation of ``dedup.portable_mix(h)``.
+
+    ``h`` should be a plain column reference (it is expanded 4x).  Same
+    two multiply-fold rounds; every intermediate < 2^63 so DuckDB's
+    checked BIGINT arithmetic is exact."""
+    P = 2305843009213693951
+    r1 = f"(((({h}) >> 31) * 2654435761 + (({h}) & 2147483647)) % {P})"
+    return f"((({r1} >> 31) * 2246822519 + ({r1} & 2147483647) * 2654435761) % {P})"
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the capped n-gram near-dup pairs into
+    clusters (connected components, min-id canonical): A~B~C with A!~C
+    must collapse to ONE cluster or pair-level dedup keeps both A and C.
+    Oracle: recursive-CTE min-label reachability over the same pair SQL."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    p = dedup_ops.ngram_jaccard_pairs(
+        d, w=3, threshold=0.5, max_doc_freq=max(n_docs // 5, 10)
+    )
+    c = cluster_ops.dedup_clusters(p)
+    return c.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+_SQL_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 2), ' ') AS shingle
+  FROM tok, unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS t(i)
+),
+hot AS (
+  SELECT shingle FROM sh0 GROUP BY shingle
+  HAVING count(*) > (SELECT greatest(CAST(floor(count(DISTINCT doc_id) / 5.0) AS BIGINT), 10)
+                     FROM documents)
+),
+sh AS (
+  SELECT s.doc_id, s.shingle FROM sh0 s
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.shingle = s.shingle)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS node, a AS lab FROM edges
+  UNION
+  SELECT e.a AS node, r.lab FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 90/5/5 split keyed on user_id: every event of a user
+    lands in one split, reproducibly on any engine (portable hash, no
+    rand())."""
+    ev = _t(spark, sf_dir, "events")
+    s = sample_ops.hash_split(
+        ev, "user_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed=0
+    )
+    return s.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "split",
+    )
+
+
+_SQL_HASH_SPLIT = f"""
+WITH h0 AS (
+  SELECT event_id, user_id,
+         {_sql_phash("(CAST(user_id AS VARCHAR) || ':0')")} AS hv
+  FROM events
+),
+h AS (
+  SELECT event_id, user_id, {_sql_pmix("hv")} % 1000000 AS b FROM h0
+)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language balancing: cap every lang at 50 docs via deterministic
+    hash-ranked selection (two-phase skew-safe plan on the Spark side)."""
+    d = _t(spark, sf_dir, "documents")
+    s = sample_ops.balanced_sample(d, "lang", cap=50, id_col="doc_id", seed=0)
+    return s.select(F.col("doc_id").cast("long").alias("doc_id"), "lang")
+
+
+_SQL_BALANCED_SAMPLE = f"""
+WITH h0 AS (
+  SELECT doc_id, lang,
+         {_sql_phash("(CAST(doc_id AS VARCHAR) || ':0')")} AS hv
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_sql_pmix("hv")}, doc_id
+         ) AS rk
+  FROM h0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang FROM r WHERE rk <= 50
+"""
+
+
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-and-shard of the corpus into 8 shards with
+    a reproducible within-shard order — the training-data export layout
+    (ORDER BY rand() is neither reproducible nor engine-portable)."""
+    d = _t(spark, sf_dir, "documents")
+    s = sample_ops.shard_shuffle(d, "doc_id", n_shards=8, seed=0)
+    return s.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("shard").cast("long").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
+_SQL_SHARD_SHUFFLE = f"""
+WITH h0 AS (
+  SELECT doc_id,
+         {_sql_phash("(CAST(doc_id AS VARCHAR) || ':0')")} AS hv
+  FROM documents
+),
+h AS (
+  SELECT doc_id, {_sql_pmix("hv")} AS hv FROM h0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(hv % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -1917,6 +2104,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         "tfidf_topk": q_tfidf_topk,
         "winsorize": q_winsorize,
+        "dedup_clusters": q_dedup_clusters,
+        "hash_split": q_hash_split,
+        "balanced_sample": q_balanced_sample,
+        "shard_shuffle": q_shard_shuffle,
     }
 
 
@@ -1981,4 +2172,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_greedy": _SQL_PACK_GREEDY,
         "tfidf_topk": _SQL_TFIDF,
         "winsorize": _SQL_WINSORIZE,
+        "dedup_clusters": _SQL_DEDUP_CLUSTERS,
+        "hash_split": _SQL_HASH_SPLIT,
+        "balanced_sample": _SQL_BALANCED_SAMPLE,
+        "shard_shuffle": _SQL_SHARD_SHUFFLE,
     }

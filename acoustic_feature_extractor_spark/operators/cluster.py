@@ -1,0 +1,133 @@
+"""Transitive closure of duplicate pairs → clusters (connected components).
+
+The last step of every near-dup pipeline: the pair lists produced by
+minhash/simhash/n-gram-Jaccard/embedding blocking (``operators/dedup.py``,
+``operators/similarity.py``) are transitively closed into clusters so one
+canonical representative per cluster survives.  A is a near-dup of B and
+B of C without A~C being a pair — pair-level dedup alone would keep both
+A and C.
+
+Beyond the reference's scope (it dedups nothing) but first-class for the
+100 TB use case, like the rest of the dedup suite.
+
+Scale notes:
+- hash-min label propagation **with pointer jumping** — converges in
+  O(log diameter) rounds, not O(diameter): each round a node takes the
+  min label over itself and its neighbours, then jumps to its label's
+  label (path halving).  Web-corpus duplicate components are shallow
+  (most are cliques from a common template), so 2-4 rounds is typical.
+- the label table holds ONLY nodes with >= 1 duplicate edge — a small
+  fraction of the corpus; singleton docs never enter the loop.
+- per round: one equi-join of the persisted edge table with the labels
+  + a map-side combine groupBy + one self-join for the jump — the label
+  joins go through the size-gated broadcast hint, so at test/SF scale
+  they are broadcast (zero extra shuffles) and at web scale Catalyst
+  falls back to shuffle joins.
+- ONE action per round: the convergence probe is a (decimal-exact)
+  checksum aggregate, not a join — comp is element-wise non-increasing,
+  so sum(comp) is strictly decreasing until the fixpoint.
+- each round ends in ``localCheckpoint``: iterative plans otherwise
+  grow ~3x per round (three references to the previous labels) and
+  Catalyst re-analysis goes exponential — the classic iterative-Spark
+  trap.  Checkpointing truncates lineage so round N's plan is O(1), at
+  the cost of holding one materialized label table per live round
+  (previous rounds are freed by GC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
+
+def _check_cols() -> list[F.Column]:
+    # exact checksum even at 10^12 nodes x int64 ids (10^31 < 10^38)
+    return [
+        F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+        F.count("*").alias("c"),
+    ]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = min id.
+
+    Edges are treated as undirected; self-loops are ignored.  Raises if
+    no fixpoint is reached in ``max_iter`` rounds (with pointer jumping
+    that bounds component diameter at ~2^max_iter — unreachable for any
+    real duplicate graph).
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("n"), F.col(dst).cast("long").alias("m")
+    )
+    sym = (
+        sym.union(sym.select(F.col("m").alias("n"), F.col("n").alias("m")))
+        .where(F.col("n").isNotNull() & F.col("m").isNotNull() & (F.col("n") != F.col("m")))
+        .distinct()
+        .persist()
+    )
+    # round 0 fused into the init: comp0(n) = min(n, min neighbour)
+    labels = (
+        sym.groupBy("n")
+        .agg(F.min("m").alias("_mn"))
+        .select(F.col("n").alias("node"), F.least("n", "_mn").alias("comp"))
+        .localCheckpoint(eager=False)
+    )
+    prev = tuple(labels.agg(*_check_cols()).first())
+    converged = False
+    for _ in range(max_iter):
+        # hash-min step: comp'(n) = min(comp(n), min over neighbours m of comp(m))
+        nbmin = (
+            sym.join(
+                maybe_broadcast(
+                    labels.select(F.col("node").alias("m"), F.col("comp").alias("mcomp"))
+                ),
+                "m",
+            )
+            .groupBy("n")
+            .agg(F.min("mcomp").alias("nbmin"))
+            .select(F.col("n").alias("node"), "nbmin")
+        )
+        stepped = labels.join(maybe_broadcast(nbmin), "node", "left").select(
+            "node", F.least(F.col("comp"), F.coalesce(F.col("nbmin"), F.col("comp"))).alias("comp")
+        )
+        # pointer jump: comp''(n) = min(comp'(n), comp(comp'(n)))
+        jump = labels.select(F.col("node").alias("jnode"), F.col("comp").alias("jcomp"))
+        new = (
+            stepped.join(maybe_broadcast(jump), stepped["comp"] == jump["jnode"], "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        cur = tuple(new.agg(*_check_cols()).first())  # materializes the checkpoint
+        labels = new
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    sym.unpersist()
+    if not converged:
+        raise RuntimeError(f"connected_components: no fixpoint within {max_iter} rounds")
+    return labels.select("node", F.col("comp").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in >= 1 duplicate pair.
+
+    cluster_id = min doc_id of the transitive component — the canonical
+    survivor; ``doc_id != cluster_id`` rows are the deletions.  Compose
+    with any pair generator from ``operators/dedup.py``.
+    """
+    cc = connected_components(pairs, src=id_a, dst=id_b)
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

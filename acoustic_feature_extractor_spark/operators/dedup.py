@@ -345,6 +345,30 @@ def token_hash_portable(tok: Column) -> Column:
     return F.when(F.length(tok) == 0, F.lit(0).cast("long")).otherwise(folded)
 
 
+def portable_mix(h: Column) -> Column:
+    """Avalanche finalizer for :func:`token_hash_portable`, SQL-portable.
+
+    The raw polynomial hash never wraps its modulus on short keys (a
+    9-digit id is ~31^10 < 2^51 before the first reduction), so its
+    ORDER is the key order — fatal for the export ops that use the hash
+    as a pseudo-random permutation (shard_shuffle) or a uniform bucket
+    (hash_split).  Two multiply-fold rounds over the packed halves fix
+    the avalanche; every intermediate stays < 2^63 so int64 arithmetic
+    is exact on any engine (mirrored by ``_sql_pmix`` in the oracle).
+    Output is uniform in [0, 2^61 - 1).
+    """
+    P = 2305843009213693951  # 2^61 - 1 (Mersenne)
+    mask = (1 << 31) - 1
+    h1 = F.shiftright(h, 31)          # poly-1 accumulator, < 2^31
+    h2 = h.bitwiseAND(F.lit(mask))    # poly-2 accumulator, < 2^31
+    # round 1: h1 drives the high bits, h2 perturbs; < 5.71e18, exact
+    r1 = (h1 * F.lit(2654435761) + h2) % F.lit(P)
+    a = F.shiftright(r1, 31)          # < 2^30
+    b = r1.bitwiseAND(F.lit(mask))    # low bits: already well mixed
+    # round 2: b*K wraps P (~2.5 turns) — the actual avalanche; < 8.2e18
+    return (a * F.lit(2246822519) + b * F.lit(2654435761)) % F.lit(P)
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

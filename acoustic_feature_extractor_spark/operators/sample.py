@@ -73,3 +73,139 @@ def deterministic_row_sample(df: DataFrame, every_k: int, key_cols: list[str]) -
     partition-independent row sampling for bounded-cost analysis passes."""
     h = F.abs(F.xxhash64(*key_cols))
     return df.where(h % every_k == 0)
+
+
+# --------------------------------------------------------------------------
+# training-data export ops: group-aware split / group balancing / sharding
+# --------------------------------------------------------------------------
+# All three key on the SQL-portable polynomial hash (dedup.token_hash_portable)
+# finished with dedup.portable_mix rather than xxhash64 or rand(): the
+# assignment is then reproducible on ANY engine and at any parallelism — the
+# property a training-data layout needs (re-running the split next month, or
+# on a different stack, must not move entities across the train/test boundary
+# and contaminate evaluation). The mix step is load-bearing: the raw
+# polynomial hash preserves key ORDER on short keys (no modulus wrap), which
+# would turn "pseudo-random bucket/permutation" into "first 90% of users".
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic GROUP-AWARE train/val/test split.
+
+    Every row sharing ``key_col`` (a conversation, a user, a document
+    family) lands in the same split — `df.randomSplit` is row-level and
+    `sampleBy` is neither key-consistent nor engine-portable.  The bucket
+    is the portable hash of ``"<key>:<seed>"`` mod ``resolution``;
+    ``fractions`` (insertion-ordered, summing to ~1) become cumulative
+    bucket thresholds.  Pure projection: no shuffle, no state.
+    """
+    from acoustic_feature_extractor_spark.operators.dedup import (
+        portable_mix,
+        token_hash_portable,
+    )
+
+    total = float(sum(fractions.values()))
+    bucket = F.pmod(
+        portable_mix(
+            token_hash_portable(
+                F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))
+            )
+        ),
+        F.lit(resolution),
+    )
+    items = list(fractions.items())
+    expr = None
+    acc = 0.0
+    for name, frac in items[:-1]:
+        acc += frac / total
+        cond = bucket < F.lit(int(round(acc * resolution)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(items[-1][0]) if expr is None else expr.otherwise(items[-1][0])
+    return df.withColumn(split_col, expr)
+
+
+def balanced_sample(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group deterministic downsample to <= ``cap`` rows.
+
+    The language/source-balancing primitive: cap over-represented groups
+    (e.g. "at most 1M English docs") while small groups pass through
+    whole.  Selection ranks each group by ``(portable_hash(id:seed), id)``
+    and keeps rank <= cap — an unbiased, reproducible choice.
+
+    Skew-safe two-phase plan: a mega-group (10^9 English docs, cap 10^6)
+    would otherwise ship every row to one window partition.  Phase 1 ranks
+    within each INPUT partition (no shuffle — ``spark_partition_id`` is
+    only a pre-filter, correctness never depends on it) and keeps the
+    local top-cap, bounding the shuffle to cap x partitions rows per
+    group; phase 2 ranks the survivors globally per group.
+    """
+    from acoustic_feature_extractor_spark.operators.dedup import (
+        portable_mix,
+        token_hash_portable,
+    )
+
+    h = portable_mix(
+        token_hash_portable(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+        )
+    )
+    d = df.withColumn("_bh", h)
+    local = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(
+        F.col("_bh").asc(), F.col(id_col).asc()
+    )
+    pre = d.withColumn("_lrk", F.row_number().over(local)).where(
+        F.col("_lrk") <= cap
+    )
+    final = Window.partitionBy(group_col).orderBy(
+        F.col("_bh").asc(), F.col(id_col).asc()
+    )
+    return (
+        pre.withColumn("_rk", F.row_number().over(final))
+        .where(F.col("_rk") <= cap)
+        .drop("_bh", "_lrk", "_rk")
+    )
+
+
+def shard_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data export.
+
+    Adds ``shard`` (portable_hash(id:seed) mod n_shards) and ``pos``
+    (0-based rank within the shard by (hash, id)) — a reproducible random
+    order that any engine can recompute, unlike ``ORDER BY rand()``.
+    Each shard sorts independently (one window partition per shard);
+    size ``n_shards`` ~ corpus_rows / target_shard_rows so a shard's sort
+    fits an executor — the shard count IS the parallelism knob, there is
+    no global sort anywhere.
+    """
+    from acoustic_feature_extractor_spark.operators.dedup import (
+        portable_mix,
+        token_hash_portable,
+    )
+
+    h = portable_mix(
+        token_hash_portable(
+            F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+        )
+    )
+    d = df.withColumn("_sh", h).withColumn(
+        "shard", F.pmod(F.col("_sh"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_sh").asc(), F.col(id_col).asc())
+    return d.withColumn("pos", (F.row_number().over(w) - 1).cast("long")).drop("_sh")

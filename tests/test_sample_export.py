@@ -1,0 +1,121 @@
+"""Training-data export ops: hash_split / balanced_sample / shard_shuffle.
+
+All three must be deterministic, key-consistent, and partition-layout
+invariant — the properties that keep a train/test boundary stable across
+re-runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from acoustic_feature_extractor_spark.operators.sample import (
+    balanced_sample,
+    hash_split,
+    shard_shuffle,
+)
+
+
+def _docs(spark, n=400, langs=("en", "de", "fr", "ja")):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(l) for l in langs]),
+            (F.pmod(F.col("id"), F.lit(len(langs))) + 1).cast("int"),
+        ).alias("lang"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+
+
+# --------------------------------------------------------------------- split
+
+def test_hash_split_group_consistent(spark):
+    ev = spark.range(1000).select(
+        F.col("id").alias("event_id"), F.pmod(F.col("id"), F.lit(50)).alias("user_id")
+    )
+    s = hash_split(ev, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    per_user = s.groupBy("user_id").agg(F.countDistinct("split").alias("k")).collect()
+    assert all(r.k == 1 for r in per_user)
+    assert set(r.split for r in s.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+
+
+def test_hash_split_fractions_roughly_hold(spark):
+    ev = spark.range(5000).select(F.col("id").alias("k"))
+    s = hash_split(ev, "k", {"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {r.split: r["count"] for r in s.groupBy("split").count().collect()}
+    assert 0.85 < counts["train"] / 5000 < 0.95
+    assert counts.get("val", 0) > 0 and counts.get("test", 0) > 0
+
+
+def test_hash_split_seed_moves_keys_deterministically(spark):
+    ev = spark.range(300).select(F.col("id").alias("k"))
+    a1 = {r.k: r.split for r in hash_split(ev, "k", {"a": 0.5, "b": 0.5}, seed=1).collect()}
+    a1b = {r.k: r.split for r in hash_split(ev, "k", {"a": 0.5, "b": 0.5}, seed=1).collect()}
+    a2 = {r.k: r.split for r in hash_split(ev, "k", {"a": 0.5, "b": 0.5}, seed=2).collect()}
+    assert a1 == a1b
+    assert a1 != a2  # a different seed is a different (still valid) split
+
+
+# ------------------------------------------------------------------ balance
+
+def test_balanced_sample_caps_each_group(spark):
+    d = _docs(spark)
+    out = balanced_sample(d, "lang", cap=30, id_col="doc_id")
+    counts = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert all(c == 30 for c in counts.values())  # every lang has 100 > 30 docs
+
+
+def test_balanced_sample_small_groups_pass_through(spark):
+    d = _docs(spark, n=40)  # 10 docs per lang < cap
+    out = balanced_sample(d, "lang", cap=30, id_col="doc_id")
+    assert out.count() == 40
+
+
+def test_balanced_sample_partition_invariant(spark):
+    d = _docs(spark)
+    a = {r.doc_id for r in balanced_sample(d, "lang", 25, "doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in balanced_sample(d.repartition(17), "lang", 25, "doc_id").collect()
+    }
+    c = {
+        r.doc_id
+        for r in balanced_sample(d.coalesce(1), "lang", 25, "doc_id").collect()
+    }
+    # the two-phase local-top-cap prefilter must not change the selection
+    assert a == b == c
+
+
+# -------------------------------------------------------------------- shard
+
+def test_shard_shuffle_contract(spark):
+    d = _docs(spark, n=500)
+    out = shard_shuffle(d, "doc_id", n_shards=8)
+    assert out.count() == 500
+    # shards partition the corpus; positions are 0..n_s-1 dense per shard
+    per = out.groupBy("shard").agg(
+        F.count("*").alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi")
+    ).collect()
+    assert sum(r.n for r in per) == 500
+    assert all(r.lo == 0 and r.hi == r.n - 1 for r in per)
+
+
+def test_shard_shuffle_deterministic_and_partition_invariant(spark):
+    d = _docs(spark, n=300)
+    a = {(r.doc_id, r.shard, r.pos) for r in shard_shuffle(d, "doc_id", 4).collect()}
+    b = {
+        (r.doc_id, r.shard, r.pos)
+        for r in shard_shuffle(d.repartition(11), "doc_id", 4).collect()
+    }
+    assert a == b
+
+
+def test_shard_shuffle_actually_shuffles(spark):
+    # the within-shard order must not be the input id order
+    d = _docs(spark, n=200)
+    out = shard_shuffle(d, "doc_id", n_shards=1)
+    ids = [r.doc_id for r in out.orderBy("pos").collect()]
+    assert ids != sorted(ids)
+    assert sorted(ids) == list(range(200))
