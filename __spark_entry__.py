@@ -983,7 +983,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     n_docs = d.count()
     p = dedup_ops.ngram_jaccard_pairs(
-        d, w=3, threshold=0.5, max_doc_freq=max(n_docs // 5, 10)
+        d, w=3, threshold=0.8, max_doc_freq=max(n_docs // 5, 10)
     )
     return p.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -1903,7 +1903,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     n_docs = d.count()
     p = dedup_ops.ngram_jaccard_pairs(
-        d, w=3, threshold=0.5, max_doc_freq=max(n_docs // 5, 10)
+        d, w=3, threshold=0.8, max_doc_freq=max(n_docs // 5, 10)
     )
     c = cluster_ops.dedup_clusters(p)
     return c.select(
@@ -1941,7 +1941,7 @@ pairs AS (
   FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
   JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
 ),
 edges AS (
   SELECT id_a AS a, id_b AS b FROM pairs
@@ -2046,6 +2046,112 @@ FROM h
 """
 
 
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup: exact embedding-cosine near-dup pairs (block-matrix
+    self-join, nothing driver-side) transitively closed into clusters —
+    the embedding-space analog of ``dedup_clusters``."""
+    e = _t(spark, sf_dir, "embeddings")
+    p = sim_ops.embedding_neardup_blocked(e, threshold=0.45, n_blocks=4)
+    c = cluster_ops.dedup_clusters(p)
+    return c.select(
+        F.col("doc_id").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+_SQL_SEMANTIC_CLUSTERS = """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS node, a AS lab FROM edges
+  UNION
+  SELECT ed.a AS node, r.lab FROM edges ed JOIN reach r ON r.node = ed.b
+)
+SELECT CAST(node AS BIGINT) AS vec_id, CAST(min(lab) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (Rae et al. 2021 thresholds): per-doc
+    repetition/shape signals + the keep/reject verdict, rejects kept
+    auditable rather than silently dropped."""
+    d = _t(spark, sf_dir, "documents")
+    g = tx.gopher_filter(d, min_words=20)
+    return g.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "dup_line_ratio",
+        "dup_line_char_ratio",
+        "alpha_word_ratio",
+        "mean_word_len",
+        "top_gram_share",
+        "keep",
+    )
+
+
+_SQL_DOC_QUALITY = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\s+') AS toks,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> length(l) > 0) AS lines
+  FROM documents
+),
+scalar AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(lines) <= 1 THEN 0.0
+              ELSE ROUND((len(lines) - len(list_distinct(lines))) * 1.0 / len(lines), 6)
+         END AS dup_line_ratio,
+         CASE WHEN COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) <= 0 THEN 0.0
+              ELSE ROUND((list_sum(list_transform(lines, x -> length(x)))
+                          - list_sum(list_transform(list_distinct(lines), x -> length(x))))
+                         * 1.0 / list_sum(list_transform(lines, x -> length(x))), 6)
+         END AS dup_line_char_ratio,
+         CASE WHEN len(toks) <= 0 THEN 0.0
+              ELSE ROUND(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                         * 1.0 / len(toks), 6)
+         END AS alpha_word_ratio,
+         CASE WHEN len(toks) <= 0 THEN 0.0
+              ELSE ROUND(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+                         * 1.0 / len(toks), 6)
+         END AS mean_word_len
+  FROM base
+),
+grams AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+  FROM base, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+),
+gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+top AS (
+  SELECT doc_id, ROUND(max(c) * 1.0 / sum(c), 6) AS top_gram_share
+  FROM gc GROUP BY doc_id
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       CAST(s.n_words AS BIGINT) AS n_words,
+       s.dup_line_ratio, s.dup_line_char_ratio, s.alpha_word_ratio,
+       s.mean_word_len,
+       COALESCE(t.top_gram_share, 0.0) AS top_gram_share,
+       (s.n_words >= 20 AND s.n_words <= 100000
+        AND s.mean_word_len >= 3.0 AND s.mean_word_len <= 10.0
+        AND s.alpha_word_ratio >= 0.8
+        AND s.dup_line_ratio <= 0.3
+        AND COALESCE(t.top_gram_share, 0.0) <= 0.2) AS keep
+FROM scalar s LEFT JOIN top t USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2108,6 +2214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "balanced_sample": q_balanced_sample,
         "shard_shuffle": q_shard_shuffle,
+        "semantic_clusters": q_semantic_clusters,
+        "doc_quality": q_doc_quality,
     }
 
 
@@ -2176,4 +2284,6 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": _SQL_HASH_SPLIT,
         "balanced_sample": _SQL_BALANCED_SAMPLE,
         "shard_shuffle": _SQL_SHARD_SHUFFLE,
+        "semantic_clusters": _SQL_SEMANTIC_CLUSTERS,
+        "doc_quality": _SQL_DOC_QUALITY,
     }

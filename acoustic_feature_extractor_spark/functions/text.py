@@ -163,3 +163,160 @@ def document_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         lang_id(t).alias("lang_guess"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition / quality signals (Rae et al. 2021, public)
+# --------------------------------------------------------------------------
+
+
+def _line_array(text: Column) -> Column:
+    """Non-empty trimmed lines of a document."""
+    return F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+
+def dup_line_ratio(text: Column) -> Column:
+    """Fraction of lines that repeat an earlier line (0 for <=1 line)."""
+    lines = _line_array(text)
+    n = F.size(lines)
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))) / n.cast("double")
+    )
+
+
+def dup_line_char_ratio(text: Column) -> Column:
+    """Fraction of line-characters inside repeated line occurrences.
+
+    chars(all lines) - chars(distinct lines), over chars(all lines) —
+    the char-weighted companion of :func:`dup_line_ratio` (a doc whose
+    one repeated line is 90% of its bytes is worse than one repeating a
+    one-word line).
+    """
+    lines = _line_array(text)
+    chars = lambda arr: F.aggregate(
+        arr, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    tot = chars(lines)
+    return F.when(tot <= 0, F.lit(0.0)).otherwise(
+        (tot - chars(F.array_distinct(lines))) / tot.cast("double")
+    )
+
+
+def alpha_word_ratio(text: Column) -> Column:
+    """Fraction of words containing at least one alphabetic character
+    (Gopher keeps docs with >= 0.8)."""
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n.cast("double")
+    )
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """Hash/ellipsis symbols per word (Gopher drops docs > 0.1)."""
+    n = token_count(text)
+    syms = (
+        F.regexp_count(text, F.lit("#"))
+        + F.regexp_count(text, F.lit(r"\.\.\."))
+        + F.regexp_count(text, F.lit("…"))
+    )
+    return F.when(n <= 0, F.lit(0.0)).otherwise(syms / n.cast("double"))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = whitespace_tokens(text)
+    n = F.size(toks)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        / n.cast("double")
+    )
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 2,
+) -> DataFrame:
+    """Per-doc repetition + shape signals, Gopher-style.
+
+    Scalar signals (dup-line ratios, alpha-word ratio, mean word length)
+    are pure projections; the top-w-gram share is the one distributed
+    piece: explode the doc's w-grams, count per (doc, gram), keep each
+    doc's max — equivalent to the per-doc mode but with NO per-row state
+    machine, and the (doc, gram) groupBy partial-aggregates map-side so
+    the shuffle carries one row per distinct gram per doc.  Left join
+    back: docs too short for any w-gram get share 0.
+    """
+    from acoustic_feature_extractor_spark.operators.dedup import (
+        tokenize,
+        word_shingles,
+    )
+
+    t = F.col(text_col)
+    scalar = df.select(
+        id_col,
+        F.round(dup_line_ratio(t), 6).alias("dup_line_ratio"),
+        F.round(dup_line_char_ratio(t), 6).alias("dup_line_char_ratio"),
+        F.round(alpha_word_ratio(t), 6).alias("alpha_word_ratio"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+    )
+    toks = tokenize(t)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(toks) >= w, word_shingles(toks, w)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("_g"),
+    )
+    top = (
+        grams.groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.max("_c").alias("_top"),
+            F.sum("_c").alias("_tot"),
+        )
+        .select(
+            id_col,
+            F.round(F.col("_top") / F.col("_tot").cast("double"), 6).alias(
+                "top_gram_share"
+            ),
+        )
+    )
+    return scalar.join(top, id_col, "left").na.fill({"top_gram_share": 0.0})
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    max_dup_line_ratio: float = 0.3,
+    max_top_gram_share: float = 0.2,
+) -> DataFrame:
+    """Apply the published Gopher quality thresholds; adds ``keep`` +
+    the signals so rejects are auditable (filtering silently is how
+    corpora rot)."""
+    prof = repetition_profile(df, text_col, id_col)
+    sig = df.select(id_col, token_count(F.col(text_col)).alias("n_words")).join(
+        prof, id_col
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("alpha_word_ratio") >= min_alpha_ratio)
+        & (F.col("dup_line_ratio") <= max_dup_line_ratio)
+        & (F.col("top_gram_share") <= max_top_gram_share)
+    )
+    return sig.withColumn("keep", keep)

@@ -152,11 +152,29 @@ def ngram_jaccard_pairs(
         )
         .persist()
     )
-    a = doc.select(F.col(id_col).alias("id_a"), F.explode("_pfx").alias("shingle"))
-    b = doc.select(F.col(id_col).alias("id_b"), F.explode("_pfx").alias("shingle"))
+    a = doc.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_n").alias("_na"),
+        F.explode("_pfx").alias("shingle"),
+    )
+    b = doc.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_n").alias("_nb"),
+        F.explode("_pfx").alias("shingle"),
+    )
+    # length filter (lossless): J >= t forces |A∩B| >= t·max(|A|,|B|),
+    # and the intersection is bounded by min(|A|,|B|) — so sizes must be
+    # within factor t of each other. Rejecting incompatible sizes at the
+    # equi-join kills the quadratic fan-out of a merely-shared shingle
+    # between a tweet and a book before the distinct shuffle sees it.
     cand = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (a["shingle"] == b["shingle"])
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("_na") * F.lit(float(threshold)) <= F.col("_nb") + F.lit(1e-9))
+            & (F.col("_nb") * F.lit(float(threshold)) <= F.col("_na") + F.lit(1e-9)),
+        )
         .select("id_a", "id_b")
         .distinct()
     )

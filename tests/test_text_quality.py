@@ -1,0 +1,74 @@
+"""Gopher-style repetition/quality signals (Rae et al. 2021, public)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from acoustic_feature_extractor_spark.functions import text as tx
+
+
+def _docs(spark):
+    rows = [
+        # doc 1: one of three lines repeated -> dup ratios > 0
+        (1, "the cat sat\nthe cat sat\non the mat"),
+        (2, "hello world this is a perfectly normal document with diverse words"),
+        # doc 3: one bigram dominates
+        (3, "spam spam spam spam spam spam"),
+        # doc 4: symbol soup
+        (4, "### #tag ... wow … ok"),
+        (5, ""),
+        (6, "one"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_line_ratios(spark):
+    out = {
+        r.doc_id: r
+        for r in tx.repetition_profile(_docs(spark)).collect()
+    }
+    assert abs(out[1].dup_line_ratio - 1 / 3) < 1e-5
+    # repeated line is 11 of 32 line-chars
+    assert abs(out[1].dup_line_char_ratio - 11 / 32) < 1e-5
+    assert out[2].dup_line_ratio == 0.0
+    assert out[5].dup_line_ratio == 0.0  # empty doc: no lines, no NaN
+
+
+def test_top_gram_share(spark):
+    out = {r.doc_id: r for r in tx.repetition_profile(_docs(spark)).collect()}
+    assert out[3].top_gram_share == 1.0  # every bigram is "spam spam"
+    assert out[2].top_gram_share == 0.1  # 10 distinct bigrams
+    assert out[6].top_gram_share == 0.0  # too short for a bigram
+
+
+def test_alpha_and_symbol_ratios(spark):
+    d = _docs(spark)
+    out = {r.doc_id: r for r in tx.repetition_profile(d).collect()}
+    assert out[2].alpha_word_ratio == 1.0
+    assert out[4].alpha_word_ratio == 0.5  # "###" and "..." carry no letter
+    sym = {
+        r.doc_id: r.s
+        for r in d.select(
+            "doc_id", tx.symbol_word_ratio(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert sym[2] == 0.0
+    assert abs(sym[4] - 6 / 6) < 1e-9  # 4 '#' + 1 '...' + 1 ellipsis over 6 words
+
+
+def test_gopher_filter_verdicts(spark):
+    out = {
+        r.doc_id: r.keep
+        for r in tx.gopher_filter(_docs(spark), min_words=3).collect()
+    }
+    assert out[2] is True  # normal prose survives
+    assert out[3] is False  # top-bigram share 1.0 > 0.2
+    assert out[1] is False  # dup-line ratio 1/3 > 0.3
+    assert out[4] is False  # alpha-word ratio 0.5 < 0.8
+
+
+def test_profile_partition_invariant(spark):
+    d = _docs(spark)
+    a = sorted(map(tuple, tx.repetition_profile(d).collect()))
+    b = sorted(map(tuple, tx.repetition_profile(d.repartition(7)).collect()))
+    assert a == b
