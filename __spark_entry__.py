@@ -2152,6 +2152,35 @@ FROM scalar s LEFT JOIN top t USING (doc_id)
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + redaction over the corpus: per-doc email/ip/phone
+    match counts (the audit trail) and the placeholder-redacted text.
+    Map-only — pipelines with the scan, zero exchanges at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    s = tx.pii_scrub(d)
+    return s.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        "redacted",
+    )
+
+
+_SQL_PII_SCRUB = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '(?:\d{1,3}\.){3}\d{1,3}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(text, '\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}')) AS BIGINT) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '(?:\d{1,3}\.){3}\d{1,3}', '<IP>', 'g'),
+         '\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}', '<PHONE>', 'g') AS redacted
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2216,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_shuffle": q_shard_shuffle,
         "semantic_clusters": q_semantic_clusters,
         "doc_quality": q_doc_quality,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -2286,4 +2316,5 @@ def oracle_sql() -> dict[str, str]:
         "shard_shuffle": _SQL_SHARD_SHUFFLE,
         "semantic_clusters": _SQL_SEMANTIC_CLUSTERS,
         "doc_quality": _SQL_DOC_QUALITY,
+        "pii_scrub": _SQL_PII_SCRUB,
     }

@@ -320,3 +320,53 @@ def gopher_filter(
         & (F.col("top_gram_share") <= max_top_gram_share)
     )
     return sig.withColumn("keep", keep)
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction
+# --------------------------------------------------------------------------
+# Patterns restricted to the syntax both Java regex (Spark) and RE2
+# (DuckDB oracle) interpret identically: no lookaround, no backrefs.
+# Redaction order is part of the contract (emails can contain digits that
+# would otherwise half-match the phone pattern): EMAIL -> IP -> PHONE.
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+}
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One ``n_<kind>`` count column per PII pattern."""
+    return [
+        F.regexp_count(text, F.lit(pat)).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with ``<KIND>`` placeholders, in the
+    documented order."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc PII audit + redacted text — pure projection, no shuffle.
+
+    Counts are taken BEFORE redaction (the audit trail for "how much PII
+    did this corpus carry"), the text after.  At 100 TB this is a
+    map-only pass: it pipelines with the scan and writes back out with
+    zero exchanges.
+    """
+    t = F.col(text_col)
+    return df.select(
+        id_col,
+        *pii_counts(t),
+        redact_pii(t).alias("redacted"),
+    )

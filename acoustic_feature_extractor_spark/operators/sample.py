@@ -183,6 +183,7 @@ def shard_shuffle(
     id_col: str,
     n_shards: int,
     seed: int = 0,
+    within: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle + sharding for training-data export.
 
@@ -193,6 +194,10 @@ def shard_shuffle(
     size ``n_shards`` ~ corpus_rows / target_shard_rows so a shard's sort
     fits an executor — the shard count IS the parallelism knob, there is
     no global sort anywhere.
+
+    ``within``: extra grouping columns (e.g. ``["split"]``) — shard ids
+    and positions are then assigned independently inside each group, so
+    a train/val/test export keeps every shard split-pure.
     """
     from acoustic_feature_extractor_spark.operators.dedup import (
         portable_mix,
@@ -207,5 +212,6 @@ def shard_shuffle(
     d = df.withColumn("_sh", h).withColumn(
         "shard", F.pmod(F.col("_sh"), F.lit(n_shards)).cast("int")
     )
-    w = Window.partitionBy("shard").orderBy(F.col("_sh").asc(), F.col(id_col).asc())
+    parts = [*(within or []), "shard"]
+    w = Window.partitionBy(*parts).orderBy(F.col("_sh").asc(), F.col(id_col).asc())
     return d.withColumn("pos", (F.row_number().over(w) - 1).cast("long")).drop("_sh")

@@ -72,3 +72,18 @@ def test_profile_partition_invariant(spark):
     a = sorted(map(tuple, tx.repetition_profile(d).collect()))
     b = sorted(map(tuple, tx.repetition_profile(d.repartition(7)).collect()))
     assert a == b
+
+
+def test_pii_scrub(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@example.co.uk or call +1 (555) 123-4567"),
+        (2, "server at 10.0.0.1 and 192.168.1.255 up"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.pii_scrub(d).collect()}
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert "<EMAIL>" in out[1].redacted and "<PHONE>" in out[1].redacted
+    assert "example" not in out[1].redacted
+    assert out[2].n_ip == 2 and out[2].redacted.count("<IP>") == 2
+    assert out[3].redacted == rows[2][1]
