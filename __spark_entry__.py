@@ -2181,6 +2181,42 @@ FROM documents
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination sweep: train docs sharing an 8-word
+    shingle with the held-out benchmark slice (doc_id % 20 == 0). The
+    benchmark shingle table is tiny by definition, so the sweep is a
+    broadcast map-side join over the corpus — no corpus shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    train = d.where(F.col("doc_id") % 20 != 0)
+    p = dedup_ops.contamination_pairs(train, bench, w=8, min_shared=1)
+    return p.select(
+        F.col("train_id").cast("long").alias("train_id"),
+        F.col("bench_id").cast("long").alias("bench_id"),
+        F.col("shared").cast("long").alias("shared"),
+    )
+
+
+_SQL_DECONTAMINATE = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS shingle
+  FROM tok, unnest(generate_series(1, greatest(len(toks) - 7, 1))) AS t(i)
+),
+tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+be AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 = 0)
+SELECT CAST(tr.doc_id AS BIGINT) AS train_id,
+       CAST(be.doc_id AS BIGINT) AS bench_id,
+       CAST(count(*) AS BIGINT) AS shared
+FROM tr JOIN be USING (shingle)
+GROUP BY tr.doc_id, be.doc_id
+HAVING count(*) >= 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2246,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_clusters": q_semantic_clusters,
         "doc_quality": q_doc_quality,
         "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2317,4 +2354,5 @@ def oracle_sql() -> dict[str, str]:
         "semantic_clusters": _SQL_SEMANTIC_CLUSTERS,
         "doc_quality": _SQL_DOC_QUALITY,
         "pii_scrub": _SQL_PII_SCRUB,
+        "decontaminate": _SQL_DECONTAMINATE,
     }

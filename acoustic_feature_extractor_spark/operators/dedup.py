@@ -491,3 +491,56 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: train docs sharing >= ``min_shared``
+    distinct w-word shingles with any benchmark doc.
+
+    The standard eval-set contamination sweep (as in the GPT-3 / PaLM
+    appendices, public): long shingles (w=8 by default) are specific
+    enough that ONE shared shingle is a near-certain copy. Output
+    (train_id, bench_id, shared) per contaminated pair.
+
+    Scale shape: both sides reduce to (id, shingle-hash) tables; the
+    join key is the 8-byte hash, and the BENCHMARK side is tiny by
+    definition (eval sets are thousands of docs, the corpus is billions)
+    — the size-gated hint broadcasts it, so the sweep is a map-side join
+    over the train shingles with NO shuffle of the corpus. The groupBy
+    that counts shared shingles only sees matching rows (rare by
+    construction at w=8).
+    """
+    t = _shingle_table(train, text_col, id_col, w).withColumnRenamed(
+        id_col, "train_id"
+    )
+    b = _shingle_table(bench, text_col, id_col, w).withColumnRenamed(
+        id_col, "bench_id"
+    )
+    hits = (
+        t.join(maybe_broadcast(b), "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("shared"))  # shingle tables are distinct
+        .where(F.col("shared") >= min_shared)
+    )
+    return hits.select("train_id", "bench_id", "shared")
+
+
+def contaminated_ids(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Distinct train ids to DROP before training (the decontamination
+    filter input: ``train.join(out, id_col, "left_anti")``)."""
+    p = contamination_pairs(train, bench, text_col, id_col, w, min_shared)
+    return p.select(F.col("train_id").alias(id_col)).distinct()

@@ -172,3 +172,57 @@ def test_ngram_prefix_filter_lossless(spark):
             for r in ngram_jaccard_pairs(df, threshold=t).collect()
         }
         assert got == want, f"threshold {t}: {want - got} lost / {got - want} extra"
+
+
+def test_contamination_pairs_bruteforce(spark):
+    """contamination_pairs == brute-force shared-w-shingle count, and
+    contaminated_ids is exactly the distinct train side of those pairs."""
+    import itertools
+
+    from acoustic_feature_extractor_spark.operators.dedup import (
+        contaminated_ids,
+        contamination_pairs,
+    )
+
+    rng = __import__("random").Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 20))))
+        for i in range(30)
+    ]
+    # plant contamination: trains 30-33 embed benchmark doc 2's text
+    for i in range(30, 34):
+        docs.append((i, docs[2][1] + " trailing tokens here"))
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    bench = df.where(df.doc_id % 3 == 2)
+    train = df.where(df.doc_id % 3 != 2)
+
+    w = 4
+
+    def sh(t):
+        toks = t.lower().split()
+        return set(
+            " ".join(toks[i : i + w]) for i in range(max(len(toks) - w + 1, 1))
+        )
+
+    shingles = {i: sh(t) for i, t in docs}
+    want = {}
+    for ti, _ in docs:
+        if ti % 3 == 2:
+            continue
+        for bi, _ in docs:
+            if bi % 3 != 2:
+                continue
+            shared = len(shingles[ti] & shingles[bi])
+            if shared >= 1:
+                want[(ti, bi)] = shared
+
+    got = {
+        (r["train_id"], r["bench_id"]): r["shared"]
+        for r in contamination_pairs(train, bench, w=w).collect()
+    }
+    assert got == want
+    assert want, "fixture must actually plant contamination"
+
+    drop = {r["doc_id"] for r in contaminated_ids(train, bench, w=w).collect()}
+    assert drop == {t for (t, _) in want}
