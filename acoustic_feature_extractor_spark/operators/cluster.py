@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from acoustic_feature_extractor_spark.plans.cache import tracked_persist
 from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
 
 def _check_cols() -> list[F.Column]:
@@ -69,8 +70,8 @@ def connected_components(
         sym.union(sym.select(F.col("m").alias("n"), F.col("n").alias("m")))
         .where(F.col("n").isNotNull() & F.col("m").isNotNull() & (F.col("n") != F.col("m")))
         .distinct()
-        .persist()
     )
+    sym = tracked_persist(sym)
     # round 0 fused into the init: comp0(n) = min(n, min neighbour)
     labels = (
         sym.groupBy("n")
@@ -80,6 +81,8 @@ def connected_components(
     )
     prev = tuple(labels.agg(*_check_cols()).first())
     converged = False
+    # tracked_persist registers sym so a raise below (no fixpoint)
+    # still lets the driver reclaim it via release_persisted()
     for _ in range(max_iter):
         # hash-min step: comp'(n) = min(comp(n), min over neighbours m of comp(m))
         nbmin = (

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from acoustic_feature_extractor_spark.plans.cache import tracked_persist
 from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
 
 # Mersenne prime 2^61-1: modulus for the universal-hash family used by
@@ -150,8 +151,8 @@ def ngram_jaccard_pairs(
                 + 1,
             ),
         )
-        .persist()
     )
+    doc = tracked_persist(doc)
     a = doc.select(
         F.col(id_col).alias("id_a"),
         F.col("_n").alias("_na"),
@@ -270,16 +271,15 @@ def minhash_lsh_pairs(
     # and the exact-Jaccard verify (otherwise each branch re-tokenizes and
     # re-explodes the corpus). NON-distinct: minhash is duplicate-invariant
     # and the verify below dedups via collect_set, so the explicit
-    # distinct shuffle would be pure overhead. Lifetime: reclaimed by the
-    # ContextCleaner when the plan is dropped / LRU under pressure;
-    # long-lived callers can clearCache() between invocations (bench.py
-    # does).
-    sh = _shingle_table(df, text_col, id_col, w, distinct=False).persist()
+    # distinct shuffle would be pure overhead. Lifetime: tracked —
+    # long-lived callers release via plans.cache.release_persisted()
+    # (bench.py clearCache()s, the big hammer).
+    sh = tracked_persist(_shingle_table(df, text_col, id_col, w, distinct=False))
     # one row per doc (num_hashes longs): persisted because the band
     # self-join below references it on BOTH sides — without the cache the
     # whole signature aggregation (the pipeline's most expensive stage)
     # executes twice
-    sig = _signatures_from_shingles(sh, id_col, num_hashes, seed).persist()
+    sig = tracked_persist(_signatures_from_shingles(sh, id_col, num_hashes, seed))
     banded = sig.select(
         id_col,
         F.explode(
@@ -468,7 +468,7 @@ def simhash_pairs(
     # one row per doc: persisted because the pigeonhole self-join below
     # references the fingerprint table on both sides — without the cache
     # the whole token-explode aggregation executes twice
-    s = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn).persist()
+    s = tracked_persist(simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn))
     # static chunk list (shiftright needs a literal bit count)
     chunk_structs = [
         F.struct(

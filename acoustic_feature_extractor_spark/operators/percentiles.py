@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from acoustic_feature_extractor_spark.plans.cache import tracked_persist
+
 from acoustic_feature_extractor_spark.functions.scalars import searchsorted
 from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
 
@@ -121,11 +123,10 @@ def weighted_percentile(
     )
     # the chunked cumsum feeds four branches (offsets, first-row stitch,
     # extrema, the fact scan itself) — materialize it once rather than
-    # re-sorting the fact table per branch. Lifetime: the cache is
-    # reclaimed by Spark's ContextCleaner once this plan is unreachable
-    # (or by LRU under pressure); long-lived drivers issuing many calls
-    # can spark.catalog.clearCache() between them (bench.py does).
-    d = d.persist()
+    # re-sorting the fact table per branch. Lifetime: tracked — a
+    # long-lived driver calls plans.cache.release_persisted() at stage
+    # boundaries (bench.py clearCache()s between queries).
+    d = tracked_persist(d)
     # tiny per-(group, partition) summary -> exclusive prefix offsets
     psum = d.groupBy(*gcols, "_pid").agg(
         F.sum("_w").alias("_pw"),

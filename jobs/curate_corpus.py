@@ -128,6 +128,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
+    from acoustic_feature_extractor_spark.plans.cache import release_persisted
     from acoustic_feature_extractor_spark.plans.lineage import (
         RunManifest,
         completed_partitions,
@@ -184,8 +185,12 @@ def main(argv: list[str] | None = None) -> int:
                 pid, rows=rows, seconds=round(time.perf_counter() - t0, 3)
             )
             manifest.save(manifest_dir)  # checkpoint after every stage
+            # operator-internal caches (minhash shingle/signature tables)
+            # are dead once the stage's write has landed
+            release_persisted()
             cur = spark.read.parquet(path)
 
+    release_persisted()
     manifest.finish()
     manifest.save(manifest_dir)
     print(
