@@ -2217,6 +2217,109 @@ HAVING count(*) >= 1
 """
 
 
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022 recast): maximal
+    token spans whose every 8-token window repeats >= 2 times
+    corpus-wide. Output one row per (doc, span)."""
+    d = _t(spark, sf_dir, "documents")
+    s = dedup_ops.duplicated_spans(d, w=8, min_count=2)
+    return s.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    )
+
+
+_SQL_DUP_SPANS = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+),
+win AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS sh
+  FROM tok, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+  WHERE len(toks) >= 8
+),
+hot AS (SELECT sh FROM win GROUP BY sh HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM win JOIN hot USING (sh)),
+runs AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+rid AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM runs
+)
+SELECT CAST(doc_id AS BIGINT)                          AS doc_id,
+       CAST(min(pos) AS BIGINT)                        AS span_start,
+       CAST(max(pos) + 7 AS BIGINT)                    AS span_end,
+       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT)     AS span_tokens
+FROM rid
+GROUP BY doc_id, run
+"""
+
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-mass summary over the same spans: the
+    drop/trim signal a curation pipeline thresholds on."""
+    d = _t(spark, sf_dir, "documents")
+    s = dedup_ops.span_dup_stats(d, w=8, min_count=2)
+    return s.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.round(F.col("dup_ratio"), 9).alias("dup_ratio"),
+    )
+
+
+_SQL_DUP_SPAN_STATS = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+),
+win AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS sh
+  FROM tok, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+  WHERE len(toks) >= 8
+),
+hot AS (SELECT sh FROM win GROUP BY sh HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM win JOIN hot USING (sh)),
+runs AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+rid AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM runs
+),
+spans AS (
+  SELECT doc_id, max(pos) + 7 - min(pos) + 1 AS span_tokens
+  FROM rid GROUP BY doc_id, run
+),
+per_doc AS (
+  SELECT doc_id, sum(span_tokens) AS dup_tokens, count(*) AS n_spans
+  FROM spans GROUP BY doc_id
+)
+SELECT CAST(tok.doc_id AS BIGINT)                 AS doc_id,
+       CAST(len(toks) AS BIGINT)                  AS total_tokens,
+       CAST(coalesce(dup_tokens, 0) AS BIGINT)    AS dup_tokens,
+       CAST(coalesce(n_spans, 0) AS BIGINT)       AS n_spans,
+       round(CAST(coalesce(dup_tokens, 0) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE), 9)      AS dup_ratio
+FROM tok LEFT JOIN per_doc USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2283,6 +2386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
+        "dup_spans": q_dup_spans,
+        "dup_span_stats": q_dup_span_stats,
     }
 
 
@@ -2355,4 +2460,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _SQL_DOC_QUALITY,
         "pii_scrub": _SQL_PII_SCRUB,
         "decontaminate": _SQL_DECONTAMINATE,
+        "dup_spans": _SQL_DUP_SPANS,
+        "dup_span_stats": _SQL_DUP_SPAN_STATS,
     }

@@ -544,3 +544,115 @@ def contaminated_ids(
     filter input: ``train.join(out, id_col, "left_anti")``)."""
     p = contamination_pairs(train, bench, text_col, id_col, w, min_shared)
     return p.select(F.col("train_id").alias(id_col)).distinct()
+
+
+def positional_windows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", w: int = 8
+) -> DataFrame:
+    """(id, pos, whash): every w-token window with its 0-based token
+    position. Docs shorter than ``w`` produce no rows (a truncated
+    window would alias distinct short docs onto one key).
+
+    Same zip-of-shifted-slices build as :func:`word_shingles` (whole-array
+    ops, no interpreted per-element slice), plus ``posexplode`` for the
+    position.
+    """
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    m = n - (w - 1)
+    z = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(w)])
+    joined = F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(w)]))
+    return (
+        df.where(n >= w)
+        .select(F.col(id_col), F.posexplode(joined).alias("pos", "_sh"))
+        .select(id_col, "pos", F.xxhash64("_sh").alias("whash"))
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans — exact substring-level dedup
+    (the suffix-array pass of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", recast for Spark).
+
+    A token span of length ≥ w that occurs ≥ ``min_count`` times in the
+    corpus makes EVERY one of its w-token windows globally hot, at
+    consecutive positions. So: hash all positional windows, keep hot
+    ones (global occurrence count ≥ min_count — within-doc repeats
+    count, matching "appears more than once in the training data"),
+    and merge runs of consecutive hot positions per doc back into
+    maximal spans [run_start, run_end + w − 1].
+
+    Output: (id, span_start, span_end, span_tokens), token positions
+    0-based inclusive. Feed to a keep-one / cut-spans policy downstream.
+
+    Scale shape: the occurrence count is a map-side-combined groupBy on
+    the 8-byte window hash; the hot set joins back size-gated
+    (broadcast while small, AQE at scale — hot windows scale with the
+    duplicated mass, not the corpus). The only per-doc window runs over
+    hit positions (≤ doc length, bounded by the corpus max-doc-tokens
+    cap), never the corpus.
+    """
+    win = positional_windows(df, text_col, id_col, w)
+    hot = (
+        win.groupBy("whash")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= F.lit(min_count))
+        .select("whash")
+    )
+    hits = win.join(maybe_broadcast(hot), "whash").select(id_col, "pos")
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w_doc) == 1, F.lit(0)
+    ).otherwise(F.lit(1))
+    run = F.sum(brk).over(w_doc.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        hits.withColumn("_run", run)
+        .groupBy(id_col, "_run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(w - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
+def span_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-doc duplicated-span summary: (id, total_tokens, dup_tokens,
+    n_spans, dup_ratio). Spans are maximal and non-overlapping by
+    construction, so dup_tokens = Σ span_tokens. Docs with no spans get
+    zeros — use ``dup_ratio`` as a drop/trim threshold."""
+    spans = duplicated_spans(df, text_col, id_col, w, min_count)
+    agg = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("dup_tokens"),
+        F.count("*").alias("n_spans"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(tokenize(F.col(text_col))).alias("total_tokens")
+    )
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        "total_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        (
+            F.coalesce("dup_tokens", F.lit(0)).cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("dup_ratio"),
+    )

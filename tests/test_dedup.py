@@ -226,3 +226,66 @@ def test_contamination_pairs_bruteforce(spark):
 
     drop = {r["doc_id"] for r in contaminated_ids(train, bench, w=w).collect()}
     assert drop == {t for (t, _) in want}
+
+
+def test_duplicated_spans_bruteforce(spark):
+    """duplicated_spans == brute-force hot-window run merge; stats agree."""
+    from acoustic_feature_extractor_spark.operators.dedup import (
+        duplicated_spans,
+        span_dup_stats,
+    )
+
+    rng = __import__("random").Random(11)
+    vocab = [f"w{i}" for i in range(200)]
+    boiler = "please see the attached terms and conditions for details"
+    docs = []
+    for i in range(25):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+        if i % 3 == 0:  # plant a repeated 9-token span mid-doc
+            body = body + " " + boiler + " " + body[: len(body) // 2]
+        docs.append((i, body))
+    docs.append((25, "short doc"))  # < w tokens: no windows, no spans
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    w, mc = 5, 2
+
+    # brute force
+    toks = {i: t.lower().split() for i, t in docs}
+    from collections import Counter
+
+    cnt = Counter()
+    for i, tk in toks.items():
+        for p in range(len(tk) - w + 1):
+            cnt[" ".join(tk[p : p + w])] += 1
+    want = set()
+    for i, tk in toks.items():
+        hot = [p for p in range(len(tk) - w + 1) if cnt[" ".join(tk[p : p + w])] >= mc]
+        run = []
+        for p in hot:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.add((i, run[0], run[-1] + w - 1))
+                run = [p]
+        if run:
+            want.add((i, run[0], run[-1] + w - 1))
+
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(df, w=w, min_count=mc).collect()
+    }
+    assert got == want
+    assert want, "fixture must plant duplicated spans"
+
+    stats = {
+        r["doc_id"]: (r["total_tokens"], r["dup_tokens"], r["n_spans"])
+        for r in span_dup_stats(df, w=w, min_count=mc).collect()
+    }
+    assert set(stats) == {i for i, _ in docs}
+    for i, tk in toks.items():
+        spans = [(s, e) for (d, s, e) in want if d == i]
+        assert stats[i] == (
+            len(tk),
+            sum(e - s + 1 for s, e in spans),
+            len(spans),
+        )
