@@ -2320,6 +2320,81 @@ FROM tok LEFT JOIN per_doc USING (doc_id)
 """
 
 
+def q_dup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup cut pass: excise every duplicated span copy,
+    keeping the canonical (min doc_id, span_start) occurrence."""
+    d = _t(spark, sf_dir, "documents")
+    s = dedup_ops.cut_duplicated_spans(d, w=8, min_count=2)
+    return s.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("clean_text").alias("clean_text"),
+        F.col("removed_tokens").cast("long").alias("removed_tokens"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+_SQL_DUP_CUT = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+),
+win AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS sh
+  FROM tok, unnest(generate_series(1, len(toks) - 7)) AS t(i)
+  WHERE len(toks) >= 8
+),
+hot AS (SELECT sh FROM win GROUP BY sh HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM win JOIN hot USING (sh)),
+runs AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+),
+rid AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM runs
+),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e FROM rid GROUP BY doc_id, run
+),
+spc AS (
+  SELECT sp.doc_id, sp.s, sp.e,
+         array_to_string(list_slice(t.toks, sp.s + 1, sp.e + 1), ' ') AS content
+  FROM spans sp JOIN tok t USING (doc_id)
+),
+cuts AS (
+  SELECT doc_id, s, e FROM (
+    SELECT doc_id, s, e,
+           row_number() OVER (PARTITION BY content ORDER BY doc_id, s) AS rk
+    FROM spc
+  ) WHERE rk > 1
+),
+docpos AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS tk
+  FROM tok, unnest(generate_series(1, len(toks))) AS t(i)
+),
+cutpos AS (
+  SELECT DISTINCT d.doc_id, d.pos
+  FROM docpos d JOIN cuts c ON d.doc_id = c.doc_id AND d.pos BETWEEN c.s AND c.e
+),
+kept AS (
+  SELECT d.doc_id, string_agg(d.tk, ' ' ORDER BY d.pos) AS clean_text,
+         count(*) AS kept_n
+  FROM docpos d LEFT JOIN cutpos cp ON d.doc_id = cp.doc_id AND d.pos = cp.pos
+  WHERE cp.pos IS NULL
+  GROUP BY d.doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT)                              AS doc_id,
+       coalesce(k.clean_text, '')                            AS clean_text,
+       CAST(len(t.toks) - coalesce(k.kept_n, 0) AS BIGINT)   AS removed_tokens,
+       CAST(len(t.toks) AS BIGINT)                           AS total_tokens
+FROM tok t LEFT JOIN kept k USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2388,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dup_spans": q_dup_spans,
         "dup_span_stats": q_dup_span_stats,
+        "dup_cut": q_dup_cut,
     }
 
 
@@ -2462,4 +2538,5 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _SQL_DECONTAMINATE,
         "dup_spans": _SQL_DUP_SPANS,
         "dup_span_stats": _SQL_DUP_SPAN_STATS,
+        "dup_cut": _SQL_DUP_CUT,
     }

@@ -690,3 +690,73 @@ def span_dup_stats(
             / F.col("total_tokens").cast("double")
         ).alias("dup_ratio"),
     )
+
+
+def cut_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove duplicated spans from the corpus, keeping ONE canonical
+    occurrence per distinct span content (the cut policy of Lee et al.
+    2022 — every other copy is excised, the first survives).
+
+    Canonical occurrence = min (id, span_start) within each identical
+    span content (64-bit content hash; spans whose merged extents differ
+    are different contents and keep their own canonicals). Output one
+    row per input doc: (id, clean_text, removed_tokens, total_tokens)
+    where ``clean_text`` re-joins the kept tokens with single spaces
+    (whitespace is canonicalized by the engine-wide tokenizer — exact
+    byte-level reconstruction would need offsets the tokenizer drops).
+
+    Scale shape: spans scale with the duplicated mass, not the corpus —
+    the spans⋈docs hash join (content slice) and the winner
+    row_number window run on that small side; the corpus is touched by
+    exactly one extra join (cut ranges per doc, size-gated broadcast)
+    and a per-token filter HOF bounded by max doc length.
+    """
+    spans = duplicated_spans(df, text_col, id_col, w, min_count)
+    toks = tokenize(F.col(text_col))
+    docs_t = df.select(F.col(id_col), toks.alias("_tk"))
+    sp = (
+        spans.join(docs_t, id_col)
+        .withColumn(
+            "_content",
+            F.xxhash64(
+                F.array_join(
+                    F.slice("_tk", F.col("span_start") + 1, F.col("span_tokens")),
+                    " ",
+                )
+            ),
+        )
+        .drop("_tk", "span_tokens")
+    )
+    w_k = Window.partitionBy("_content").orderBy(id_col, "span_start")
+    cuts = (
+        sp.withColumn("_rk", F.row_number().over(w_k))
+        .where(F.col("_rk") > 1)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_cuts")
+        )
+    )
+    base = df.select(F.col(id_col), toks.alias("_tk"))
+    out = base.join(maybe_broadcast(cuts), id_col, "left")
+    kept = F.filter(
+        "_tk",
+        lambda t, i: F.coalesce(
+            ~F.exists(
+                "_cuts",
+                lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+            ),
+            F.lit(True),
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("_tk") - F.size(kept)).alias("removed_tokens"),
+        F.size("_tk").alias("total_tokens"),
+    )

@@ -289,3 +289,39 @@ def test_duplicated_spans_bruteforce(spark):
             sum(e - s + 1 for s, e in spans),
             len(spans),
         )
+
+
+def test_cut_duplicated_spans_keep_one(spark):
+    """Every duplicated span content keeps exactly its canonical
+    (min doc_id, span_start) occurrence; all other copies are excised."""
+    from acoustic_feature_extractor_spark.operators.dedup import (
+        cut_duplicated_spans,
+        duplicated_spans,
+    )
+
+    boiler = "one two three four five six"  # 6 tokens, w=5 -> hot windows
+    docs = [
+        (0, f"alpha beta {boiler} gamma delta"),
+        (1, f"epsilon {boiler} zeta eta theta iota"),
+        (2, f"kappa lam mu nu xi omicron pi rho {boiler}"),
+        (3, "unique text with no repeats whatsoever in this corpus here"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    w, mc = 5, 2
+
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(df, w=w, min_count=mc).collect()
+    }
+    # the boiler span occurs in docs 0,1,2 at known positions
+    assert spans == {(0, 2, 7), (1, 1, 6), (2, 8, 13)}
+
+    out = {
+        r["doc_id"]: (r["clean_text"], r["removed_tokens"], r["total_tokens"])
+        for r in cut_duplicated_spans(df, w=w, min_count=mc).collect()
+    }
+    # doc 0 is canonical (min id, start): keeps the boiler
+    assert out[0] == (docs[0][1].lower(), 0, 10)
+    assert out[1] == ("epsilon zeta eta theta iota", 6, 11)
+    assert out[2] == ("kappa lam mu nu xi omicron pi rho", 6, 14)
+    assert out[3] == (docs[3][1], 0, 10)
