@@ -2335,7 +2335,9 @@ def q_dup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_DUP_CUT = r"""
 WITH tok AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks,
+         string_split_regex(trim(text), '\s+') AS otoks
+  FROM documents
 ),
 win AS (
   SELECT doc_id, i - 1 AS pos,
@@ -2373,7 +2375,7 @@ cuts AS (
   ) WHERE rk > 1
 ),
 docpos AS (
-  SELECT doc_id, i - 1 AS pos, toks[i] AS tk
+  SELECT doc_id, i - 1 AS pos, otoks[i] AS tk
   FROM tok, unnest(generate_series(1, len(toks))) AS t(i)
 ),
 cutpos AS (

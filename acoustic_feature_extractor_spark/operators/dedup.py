@@ -707,9 +707,12 @@ def cut_duplicated_spans(
     span content (64-bit content hash; spans whose merged extents differ
     are different contents and keep their own canonicals). Output one
     row per input doc: (id, clean_text, removed_tokens, total_tokens)
-    where ``clean_text`` re-joins the kept tokens with single spaces
-    (whitespace is canonicalized by the engine-wide tokenizer — exact
-    byte-level reconstruction would need offsets the tokenizer drops).
+    where ``clean_text`` re-joins the kept ORIGINAL tokens with single
+    spaces — matching is case-folded (the engine-wide tokenizer) but the
+    surviving text preserves case; only inter-token whitespace is
+    canonicalized (exact byte-level reconstruction would need offsets
+    the tokenizer drops). Positions align between the two splits because
+    both split on ``\\s+``.
 
     Scale shape: spans scale with the duplicated mass, not the corpus —
     the spans⋈docs hash join (content slice) and the winner
@@ -742,7 +745,8 @@ def cut_duplicated_spans(
             F.collect_list(F.struct("span_start", "span_end")).alias("_cuts")
         )
     )
-    base = df.select(F.col(id_col), toks.alias("_tk"))
+    orig_toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), orig_toks.alias("_tk"))
     out = base.join(maybe_broadcast(cuts), id_col, "left")
     kept = F.filter(
         "_tk",

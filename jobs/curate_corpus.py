@@ -51,6 +51,8 @@ def stage_transforms(
     fractions: dict[str, float] | None = None,
     n_shards: int = 16,
     seed: int = 0,
+    cut_spans: bool = False,
+    cut_w: int = 8,
 ) -> list[tuple[str, Callable[[DataFrame], DataFrame]]]:
     """Ordered (name, prev-stage-df → this-stage-df) transforms.
 
@@ -77,6 +79,17 @@ def stage_transforms(
         )
         return d.join(losers, "doc_id", "left_anti")
 
+    def span_cut(d: DataFrame) -> DataFrame:
+        # substring-level pass AFTER doc-level dedup: excise remaining
+        # duplicated spans, keep the canonical occurrence. Case and
+        # non-text columns survive; inter-token whitespace is
+        # canonicalized. Near-idempotent: a replay only finds new spans
+        # in the rare case a cut fuses tokens into a fresh hot window.
+        c = dedup_ops.cut_duplicated_spans(d, w=cut_w)
+        return d.drop("text").join(
+            c.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+        )
+
     def quality(d: DataFrame) -> DataFrame:
         gated = tx.gopher_filter(d, min_words=min_words)
         return d.join(
@@ -94,13 +107,18 @@ def stage_transforms(
             split, "doc_id", n_shards=n_shards, seed=seed, within=["split"]
         )
 
-    return [
+    out = [
         ("exact_dedup", lambda d: dedup_ops.exact_dedup(d)),
         ("near_dedup", near_dedup),
+    ]
+    if cut_spans:
+        out.append(("span_cut", span_cut))
+    out += [
         ("quality", quality),
         ("scrubbed", scrub),
         ("curated", export),
     ]
+    return out
 
 
 def _count_write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> int:
@@ -123,6 +141,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-words", type=int, default=20)
     ap.add_argument("--shards", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cut-spans", action="store_true",
+                    help="substring-level dedup stage (cut duplicated spans, keep canonical)")
+    ap.add_argument("--cut-w", type=int, default=8)
     ap.add_argument("--checkpoint-stages", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
@@ -140,7 +161,15 @@ def main(argv: list[str] | None = None) -> int:
     done = completed_partitions(manifest_dir) if args.resume else set()
     prev = RunManifest.load(manifest_dir) if args.resume else None
     if prev is not None:
-        for k in ("minhash_threshold", "min_words", "shards", "seed", "input"):
+        for k in (
+            "minhash_threshold",
+            "min_words",
+            "shards",
+            "seed",
+            "input",
+            "cut_spans",
+            "cut_w",
+        ):
             old_v = (prev.args or {}).get(k)
             if old_v is not None and str(old_v) != str(vars(args)[k]):
                 raise SystemExit(
@@ -157,6 +186,8 @@ def main(argv: list[str] | None = None) -> int:
         min_words=args.min_words,
         n_shards=args.shards,
         seed=args.seed,
+        cut_spans=args.cut_spans,
+        cut_w=args.cut_w,
     )
     docs = spark.read.parquet(args.input)
     t_all = time.perf_counter()

@@ -102,3 +102,39 @@ def test_staged_resume_skips_completed(tmp_path):
                 "8",
             ]
         )
+
+
+@pytest.mark.slow
+def test_cut_spans_stage(tmp_path, spark):
+    """--cut-spans adds the substring pass: fused ≡ staged still holds,
+    the span_cut stage drops no DOCS (it trims text), and duplicated
+    mass shrinks."""
+    from acoustic_feature_extractor_spark.operators.dedup import span_dup_stats
+
+    fused = str(tmp_path / "fused")
+    staged = str(tmp_path / "staged")
+    m1 = _run(["--input", DOCS, "--output", fused, "--shards", "4", "--cut-spans"])
+    m2 = _run(
+        ["--input", DOCS, "--output", staged, "--shards", "4", "--cut-spans",
+         "--checkpoint-stages"]
+    )
+    rows = {p["partition"]: p["rows"] for p in m2["stages"]}
+    assert rows["stage=span_cut"] == rows["stage=near_dedup"]  # trims, never drops
+    assert m1["stages"][-1]["rows"] == rows["stage=curated"]
+
+    a = spark.read.parquet(os.path.join(fused, "curated"))
+    b = spark.read.parquet(os.path.join(staged, "stage=curated"))
+    key = ["doc_id", "split", "shard", "pos"]
+    assert sorted(map(tuple, a.select(key).collect())) == sorted(
+        map(tuple, b.select(key).collect())
+    )
+
+    # the cut output carries strictly less duplicated mass than the input
+    pre = spark.read.parquet(os.path.join(staged, "stage=near_dedup"))
+    post = spark.read.parquet(os.path.join(staged, "stage=span_cut"))
+    dup = lambda d: (
+        span_dup_stats(d, w=8).agg(F.sum("dup_tokens")).first()[0] or 0
+    )
+    pre_dup, post_dup = dup(pre), dup(post)
+    assert pre_dup > 0, "fixture should contain duplicated spans"
+    assert post_dup < pre_dup

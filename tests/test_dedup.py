@@ -302,7 +302,7 @@ def test_cut_duplicated_spans_keep_one(spark):
     boiler = "one two three four five six"  # 6 tokens, w=5 -> hot windows
     docs = [
         (0, f"alpha beta {boiler} gamma delta"),
-        (1, f"epsilon {boiler} zeta eta theta iota"),
+        (1, f"Epsilon {boiler.upper()} zeta eta theta iota"),  # case-folded match
         (2, f"kappa lam mu nu xi omicron pi rho {boiler}"),
         (3, "unique text with no repeats whatsoever in this corpus here"),
     ]
@@ -320,8 +320,9 @@ def test_cut_duplicated_spans_keep_one(spark):
         r["doc_id"]: (r["clean_text"], r["removed_tokens"], r["total_tokens"])
         for r in cut_duplicated_spans(df, w=w, min_count=mc).collect()
     }
-    # doc 0 is canonical (min id, start): keeps the boiler
-    assert out[0] == (docs[0][1].lower(), 0, 10)
-    assert out[1] == ("epsilon zeta eta theta iota", 6, 11)
+    # doc 0 is canonical (min id, start): keeps the boiler; matching is
+    # case-folded but surviving text preserves the original case
+    assert out[0] == (docs[0][1], 0, 10)
+    assert out[1] == ("Epsilon zeta eta theta iota", 6, 11)
     assert out[2] == ("kappa lam mu nu xi omicron pi rho", 6, 14)
     assert out[3] == (docs[3][1], 0, 10)
