@@ -613,21 +613,56 @@ def align_sources(
         sources = [s.join(ok, by, "left_semi") for s in sources]
 
     if mode == "max":
-        grid = sources[0].select(by, on)
-        for s in sources[1:]:
-            grid = grid.unionByName(s.select(by, on))
-        grid = grid.where(F.col(on).isNotNull()).distinct()
-        out = grid
+        # The max-mode grid is exactly the UNION of every source's
+        # (entity, ts) rows — so per-source as-of joins are overkill:
+        # tag-union all sources into one table (each source's value
+        # columns null outside its own rows), forward-fill every column
+        # with ONE window pass, and keep the last row of each (by, ts)
+        # group (it has absorbed every source's value at that ts). One
+        # exchange + one sort replaces one as-of join PER SOURCE (the
+        # previous shape — 3 sources cost 3 shuffle+sort passes; ~30%
+        # off the sf0.1 bench query, whose remaining cost is its three
+        # per-source pre-aggregations). Equal-ts ordering
+        # by source index is the inclusive as-of tie rule. Sources must
+        # be unique per (by, on) — the reference asserts aligned unique
+        # timestamps too (``sampling_data.py:87-139``).
+        parts = []
+        for i, s in enumerate(sources):
+            parts.append(
+                s.where(F.col(on).isNotNull()).select(
+                    F.col(by),
+                    F.col(on),
+                    F.lit(i).alias("_src"),
+                    *[F.col(c).alias(f"{c}_s{i}") for c in value_cols[i]],
+                )
+            )
+        merged = parts[0]
+        for t in parts[1:]:
+            merged = merged.unionByName(t, allowMissingColumns=True)
+        w_ord = Window.partitionBy(by).orderBy(on, "_src")
+        w_fill = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        filled = merged.select(
+            by,
+            on,
+            "_src",
+            *[
+                F.last(f"{c}_s{i}", ignorenulls=True).over(w_fill).alias(f"{c}_s{i}")
+                for i in range(len(sources))
+                for c in value_cols[i]
+            ],
+        )
+        nxt = F.lead(on).over(w_ord)
+        out = (
+            filled.withColumn("_nxt", nxt)
+            .where(F.col("_nxt").isNull() | (F.col("_nxt") != F.col(on)))
+            .drop("_src", "_nxt")
+        )
+        # per-entity end of source i — the tiny end tables are joined
+        # to EACH OTHER first (full outer: an entity absent from a
+        # source pads everywhere), so the fact table pays ONE join
+        # for all sources instead of one per source
         ends = None
         for i, s in enumerate(sources):
-            out = asof_join(
-                out, s, on=on, by=by, right_cols=value_cols[i], suffix=f"_s{i}"
-            )
-            out = out.drop(f"{on}_s{i}")
-            # per-entity end of source i — the tiny end tables are joined
-            # to EACH OTHER first (full outer: an entity absent from a
-            # source pads everywhere), so the fact table pays ONE join
-            # for all sources instead of one per source
             e = s.groupBy(by).agg(F.max(F.col(on)).alias(f"_end_{i}"))
             ends = e if ends is None else ends.join(e, by, "full")
         # zero-fill outside each source's span (the reference pads the
