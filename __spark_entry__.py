@@ -2397,6 +2397,60 @@ FROM tok t LEFT JOIN kept k USING (doc_id)
 """
 
 
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (T5/Pile rule, T=0.5):
+    deterministic fractional up/down-sampling per language, replica
+    index carried as ``copy``."""
+    d = _t(spark, sf_dir, "documents")
+    s = sample_ops.mixture_sample(
+        d, group_col="lang", id_col="doc_id", temperature=0.5, seed=0
+    )
+    return s.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang"),
+        F.col("copy").cast("long").alias("copy"),
+    )
+
+
+_SQL_MIXTURE_SAMPLE = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_rows FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT sum(pow(CAST(n_rows AS DOUBLE), 0.5)) AS tw,
+         sum(n_rows) AS tn
+  FROM counts
+),
+rates AS (
+  SELECT lang,
+         least(
+           pow(CAST(n_rows AS DOUBLE), 0.5) / tw * CAST(tn AS DOUBLE)
+             / CAST(n_rows AS DOUBLE),
+           64.0
+         ) AS rate
+  FROM counts, tot
+),
+h0 AS (
+  SELECT doc_id, lang,
+         {_sql_phash("(CAST(doc_id AS VARCHAR) || ':0')")} AS hv0
+  FROM documents
+),
+nc AS (
+  SELECT h0.doc_id, h0.lang,
+         CAST(floor(rate) AS INT)
+           + CASE WHEN CAST({_sql_pmix("hv0")} % 1000000000 AS DOUBLE)
+                       < (rate - floor(rate)) * 1000000000.0
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM h0 JOIN rates USING (lang)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       lang,
+       CAST(c AS BIGINT) AS copy
+FROM nc, unnest(generate_series(1, n_copies)) AS t(c)
+WHERE n_copies > 0
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2466,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "dup_span_stats": q_dup_span_stats,
         "dup_cut": q_dup_cut,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -2541,4 +2596,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _SQL_DUP_SPANS,
         "dup_span_stats": _SQL_DUP_SPAN_STATS,
         "dup_cut": _SQL_DUP_CUT,
+        "mixture_sample": _SQL_MIXTURE_SAMPLE,
     }

@@ -215,3 +215,96 @@ def shard_shuffle(
     parts = [*(within or []), "shard"]
     w = Window.partitionBy(*parts).orderBy(F.col("_sh").asc(), F.col(id_col).asc())
     return d.withColumn("pos", (F.row_number().over(w) - 1).cast("long")).drop("_sh")
+
+
+def mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    temperature: float = 1.0,
+    target_rows: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture rates per group (the T5 / Pile
+    source-mixing rule, public): group weight ∝ n^temperature, so
+    T=1 reproduces natural proportions and T→0 flattens toward uniform.
+
+    Output: (group, n_rows, rate) where ``rate`` is the expected copies
+    per row — ``(n^T / Σ n^T) · target / n``. ``target_rows`` defaults
+    to the input row count (rebalance while preserving corpus size).
+    Rates > 1 mean upsampling (small sources), < 1 downsampling.
+
+    Scale shape: one map-side-combined count per group plus a
+    single-row total joined back — the per-group table is
+    source/language-sized, never corpus-sized.
+    """
+    assert temperature > 0.0
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_rows"))
+    w = F.pow(F.col("n_rows").cast("double"), F.lit(float(temperature)))
+    counts = counts.withColumn("_w", w)
+    tot = counts.agg(
+        F.sum("_w").alias("_tw"), F.sum("n_rows").alias("_tn")
+    )
+    tgt = (
+        F.lit(float(target_rows)) if target_rows is not None else F.col("_tn").cast("double")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))  # tot is literally one row
+        .select(
+            group_col,
+            "n_rows",
+            (
+                (F.col("_w") / F.col("_tw")) * tgt / F.col("n_rows").cast("double")
+            ).alias("rate"),
+        )
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    temperature: float = 1.0,
+    target_rows: int | None = None,
+    seed: int = 0,
+    max_copies: int = 64,
+    resolution: int = 1_000_000_000,
+) -> DataFrame:
+    """Deterministic temperature mixing: each row is kept ``floor(rate)``
+    times plus one more with probability ``frac(rate)``, decided by the
+    portable hash of ``(id, seed)`` — key-consistent, engine-reproducible,
+    no ``rand()``. Output rows carry ``copy`` (1-based replica index), so
+    downstream shuffles (``shard_shuffle``) can spread replicas.
+
+    Expected output size = ``target_rows`` (default: input size). Rates
+    are clamped to ``max_copies`` — a tiny group under aggressive
+    flattening could otherwise explode a single row thousands of times;
+    the clamp bounds per-row fan-out (and the violation is visible in
+    :func:`mixture_rates` output, which reports the unclamped rate).
+
+    Scale shape: rates join back size-gated (group table is tiny); the
+    replication is a per-row ``explode(sequence)`` — map-side, no extra
+    shuffle anywhere.
+    """
+    from acoustic_feature_extractor_spark.operators.dedup import (
+        portable_mix,
+        token_hash_portable,
+    )
+    from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
+
+    rates = mixture_rates(df, group_col, temperature, target_rows)
+    d = df.join(maybe_broadcast(rates.select(group_col, "rate")), group_col)
+    rate = F.least(F.col("rate"), F.lit(float(max_copies)))
+    hv = F.pmod(
+        portable_mix(
+            token_hash_portable(
+                F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))
+            )
+        ),
+        F.lit(resolution),
+    )
+    base = F.floor(rate).cast("int")
+    extra = (hv.cast("double") < (rate - F.floor(rate)) * F.lit(float(resolution))).cast("int")
+    d = d.withColumn("_nc", base + extra).where(F.col("_nc") > 0)
+    return (
+        d.withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_nc"))))
+        .drop("_nc", "rate")
+    )

@@ -119,3 +119,46 @@ def test_shard_shuffle_actually_shuffles(spark):
     ids = [r.doc_id for r in out.orderBy("pos").collect()]
     assert ids != sorted(ids)
     assert sorted(ids) == list(range(200))
+
+
+def test_mixture_sample_t1_is_identity(spark):
+    """T=1 with default target: every rate is exactly 1.0 -> each row
+    kept exactly once (floor(1)=1, frac=0)."""
+    from acoustic_feature_extractor_spark.operators.sample import mixture_sample
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("src"),
+    )
+    out = mixture_sample(df, "src", "doc_id", temperature=1.0)
+    rows = out.groupBy().agg(F.count("*"), F.max("copy"), F.min("copy")).first()
+    assert tuple(rows) == (300, 1, 1)
+
+
+def test_mixture_sample_flattens_and_is_deterministic(spark):
+    """T=0.3 on a skewed corpus: the small group upsamples (copies > 1),
+    the big group downsamples, totals stay near target, and the exact
+    output is reproducible (hash-seeded, no rand())."""
+    from acoustic_feature_extractor_spark.operators.sample import (
+        mixture_rates,
+        mixture_sample,
+    )
+
+    big, small = 2000, 50
+    df = spark.range(big + small).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < big, "en").otherwise("yo").alias("src"),
+    )
+    rates = {r["src"]: r["rate"] for r in mixture_rates(df, "src", 0.3).collect()}
+    assert rates["yo"] > 1.0 > rates["en"]
+
+    out = mixture_sample(df, "src", "doc_id", temperature=0.3, seed=7)
+    per = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # expectation per group = rate * n; hash sampling is close at n>=50
+    import math
+    assert math.isclose(per["en"], rates["en"] * big, rel_tol=0.05)
+    assert math.isclose(per["yo"], rates["yo"] * small, rel_tol=0.25)
+    assert out.agg(F.max("copy")).first()[0] >= 2  # real upsampling
+    # determinism: exact same multiset on a re-run
+    again = mixture_sample(df, "src", "doc_id", temperature=0.3, seed=7)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
