@@ -2451,6 +2451,49 @@ WHERE n_copies > 0
 """
 
 
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained add-1 bigram LM score per doc (CCNet-style
+    perplexity quality signal)."""
+    d = _t(spark, sf_dir, "documents")
+    s = tx.bigram_logprob(d)
+    return s.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+_SQL_DOC_PERPLEXITY = r"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents
+),
+uni AS (SELECT t AS w FROM tok, unnest(toks) AS u(t)),
+c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+v AS (SELECT count(*) AS vn FROM c1),
+bi AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM tok, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+),
+cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+sc AS (
+  SELECT bi.doc_id,
+         ln((cb.cb + 1.0) / (c1.c1 + 1.0 * v.vn)) AS lp
+  FROM bi
+  JOIN cb USING (w1, w2)
+  JOIN c1 ON bi.w1 = c1.w
+  CROSS JOIN v
+),
+agg AS (SELECT doc_id, count(*) AS nb, avg(lp) AS al FROM sc GROUP BY doc_id)
+SELECT CAST(t.doc_id AS BIGINT)            AS doc_id,
+       CAST(coalesce(agg.nb, 0) AS BIGINT) AS n_bigrams,
+       round(agg.al, 6)                    AS avg_logprob,
+       round(exp(-agg.al), 6)              AS perplexity
+FROM tok t LEFT JOIN agg USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2521,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "dup_cut": q_dup_cut,
         "mixture_sample": q_mixture_sample,
+        "doc_perplexity": q_doc_perplexity,
     }
 
 
@@ -2597,4 +2641,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_span_stats": _SQL_DUP_SPAN_STATS,
         "dup_cut": _SQL_DUP_CUT,
         "mixture_sample": _SQL_MIXTURE_SAMPLE,
+        "doc_perplexity": _SQL_DOC_PERPLEXITY,
     }

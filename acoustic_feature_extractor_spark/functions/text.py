@@ -370,3 +370,68 @@ def pii_scrub(
         *pii_counts(t),
         redact_pii(t).alias("redacted"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under a model trained on
+    the corpus itself — the distributed analog of the CCNet / Gopher
+    LM-perplexity quality signal (public method; KenLM swapped for an
+    add-α bigram model the engine can train in two aggregations).
+
+    P(w2|w1) = (C(w1 w2) + α) / (C(w1) + α·V), V = distinct unigrams.
+    Output: (id, n_bigrams, avg_logprob, perplexity = exp(−avg)).
+    High perplexity ⇒ the doc's word transitions are rare in the corpus
+    (gibberish, boilerplate-free OCR noise) — the usual drop signal.
+    Docs with < 2 tokens have no bigrams: null avg/perplexity.
+
+    Scale shape: model = two map-side-combined counts (unigrams are
+    vocab-sized and broadcast-gated; bigram counts are corpus-vocab
+    sized — that join stays a shuffle, AQE handles it). Token/bigram
+    keys are 8-byte xxhash64, never strings, so shuffles carry longs
+    (collisions merge two counts at 2^-64 per pair — noise for a
+    quality score). One groupBy(id) closes the scan.
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    n = F.size(toks)
+    uni = df.select(F.col(id_col), F.explode(toks).alias("_w")).select(
+        id_col, F.xxhash64("_w").alias("_h1")
+    )
+    m = n - 1
+    z = F.arrays_zip(F.slice(toks, 1, m).alias("a"), F.slice(toks, 2, m).alias("b"))
+    bi = df.where(n >= 2).select(
+        F.col(id_col), F.explode(z).alias("_z")
+    ).select(
+        id_col,
+        F.xxhash64("_z.a").alias("_h1"),
+        F.xxhash64("_z.a", "_z.b").alias("_hb"),
+    )
+    c1 = uni.groupBy("_h1").agg(F.count("*").alias("_c1"))
+    cb = bi.groupBy("_hb").agg(F.count("*").alias("_cb"))
+    vtot = c1.agg(F.count("*").alias("_V"))
+    scored = (
+        bi.join(cb, "_hb")
+        .join(maybe_broadcast(c1), "_h1")
+        .crossJoin(F.broadcast(vtot))  # one row
+        .withColumn(
+            "_lp",
+            F.log(
+                (F.col("_cb") + F.lit(float(alpha)))
+                / (F.col("_c1") + F.lit(float(alpha)) * F.col("_V"))
+            ),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.avg("_lp").alias("avg_logprob")
+    )
+    base = df.select(F.col(id_col))
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.col("avg_logprob"),
+        F.exp(-F.col("avg_logprob")).alias("perplexity"),
+    )

@@ -87,3 +87,51 @@ def test_pii_scrub(spark):
     assert "example" not in out[1].redacted
     assert out[2].n_ip == 2 and out[2].redacted.count("<IP>") == 2
     assert out[3].redacted == rows[2][1]
+
+
+def test_bigram_logprob_bruteforce(spark):
+    """bigram_logprob == a numpy/dict add-1 bigram model on the same
+    corpus; gibberish scores worse (higher perplexity) than repetitive
+    in-distribution text."""
+    import math
+
+    import pandas as pd
+
+    from acoustic_feature_extractor_spark.functions.text import bigram_logprob
+
+    docs = [
+        (0, "the cat sat on the mat and the cat sat again"),
+        (1, "the cat sat on the mat"),
+        (2, "zxq wvu tsr qpo nml kji"),  # gibberish: every bigram unseen elsewhere
+        (3, "one"),  # single token: no bigrams
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+
+    toks = {i: t.lower().split() for i, t in docs}
+    from collections import Counter
+
+    c1 = Counter(w for tk in toks.values() for w in tk)
+    cb = Counter(
+        (tk[j], tk[j + 1]) for tk in toks.values() for j in range(len(tk) - 1)
+    )
+    V = len(c1)
+    want = {}
+    for i, tk in toks.items():
+        lps = [
+            math.log((cb[(tk[j], tk[j + 1])] + 1.0) / (c1[tk[j]] + V))
+            for j in range(len(tk) - 1)
+        ]
+        want[i] = (len(lps), sum(lps) / len(lps) if lps else None)
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["perplexity"])
+        for r in bigram_logprob(df).collect()
+    }
+    for i, (nb, al) in want.items():
+        assert got[i][0] == nb
+        if al is None:
+            assert got[i][1] is None and got[i][2] is None
+        else:
+            assert abs(got[i][1] - al) < 1e-9
+            assert abs(got[i][2] - math.exp(-al)) < 1e-9
+    assert got[2][2] > got[0][2]  # gibberish scores worse
