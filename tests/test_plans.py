@@ -107,7 +107,9 @@ def test_no_unconditional_broadcast_of_fact_scaled_relations():
     allowed = {
         # file -> bounded-by-construction justification
         "plans/pipeline.py": 1,   # 1-row global corpus stats
-        "operators/sample.py": 2,  # n_chunks offsets + <=max_entities picks
+        # n_chunks offsets + <=max_entities picks + 1-row mixture total
+        "operators/sample.py": 3,
+        "functions/text.py": 1,   # 1-row vocab-size aggregate (bigram LM)
     }
     for f in pkg.rglob("*.py"):
         if f.name == "hints.py":
@@ -147,3 +149,36 @@ def test_flagship_single_sort(spark):
     pipeline_sorts = [s for s in sorts if s.startswith("conv_id#")]
     assert len(pipeline_sorts) == 1, sorts
     assert "session_id" not in pipeline_sorts[0]
+
+
+def test_dup_spans_single_doc_exchange_and_no_python(spark, entry_mod):
+    """Substring dedup: pure JVM (no Python eval nodes), window table
+    persisted once (InMemoryTableScan feeds both count and join-back),
+    and the per-doc run-merge costs exactly one doc_id exchange."""
+    import re
+
+    plan = _plan(entry_mod.queries()["dup_spans"](spark, SF))
+    assert "EvalPython" not in plan
+    assert "InMemoryTableScan" in plan
+    doc_exchanges = re.findall(r"hashpartitioning\(doc_id#", plan)
+    assert len(doc_exchanges) == 1, plan[:2000]
+
+
+def test_mixture_sample_no_fact_shuffle(spark, entry_mod):
+    """Mixture sampling replicates map-side: the only exchanges are the
+    tiny per-group count aggregations — the corpus itself must not be
+    hash-repartitioned (its side of the rate join is broadcast/AQE)."""
+    import re
+
+    plan = _plan(entry_mod.queries()["mixture_sample"](spark, SF))
+    assert "EvalPython" not in plan
+    # group-count aggregation shuffles on lang (tiny rows); the fact
+    # table must never shuffle on doc_id for this op
+    assert not re.findall(r"hashpartitioning\(doc_id#", plan), plan[:2000]
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, entry_mod):
+    """The eval-set sweep is a map-side join over the corpus: the tiny
+    benchmark shingle table must arrive via BroadcastExchange."""
+    plan = _plan(entry_mod.queries()["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
