@@ -208,7 +208,8 @@ def cosine_topk_ivf(
     and a query scans only its ``n_probe`` nearest lists. ``n_probe =
     n_centroids`` degrades gracefully to exact brute force (tests pin
     this). Pass ``centroids`` to reuse a trained/cached set across calls —
-    repeated invocations then cost zero extra jobs.
+    repeated invocations then cost zero extra jobs; train a better set
+    with :func:`kmeans_centroids` (distributed Lloyd, same contract).
 
     Scale shape: the corpus is partitioned by centroid id (at rest:
     partition the table by ``_cid``), a query touches n_probe/n_centroids
@@ -524,3 +525,55 @@ def embedding_neardup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    spherical: bool = True,
+) -> list[list[float]]:
+    """Distributed Lloyd k-means over the embedding column — the trained
+    upgrade of :func:`pick_centroids` for IVF coarse quantization.
+
+    Per round: assignment reuses the broadcast-literal nearest-centroid
+    expression (JVM-side, no Python); the update is
+    ``posexplode → groupBy(cid, dim).avg`` — map-side partial
+    aggregation means each task ships only k×dim partial sums, so the
+    shuffle is (partitions × k × dim) rows regardless of corpus size.
+    The driver only ever holds the k×dim centroid matrix (k is tiny by
+    construction). Fixed ``n_iter`` rounds keep the plan deterministic;
+    empty clusters keep their previous centroid. ``spherical`` re-unit-
+    normalizes means each round (cosine-IVF convention).
+
+    Initialization is the deterministic hash pick, so results are
+    reproducible run-to-run and engine-to-engine.
+    """
+    cents = pick_centroids(corpus, n_centroids, id_col, vec_col)
+    d = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    for _ in range(max(n_iter, 0)):
+        rows = (
+            d.withColumn(
+                "_cid", F.element_at(_nearest_centroid_cols("_v", cents, 1), 1)
+            )
+            .select("_cid", F.posexplode("_v").alias("_dim", "_x"))
+            .groupBy("_cid", "_dim")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()  # k × dim rows — centroid-matrix-sized, never corpus-sized
+        )
+        means: dict[int, list[float]] = {}
+        for r in rows:
+            means.setdefault(r["_cid"], [0.0] * len(cents[0]))[r["_dim"]] = r["_m"]
+        new = []
+        for i, old in enumerate(cents):
+            m = means.get(i, old)  # empty cluster: keep previous centroid
+            if spherical:
+                import math
+
+                n = math.sqrt(sum(x * x for x in m)) or 1.0
+                m = [x / n for x in m]
+            new.append(m)
+        cents = new
+    return cents

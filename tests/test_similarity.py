@@ -206,3 +206,48 @@ def test_ivf_at_rest_matches_in_memory(spark, tmp_path):
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_cid" in plan
+
+
+def test_kmeans_centroids_matches_numpy_lloyd(spark):
+    """Distributed Lloyd == a numpy Lloyd with the same deterministic
+    init, cosine assignment, and spherical update; and the trained
+    centroids separate planted blobs."""
+    import numpy as np
+    import pandas as pd
+
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        kmeans_centroids,
+        pick_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    blobs = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    X = np.vstack([blobs[i % 3] + rng.normal(0, 0.4, 4) for i in range(120)])
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(120), "embedding": [list(map(float, x)) for x in X]})
+    )
+
+    k, iters = 3, 4
+    got = np.array(kmeans_centroids(df, n_centroids=k, n_iter=iters))
+
+    # numpy twin with the identical init
+    cents = np.array(pick_centroids(df, k))
+    for _ in range(iters):
+        units = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-300)
+        sims = X @ units.T
+        # ties broken toward the LOWER cid, matching array_sort+reverse
+        # (stable sort keeps the earlier struct first among equal sims)
+        assign = np.argmax(sims, axis=1)
+        new = []
+        for i in range(k):
+            pts = X[assign == i]
+            m = pts.mean(axis=0) if len(pts) else cents[i]
+            m = m / (np.linalg.norm(m) or 1.0)
+            new.append(m)
+        cents = np.array(new)
+
+    assert np.allclose(got, cents, atol=1e-9)
+
+    # blob separation: each trained centroid aligns with one planted axis
+    axes = {int(np.argmax(c)) for c in got}
+    assert axes == {0, 1, 2}
