@@ -11,13 +11,13 @@ from acoustic_feature_extractor_spark.plans.cache import (
 )
 
 
-def _cached_count(spark) -> int:
+def _cached_ids(spark) -> set[int]:
     jsc = spark.sparkContext._jsc.sc()
-    return sum(
-        1
+    return {
+        rinfo.id()
         for rinfo in jsc.getRDDStorageInfo()
         if rinfo.numCachedPartitions() > 0
-    )
+    }
 
 
 def test_release_persisted_unpersists(spark):
@@ -35,6 +35,9 @@ def test_operator_caches_are_tracked(spark):
     """minhash_lsh_pairs persists shingle+signature tables internally;
     release_persisted() must reclaim them after materialization."""
     release_persisted()
+    # other modules in this shared session may hold localCheckpoint RDDs
+    # — assert on the DELTA, not a globally empty cache
+    before = _cached_ids(spark)
     docs = spark.createDataFrame(
         pd.DataFrame(
             [(i, f"doc {i} alpha beta gamma delta epsilon zeta") for i in range(20)],
@@ -43,4 +46,4 @@ def test_operator_caches_are_tracked(spark):
     )
     minhash_lsh_pairs(docs, threshold=0.5).collect()
     assert release_persisted() >= 2  # shingle table + signature table
-    assert _cached_count(spark) == 0
+    assert _cached_ids(spark) <= before
