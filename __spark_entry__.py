@@ -44,6 +44,7 @@ from acoustic_feature_extractor_spark.operators import (
     similarity as sim_ops,
     skew as skew_ops,
     stats as stats_ops,
+    temporal as temporal_ops,
     windows as win_ops,
 )
 
@@ -2494,6 +2495,125 @@ FROM tok t LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-past trailing time-range features (1h / 1d activity), the
+    point-in-time feature-store staple. Runs the TIME-SALTED plan (chunk +
+    carry); the oracle is the plain RANGE window — salting proven exact."""
+    d = _t(spark, sf_dir, "events")
+    r = temporal_ops.trailing_time_window(
+        d,
+        "value",
+        [3600.0, 86400.0],
+        key="user_id",
+        ts_col="ts",
+        aggs=("count", "sum"),
+        strict_past=True,
+        chunk_seconds=86400.0,
+    )
+    return r.select(
+        "user_id",
+        "event_id",
+        F.col("value_count_3600s").alias("cnt_1h"),
+        F.round("value_sum_3600s", 6).alias("sum_1h"),
+        F.col("value_count_86400s").alias("cnt_1d"),
+        F.round("value_sum_86400s", 6).alias("sum_1d"),
+    )
+
+
+_SQL_TRAILING_WINDOW = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events)
+SELECT user_id, event_id,
+       CAST(count(value) OVER w1 AS BIGINT) AS cnt_1h,
+       round(sum(value) OVER w1, 6)         AS sum_1h,
+       CAST(count(value) OVER w2 AS BIGINT) AS cnt_1d,
+       round(sum(value) OVER w2, 6)         AS sum_1d
+FROM e
+WINDOW
+  w1 AS (PARTITION BY user_id ORDER BY tus
+         RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING),
+  w2 AS (PARTITION BY user_id ORDER BY tus
+         RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity (6h half-life), strictly past.
+    Spark runs the two-phase chunked plan (chunk-anchored exponents +
+    bounded cross-chunk fold); the oracle recomputes every row's decayed
+    sum by brute-force self-join — chunking proven exact."""
+    d = _t(spark, sf_dir, "events")
+    r = temporal_ops.time_decayed_sum(
+        d,
+        "value",
+        half_life_seconds=21600.0,
+        key="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        out_col="decay_6h",
+        strict_past=True,
+        chunk_half_lives=8,
+    )
+    return r.select("user_id", "event_id", F.round("decay_6h", 6).alias("decay_6h"))
+
+
+_SQL_TIME_DECAY = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts)/1000000.0 AS t, value FROM events
+)
+SELECT a.user_id, a.event_id,
+       round(coalesce(sum(b.value * power(2.0, -(a.t - b.t)/21600.0)), 0.0), 6)
+         AS decay_6h
+FROM e a
+LEFT JOIN e b
+  ON a.user_id = b.user_id
+ AND (b.t < a.t OR (b.t = a.t AND b.event_id < a.event_id))
+GROUP BY a.user_id, a.event_id
+"""
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free target encoding of ``event_type`` (5 values — each a
+    corpus-scale mega-key): expanding strictly-past mean of ``value`` in
+    global (ts, event_id) order. Spark runs the two-phase chunked-cumsum
+    plan; the oracle is the plain single-window expanding mean — the
+    mega-key two-phase split proven exact."""
+    # decimal(18,6) target: the expanding sums are EXACT and order-
+    # independent, so the two-phase merge, the plain window, and DuckDB all
+    # produce bit-identical encodings (same trick as the money sums)
+    d = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,6)")
+    )
+    r = temporal_ops.past_target_encode(
+        d,
+        "event_type",
+        "value_dec",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        prior_weight=0.0,
+        out_col="enc",
+        chunk_seconds=172800.0,
+    )
+    return r.select(
+        "event_id",
+        "event_type",
+        F.col("enc_n").alias("enc_n"),
+        F.round("enc", 6).alias("enc"),
+    )
+
+
+_SQL_TARGET_ENCODE = """
+WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS tus,
+                  CAST(value AS DECIMAL(18,6)) AS v FROM events)
+SELECT event_id, event_type,
+       CAST(count(v) OVER w AS BIGINT) AS enc_n,
+       round(CASE WHEN count(v) OVER w > 0
+                  THEN CAST(sum(v) OVER w AS DOUBLE) / count(v) OVER w END, 6) AS enc
+FROM e
+WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2565,6 +2685,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cut": q_dup_cut,
         "mixture_sample": q_mixture_sample,
         "doc_perplexity": q_doc_perplexity,
+        "trailing_window": q_trailing_window,
+        "time_decay": q_time_decay,
+        "target_encode": q_target_encode,
     }
 
 
@@ -2642,4 +2765,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_cut": _SQL_DUP_CUT,
         "mixture_sample": _SQL_MIXTURE_SAMPLE,
         "doc_perplexity": _SQL_DOC_PERPLEXITY,
+        "trailing_window": _SQL_TRAILING_WINDOW,
+        "time_decay": _SQL_TIME_DECAY,
+        "target_encode": _SQL_TARGET_ENCODE,
     }

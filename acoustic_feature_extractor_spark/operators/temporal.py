@@ -1,0 +1,278 @@
+"""Point-in-time temporal feature operators: trailing time-range windows,
+exponential time-decay aggregates, and leakage-free target encoding.
+
+These are the feature-store staples the reference's frame pipeline implies
+but never needed at per-file scale (its "history" is a whole loaded array —
+``/root/reference/src/acoustic_feature_extractor/data/sampling_data.py:29-42``
+resamples against the full past). At 10^12 turns the history must be a
+window frame, and *strictly-past* semantics is what makes a feature
+leakage-free (north_star: "no feature reads data with ts greater than the
+as-of timestamp").
+
+Scale shapes (all pure Catalyst — zero Python in any path):
+
+- ``trailing_time_window``: ``rangeBetween`` over epoch-microseconds. The
+  salted variant time-chunks the key and carries the trailing ``W`` seconds
+  of each chunk into the next (the ``skew.salted_rolling`` carry pattern
+  applied to a RANGE frame), so a mega-entity never sorts in one task.
+- ``time_decayed_sum``: exact two-phase decayed prefix sum. A single
+  window with ``2**(t/hl)`` weights overflows double once an entity spans
+  ~1000 half-lives; instead each (key, time-chunk) computes a local decayed
+  prefix with chunk-anchored exponents (bounded by the chunk width), and
+  chunk totals — one tiny row per (key, chunk) — are decayed across chunks
+  with a bounded-lookback fold (contributions older than ``max_back``
+  chunks are below 2^-128 of a chunk total: under double ulp at any
+  reportable precision, and *mathematically* under any 6-decimal rounding).
+- ``past_target_encode``: expanding strictly-past category statistics.
+  Categories are the ultimate hot keys (``role`` has ~5 values over the
+  whole corpus), so the default path is the two-phase chunked cumsum:
+  (category, time-chunk) partials + an exclusive per-chunk offset over the
+  tiny summary table — the mega-key never materializes in one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
+
+US = 1_000_000  # microseconds per second
+
+
+def _t_us(ts_col: str) -> Column:
+    """Epoch microseconds as long — exact integer order key for RANGE frames."""
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def trailing_time_window(
+    df: DataFrame,
+    value_col: str,
+    window_seconds: list[float],
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    aggs: tuple[str, ...] = ("count", "sum"),
+    strict_past: bool = True,
+    chunk_seconds: float | None = None,
+) -> DataFrame:
+    """Trailing time-range features: per row, aggregate ``value_col`` over
+    the key's rows in ``(t - W, t)`` (strict past — never reads the row
+    itself or same-timestamp ties) or ``(t - W, t]``.
+
+    One RANGE window per (W, agg) — all share a single sort on
+    (key[, chunk], t), so Catalyst plans ONE exchange and fused WindowExecs.
+
+    ``chunk_seconds`` (must be >= max(window_seconds)) turns on time-chunk
+    salting: rows in the trailing ``max(W)`` of a chunk are carried into the
+    next chunk so every frame is complete inside (key, chunk); only core
+    rows are emitted. Result is EXACTLY the unsalted window (tests +
+    the driver oracle assert this frame-for-frame).
+    """
+    w_max = max(window_seconds)
+    hi = -1 if strict_past else 0
+    d = df.withColumn("_tus", _t_us(ts_col))
+    if chunk_seconds is None:
+        spec = Window.partitionBy(key).orderBy("_tus")
+        out = d
+    else:
+        assert chunk_seconds >= w_max, (
+            f"chunk_seconds={chunk_seconds} must cover the longest trailing "
+            f"window {w_max}s — a carry row only reaches the adjacent chunk"
+        )
+        c_us = int(chunk_seconds * US)
+        own = F.floor(F.col("_tus") / F.lit(c_us)).cast("long")
+        # carry: rows in the trailing max-W of their chunk also serve the
+        # next chunk's look-back; they contribute there but never emit
+        nxt = F.when(F.col("_tus") % c_us >= c_us - int(w_max * US), own + 1)
+        out = (
+            d.withColumn("_chunks", F.array_compact(F.array(own, nxt)))
+            .select("*", F.explode("_chunks").alias("_chunk"))
+            .drop("_chunks")
+        )
+        spec = Window.partitionBy(key, "_chunk").orderBy("_tus")
+    cols: list[Column] = []
+    for w_s in window_seconds:
+        frame = spec.rangeBetween(-int(w_s * US), hi)
+        tag = str(int(w_s)) if float(w_s).is_integer() else str(w_s).replace(".", "p")
+        for a in aggs:
+            agg_col = {
+                "count": F.count(value_col),
+                "sum": F.sum(value_col),
+                "avg": F.avg(value_col),
+                "min": F.min(value_col),
+                "max": F.max(value_col),
+            }[a].over(frame)
+            if a == "count":
+                agg_col = agg_col.cast("long")
+            cols.append(agg_col.alias(f"{value_col}_{a}_{tag}s"))
+    out = out.select("*", *cols)
+    if chunk_seconds is not None:
+        c_us = int(chunk_seconds * US)
+        out = out.where(
+            F.floor(F.col("_tus") / F.lit(c_us)).cast("long") == F.col("_chunk")
+        ).drop("_chunk")
+    return out.drop("_tus")
+
+
+def time_decayed_sum(
+    df: DataFrame,
+    value_col: str,
+    half_life_seconds: float,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "turn_idx",
+    out_col: str | None = None,
+    strict_past: bool = True,
+    chunk_half_lives: int = 32,
+    max_back: int | None = None,
+) -> DataFrame:
+    """Exact exponentially-decayed sum of the key's past values:
+    ``sum_i v_i * 2^(-(t - t_i)/half_life)`` over rows strictly earlier in
+    the (ts, tiebreak) total order (ties decay by 2^0 = 1 — deterministic,
+    engine-independent). ``strict_past=False`` includes the row itself.
+
+    Two-phase exact plan (no overflow at any entity span):
+
+    1. chunk = floor(t / C) with C = ``chunk_half_lives`` half-lives; the
+       local decayed prefix uses exponents anchored at the chunk start,
+       bounded by C/hl = ``chunk_half_lives`` — ``2**x`` stays in range.
+    2. per-(key, chunk) totals anchored at the chunk END (one tiny row per
+       chunk) are folded across the previous ``max_back`` PRESENT chunks
+       with explicit ``2^(-(Δchunk-1)·K)`` factors. Present chunks farther
+       back than the frame are ≥ ``max_back`` chunk-widths older, so their
+       true contribution is < 2^-(max_back·K) of a chunk total —
+       with the default 4·32 = 128 half-lives, below double ulp of any
+       result that survives 6-decimal rounding.
+
+    The fold is an ``aggregate`` HOF over a collect_list of (chunk, total)
+    pairs — it runs on the summary table (one row per key×chunk), never on
+    fact rows.
+    """
+    out_col = out_col or f"{value_col}_decay"
+    hl = float(half_life_seconds)
+    # the chunk-local exponent reaches chunk_half_lives; 2^x must stay a
+    # finite double (max exponent 1023) with headroom for the value sum
+    assert 1 <= chunk_half_lives <= 512, (
+        f"chunk_half_lives={chunk_half_lives} must be in [1, 512]: the "
+        f"chunk-anchored weight 2**x overflows double past ~1000 half-lives"
+    )
+    k_exp = float(chunk_half_lives)  # chunk width in half-lives
+    c_s = hl * chunk_half_lives  # chunk width in seconds
+    if max_back is None:
+        max_back = max(1, -(-128 // chunk_half_lives))  # ceil(128 / K)
+    two = F.lit(2.0)
+    d = df.withColumn("_t", _t_us(ts_col) / F.lit(float(US)))
+    d = d.withColumn("_chunk", F.floor(F.col("_t") / F.lit(c_s)).cast("long"))
+    # chunk-anchored exponent in half-lives: x ∈ [0, K)
+    x = (F.col("_t") - F.col("_chunk") * F.lit(c_s)) / F.lit(hl)
+    d = d.withColumn("_u", F.col(value_col) * F.pow(two, x))
+    w_local = (
+        Window.partitionBy(key, "_chunk")
+        .orderBy("_t", tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("_lsum", F.sum("_u").over(w_local))
+    # chunk totals anchored at the chunk end: T = sum(u) * 2^-K ∈ (0, sum|v|]
+    totals = d.groupBy(key, "_chunk").agg(
+        (F.sum("_u") * F.pow(two, F.lit(-k_exp))).alias("_tot")
+    )
+    w_back = (
+        Window.partitionBy(key).orderBy("_chunk").rowsBetween(-max_back, -1)
+    )
+    pairs = F.collect_list(F.struct(F.col("_chunk").alias("c"), F.col("_tot").alias("t"))).over(
+        w_back
+    )
+    # S = sum of earlier chunk totals decayed to THIS chunk's start:
+    # end of chunk c' -> start of chunk c is (c - c' - 1) widths
+    carry = F.aggregate(
+        pairs,
+        F.lit(0.0),
+        lambda acc, p: acc
+        + p["t"] * F.pow(two, (-(F.col("_chunk") - p["c"] - 1)).cast("double") * F.lit(k_exp)),
+    )
+    offsets = totals.withColumn("_carry", carry).select(key, "_chunk", "_carry")
+    # offsets is per-(key, chunk) — fact-scaled; estimate-gated hint only
+    d = d.join(maybe_broadcast(offsets), [key, "_chunk"])
+    local = F.col("_lsum") - (F.col("_u") if strict_past else F.lit(0.0))
+    decayed = F.pow(two, -x) * (local + F.col("_carry"))
+    return d.withColumn(out_col, decayed).drop("_t", "_chunk", "_u", "_lsum", "_carry")
+
+
+def past_target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str = "turn_idx",
+    prior: float = 0.0,
+    prior_weight: float = 0.0,
+    out_col: str = "target_enc",
+    chunk_seconds: float | None = 3600.0,
+) -> DataFrame:
+    """Leakage-free categorical target encoding: for each row, the smoothed
+    mean of ``target_col`` over all STRICTLY earlier rows (global
+    (ts, tiebreak) order) of the same category —
+    ``(past_sum + prior_weight·prior) / (past_count + prior_weight)``.
+    With ``prior_weight = 0`` rows with no history get NULL (never a
+    fabricated value). Adds ``{out}`` and ``{out}_n`` (the past count).
+
+    Zero temporal leakage by construction: the frame ends at -1, so the
+    row's own target — and anything later — never feeds its encoding; ties
+    on ts are ordered by ``tiebreak_col`` so "past" is a total order.
+
+    Categories are mega-keys (a role/tool vocabulary is tiny, so each value
+    holds a constant fraction of the corpus). Default path is therefore the
+    two-phase chunked cumsum: strictly-past partials inside
+    (category, time-chunk), then an exclusive prefix over the tiny
+    per-chunk summary — identical to the single window (the driver oracle
+    asserts it) with tasks bounded by chunk width. ``chunk_seconds=None``
+    falls back to the plain single-partition-per-category window.
+    """
+    pw = float(prior_weight)
+    d = df.withColumn("_t", _t_us(ts_col))
+    # typed zero: a DECIMAL target keeps EXACT (order-independent) sums all
+    # the way through the two-phase merge — callers needing bit-identical
+    # results across engines/partitionings pre-cast to decimal(18,6)
+    zero = F.lit(0).cast(df.schema[target_col].dataType)
+    if chunk_seconds is None:
+        w = (
+            Window.partitionBy(category_col)
+            .orderBy("_t", tiebreak_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        psum = F.coalesce(F.sum(target_col).over(w), zero)
+        pcnt = F.count(target_col).over(w).cast("long")
+    else:
+        c_us = int(chunk_seconds * US)
+        d = d.withColumn("_chunk", F.floor(F.col("_t") / F.lit(c_us)).cast("long"))
+        w_local = (
+            Window.partitionBy(category_col, "_chunk")
+            .orderBy("_t", tiebreak_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        lsum = F.coalesce(F.sum(target_col).over(w_local), zero)
+        lcnt = F.count(target_col).over(w_local).cast("long")
+        d = d.withColumn("_lsum", lsum).withColumn("_lcnt", lcnt)
+        totals = d.groupBy(category_col, "_chunk").agg(
+            F.sum(target_col).alias("_cs"), F.count(target_col).alias("_cc")
+        )
+        w_off = (
+            Window.partitionBy(category_col)
+            .orderBy("_chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.select(
+            category_col,
+            "_chunk",
+            F.coalesce(F.sum("_cs").over(w_off), zero).alias("_osum"),
+            F.coalesce(F.sum("_cc").over(w_off), F.lit(0)).cast("long").alias("_ocnt"),
+        )
+        # per-(category, chunk) summary — grows with time span; gated hint
+        d = d.join(maybe_broadcast(offsets), [category_col, "_chunk"])
+        psum = F.col("_lsum") + F.col("_osum")
+        pcnt = F.col("_lcnt") + F.col("_ocnt")
+    denom = pcnt + F.lit(pw)
+    enc = F.when(denom > 0, (psum + F.lit(pw * prior)) / denom)
+    out = d.withColumn(out_col, enc).withColumn(f"{out_col}_n", pcnt)
+    return out.drop("_t", "_chunk", "_lsum", "_lcnt", "_osum", "_ocnt")

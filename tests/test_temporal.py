@@ -1,0 +1,250 @@
+"""Temporal feature operators: trailing time-range windows, exponential
+time-decay, leakage-free target encoding. Every salted/chunked plan must
+EXACTLY equal its single-window form, and every strictly-past feature must
+match a brute-force numpy replay (which is also the leakage oracle: the
+brute force reads only rows earlier in the (ts, tiebreak) order)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from acoustic_feature_extractor_spark.operators.temporal import (
+    past_target_encode,
+    time_decayed_sum,
+    trailing_time_window,
+)
+
+EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _events(spark, seed=7, n_keys=4, n_rows=400, span_s=20000):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n_rows):
+        key = f"u{rng.randint(n_keys)}"
+        t = EPOCH + dt.timedelta(seconds=float(rng.randint(span_s)))
+        rows.append((key, i, t, float(rng.rand() * 10), f"c{rng.randint(3)}"))
+    # force exact-timestamp ties (tiebreak order must decide "past")
+    rows.append(("u0", n_rows, rows[0][2], 5.0, "c0"))
+    rows.append(("u0", n_rows + 1, rows[0][2], 7.0, "c1"))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value", "cat"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def _brute_trailing(pdf, w_s, strict=True):
+    out = []
+    for _, r in pdf.iterrows():
+        t = r.ts.timestamp()
+        sel = pdf[pdf.user_id == r.user_id]
+        # RANGE frames are inclusive at both bounds: [t - W, t - 1us]
+        lo = t - w_s
+        if strict:
+            m = (sel.ts.map(lambda x: x.timestamp()) >= lo) & (
+                sel.ts.map(lambda x: x.timestamp()) < t
+            )
+        else:
+            m = (sel.ts.map(lambda x: x.timestamp()) >= lo) & (
+                sel.ts.map(lambda x: x.timestamp()) <= t
+            )
+        out.append((int(m.sum()), float(sel.value[m].sum())))
+    return out
+
+
+def test_trailing_window_matches_bruteforce(spark):
+    df, pdf = _events(spark)
+    got = (
+        trailing_time_window(df, "value", [600.0], key="user_id", ts_col="ts")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    exp = _brute_trailing(pdf.sort_values("event_id"), 600.0)
+    np.testing.assert_array_equal(got["value_count_600s"], [e[0] for e in exp])
+    np.testing.assert_allclose(got["value_sum_600s"].fillna(0.0), [e[1] for e in exp])
+
+
+def test_trailing_window_salted_equals_plain(spark):
+    df, _ = _events(spark, seed=11, n_keys=2, n_rows=600)
+    kw = dict(key="user_id", ts_col="ts", aggs=("count", "sum", "max"))
+    plain = (
+        trailing_time_window(df, "value", [300.0, 3600.0], **kw)
+        .orderBy("event_id")
+        .toPandas()
+    )
+    salted = (
+        trailing_time_window(
+            df, "value", [300.0, 3600.0], chunk_seconds=3600.0, **kw
+        )
+        .orderBy("event_id")
+        .toPandas()
+    )
+    assert len(plain) == len(salted)
+    for c in plain.columns:
+        if c.startswith("value_"):
+            np.testing.assert_allclose(
+                salted[c].to_numpy(dtype=float),
+                plain[c].to_numpy(dtype=float),
+                err_msg=c,
+            )
+
+
+def test_trailing_window_strict_past_excludes_self_and_ties(spark):
+    df, pdf = _events(spark)
+    got = (
+        trailing_time_window(df, "value", [60.0], key="user_id", ts_col="ts")
+        .orderBy("event_id")
+        .toPandas()
+    )
+    # the injected tie rows share row 0's exact timestamp: none of the
+    # three may see each other (or themselves) in a strict-past frame
+    tie_ids = [len(pdf) - 2, len(pdf) - 1]
+    tied = got[got.event_id.isin(tie_ids)]
+    ts0 = pdf.iloc[-1].ts
+    same_t = pdf[(pdf.user_id == "u0") & (pdf.ts == ts0)]
+    assert len(same_t) >= 2
+    # any mass in their frames must come from rows with ts strictly below
+    for _, r in tied.iterrows():
+        past = pdf[
+            (pdf.user_id == "u0")
+            & (pdf.ts < ts0)
+            & (pdf.ts.map(lambda x: x.timestamp()) >= ts0.timestamp() - 60)
+        ]
+        assert r.value_count_60s == len(past)
+
+
+def _brute_decay(pdf, hl, strict=True):
+    out = []
+    for _, r in pdf.iterrows():
+        t = r.ts.timestamp()
+        sel = pdf[pdf.user_id == r.user_id]
+        order_r = (t, r.event_id)
+        acc = 0.0
+        for _, b in sel.iterrows():
+            tb = b.ts.timestamp()
+            if (tb, b.event_id) < order_r or (not strict and b.event_id == r.event_id):
+                acc += b.value * 2.0 ** (-(t - tb) / hl)
+        out.append(acc)
+    return out
+
+
+def test_time_decay_matches_bruteforce(spark):
+    df, pdf = _events(spark, n_rows=250)
+    got = (
+        time_decayed_sum(
+            df, "value", 600.0, key="user_id", ts_col="ts", tiebreak_col="event_id"
+        )
+        .orderBy("event_id")
+        .toPandas()
+    )
+    exp = _brute_decay(pdf.sort_values("event_id"), 600.0)
+    np.testing.assert_allclose(got["value_decay"].to_numpy(), exp, rtol=1e-9, atol=1e-12)
+
+
+def test_time_decay_chunking_invariant(spark):
+    # chunk width must not change results: tiny chunks (many carries,
+    # bounded fold truncation active) vs one huge chunk (single window)
+    df, _ = _events(spark, seed=3, n_keys=2, n_rows=300, span_s=100000)
+    kw = dict(key="user_id", ts_col="ts", tiebreak_col="event_id")
+    a = (
+        time_decayed_sum(df, "value", 120.0, chunk_half_lives=8, **kw)
+        .orderBy("event_id")
+        .toPandas()["value_decay"]
+        .to_numpy()
+    )
+    b = (
+        time_decayed_sum(df, "value", 120.0, chunk_half_lives=512, **kw)
+        .orderBy("event_id")
+        .toPandas()["value_decay"]
+        .to_numpy()
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12)
+
+
+def test_time_decay_long_span_no_overflow(spark):
+    # an entity spanning ~5000 half-lives overflows the naive single-anchor
+    # 2**(t/hl) weighting (2^5000 = inf); the chunked plan must stay finite
+    rows = [
+        ("k", i, EPOCH + dt.timedelta(seconds=i * 3600.0), 1.0)
+        for i in range(0, 5000, 97)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    )
+    got = (
+        time_decayed_sum(
+            df, "value", 3.6, key="user_id", ts_col="ts", tiebreak_col="event_id"
+        )
+        .orderBy("event_id")
+        .toPandas()["value_decay"]
+        .to_numpy()
+    )
+    assert np.isfinite(got).all()
+    # gaps are ~97000x the half-life: every strictly-past contribution has
+    # fully decayed away
+    np.testing.assert_allclose(got, 0.0, atol=1e-12)
+
+
+def test_past_target_encode_matches_bruteforce(spark):
+    df, pdf = _events(spark, n_rows=300)
+    got = (
+        past_target_encode(
+            df,
+            "cat",
+            "value",
+            ts_col="ts",
+            tiebreak_col="event_id",
+            prior=5.0,
+            prior_weight=10.0,
+            chunk_seconds=900.0,
+        )
+        .orderBy("event_id")
+        .toPandas()
+    )
+    for _, r in got.iterrows():
+        row = pdf[pdf.event_id == r.event_id].iloc[0]
+        t = row.ts.timestamp()
+        sel = pdf[pdf["cat"] == row["cat"]]
+        past = sel[
+            sel.apply(
+                lambda b: (b.ts.timestamp(), b.event_id) < (t, row.event_id), axis=1
+            )
+        ]
+        exp = (past.value.sum() + 10.0 * 5.0) / (len(past) + 10.0)
+        assert r.target_enc_n == len(past)
+        np.testing.assert_allclose(r.target_enc, exp, rtol=1e-12)
+
+
+def test_past_target_encode_chunked_equals_plain(spark):
+    df, _ = _events(spark, seed=19, n_rows=500)
+    kw = dict(ts_col="ts", tiebreak_col="event_id", prior=1.0, prior_weight=3.0)
+    plain = (
+        past_target_encode(df, "cat", "value", chunk_seconds=None, **kw)
+        .orderBy("event_id")
+        .toPandas()
+    )
+    chunked = (
+        past_target_encode(df, "cat", "value", chunk_seconds=1000.0, **kw)
+        .orderBy("event_id")
+        .toPandas()
+    )
+    np.testing.assert_allclose(
+        chunked["target_enc"].to_numpy(), plain["target_enc"].to_numpy(), rtol=1e-12
+    )
+    np.testing.assert_array_equal(chunked["target_enc_n"], plain["target_enc_n"])
+
+
+def test_past_target_encode_no_history_null_without_prior(spark):
+    df, _ = _events(spark)
+    got = (
+        past_target_encode(
+            df, "cat", "value", ts_col="ts", tiebreak_col="event_id", prior_weight=0.0
+        )
+        .where(F.col("target_enc_n") == 0)
+        .toPandas()
+    )
+    assert len(got) >= 1  # each category's first row
+    assert got["target_enc"].isna().all()
