@@ -2495,6 +2495,58 @@ FROM tok t LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of (pandas merge_asof direction surface): each
+    click takes the time-closest view, exact-distance ties to the backward
+    row. One union + ONE window sort serves both direction candidates."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("vvalue"))
+    )
+    j = asof_ops.asof_join(
+        clicks, views, on="ts", by="user_id", right_cols=["vvalue"], direction="nearest"
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        _ts_sec("ts").alias("ts_sec"),
+        F.round("vvalue_asof", 6).alias("view_value"),
+        F.round(_sec("ts_asof"), 6).alias("view_ts_sec"),
+    )
+
+
+_SQL_ASOF_NEAREST = """
+WITH v AS (
+  SELECT user_id, ts, max(value) AS vvalue FROM events
+  WHERE event_type = 'view' GROUP BY user_id, ts
+),
+c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+b AS (
+  SELECT c.user_id, c.event_id, c.ts, v.vvalue AS bv, v.ts AS bts
+  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+),
+f AS (
+  SELECT c.user_id, c.event_id, v.vvalue AS fv, v.ts AS fts
+  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts <= v.ts
+)
+SELECT b.user_id, b.event_id,
+       round(epoch_us(b.ts)/1000000.0, 6) AS ts_sec,
+       round(CASE WHEN use_b THEN bv ELSE fv END, 6) AS view_value,
+       round(epoch_us(CASE WHEN use_b THEN bts ELSE fts END)/1000000.0, 6)
+         AS view_ts_sec
+FROM (
+  SELECT b.*, f.fv, f.fts,
+         (bts IS NOT NULL AND (fts IS NULL OR
+          epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts)))
+           AS use_b
+  FROM b JOIN f ON b.event_id = f.event_id
+) b
+"""
+
+
 def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-past trailing time-range features (1h / 1d activity), the
     point-in-time feature-store staple. Runs the TIME-SALTED plan (chunk +
@@ -2688,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_window": q_trailing_window,
         "time_decay": q_time_decay,
         "target_encode": q_target_encode,
+        "asof_nearest": q_asof_nearest,
     }
 
 
@@ -2768,4 +2821,5 @@ def oracle_sql() -> dict[str, str]:
         "trailing_window": _SQL_TRAILING_WINDOW,
         "time_decay": _SQL_TIME_DECAY,
         "target_encode": _SQL_TARGET_ENCODE,
+        "asof_nearest": _SQL_ASOF_NEAREST,
     }

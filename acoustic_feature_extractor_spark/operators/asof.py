@@ -48,14 +48,35 @@ def asof_join(
     suffix: str = "_asof",
     tolerance_seconds: float | None = None,
     allow_exact_matches: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row with ``right.on <= left.on``.
+    """As-of join (pandas ``merge_asof`` direction surface, pure Catalyst).
+
+    - ``backward`` (default): latest right row with ``right.on <= left.on``
+      — the zero-leakage point-in-time join.
+    - ``forward``: earliest right row with ``right.on >= left.on`` (the
+      mirror fill: ``first(ignorenulls)`` over the FOLLOWING frame on the
+      same union — still one shuffle, zero Python).
+    - ``nearest``: whichever of the two is closer in time; exact-distance
+      ties go to the backward row (deterministic). With
+      ``allow_exact_matches=True`` both candidates come from ONE window
+      sort (two frames over the same (ts, side) ordering — equal-ts rows
+      are distance-0 backward wins, so the forward frame may skip them);
+      the strict variant chains the two strict passes.
 
     Returns every left row plus ``{col}{suffix}`` for each right payload
-    column (null when no right row precedes). ``tolerance_seconds`` nulls
-    matches older than the window. ``allow_exact_matches=False`` gives
-    strict ``<`` semantics.
+    column (null when no right row qualifies). ``tolerance_seconds`` nulls
+    matches farther than the window (per direction, before the nearest
+    pick). ``allow_exact_matches=False`` gives strict ``<`` / ``>``.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest, got {direction}")
+    if direction == "nearest" and not allow_exact_matches:
+        # strict nearest: compose the two strict single-direction passes,
+        # then keep the closer candidate per row
+        return _nearest_strict(
+            left, right, on, by, right_cols, suffix, tolerance_seconds
+        )
     by_cols = [by] if isinstance(by, str) else list(by)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in by_cols and c != on]
@@ -89,19 +110,60 @@ def asof_join(
         rt.select(*left_cols, "_side", "_r_row")
     )
 
-    # At equal ts the right row must be visible to the left row (<=), so
-    # right (_side=0) sorts first; strict mode flips the order.
-    side_order = F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
-    w = (
-        Window.partitionBy(*by_cols)
-        .orderBy(F.col(on).asc(), side_order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = u.withColumn("_f_row", F.last("_r_row", ignorenulls=True).over(w))
+    def _sec(c):
+        return c.cast("timestamp").cast("double")
+
+    lts = _sec(F.col(on))
+    if direction == "nearest":
+        # one sort serves both frames: right (_side=0) first at equal ts,
+        # so the backward frame sees distance-0 matches and wins the tie
+        w_base = Window.partitionBy(*by_cols).orderBy(F.col(on).asc(), F.col("_side").asc())
+        wb = w_base.rowsBetween(Window.unboundedPreceding, 0)
+        wf = w_base.rowsBetween(0, Window.unboundedFollowing)
+        filled = u.withColumn(
+            "_b_row", F.last("_r_row", ignorenulls=True).over(wb)
+        ).withColumn("_f_row", F.first("_r_row", ignorenulls=True).over(wf))
+        out = filled.where(F.col("_side") == 1)
+        tol = F.lit(tolerance_seconds) if tolerance_seconds is not None else None
+        db = lts - _sec(F.col("_b_row._rts"))
+        df_ = _sec(F.col("_f_row._rts")) - lts
+        b_ok = F.col("_b_row").isNotNull() & (db <= tol if tol is not None else F.lit(True))
+        f_ok = F.col("_f_row").isNotNull() & (df_ <= tol if tol is not None else F.lit(True))
+        use_b = b_ok & (~f_ok | (db <= df_))
+        pick = F.when(use_b, F.col("_b_row")).when(f_ok, F.col("_f_row"))
+        out = out.withColumn("_p_row", pick)
+        for c in right_cols:
+            out = out.withColumn(f"{c}{suffix}", F.col(f"_p_row.{c}"))
+        out = out.withColumn(f"{on}{suffix}", F.col("_p_row._rts"))
+        return out.select(*left_cols, *[f"{c}{suffix}" for c in right_cols], f"{on}{suffix}")
+
+    if direction == "backward":
+        # At equal ts the right row must be visible to the left row (<=),
+        # so right (_side=0) sorts first; strict mode flips the order.
+        side_order = F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(on).asc(), side_order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fill = F.last("_r_row", ignorenulls=True).over(w)
+        dist = lambda: lts - _sec(F.col("_f_row._rts"))  # noqa: E731
+    else:  # forward
+        # mirror: the frame FOLLOWS the row, so at equal ts the right row
+        # must sort at-or-after the left row to be visible (<= semantics)
+        side_order = F.col("_side").desc() if allow_exact_matches else F.col("_side").asc()
+        w = (
+            Window.partitionBy(*by_cols)
+            .orderBy(F.col(on).asc(), side_order)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        fill = F.first("_r_row", ignorenulls=True).over(w)
+        dist = lambda: _sec(F.col("_f_row._rts")) - lts  # noqa: E731
+    filled = u.withColumn("_f_row", fill)
 
     out = filled.where(F.col("_side") == 1)
     keep = (
-        (F.col(on).cast("timestamp").cast("double") - F.col("_f_row._rts").cast("timestamp").cast("double")) <= F.lit(tolerance_seconds)
+        dist() <= F.lit(tolerance_seconds)
         if tolerance_seconds is not None
         else F.lit(True)
     )
@@ -112,6 +174,46 @@ def asof_join(
     out = out.withColumn(
         f"{on}{suffix}", F.when(keep, F.col("_f_row._rts")).otherwise(F.lit(None))
     )
+    return out.select(*left_cols, *[f"{c}{suffix}" for c in right_cols], f"{on}{suffix}")
+
+
+def _nearest_strict(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    right_cols: Iterable[str] | None,
+    suffix: str,
+    tolerance_seconds: float | None,
+) -> DataFrame:
+    """Strict (no exact matches) nearest as-of: chain the two strict
+    single-direction passes, keep the closer candidate (ties -> backward)."""
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in by_cols and c != on]
+    right_cols = list(right_cols)
+    left_cols = left.columns
+    b = asof_join(
+        left, right, on, by, right_cols, "_xb", tolerance_seconds, False, "backward"
+    )
+    f = asof_join(
+        b, right, on, by, right_cols, "_xf", tolerance_seconds, False, "forward"
+    )
+
+    def _sec(c):
+        return c.cast("timestamp").cast("double")
+
+    db = _sec(F.col(on)) - _sec(F.col(f"{on}_xb"))
+    df_ = _sec(F.col(f"{on}_xf")) - _sec(F.col(on))
+    use_b = F.col(f"{on}_xb").isNotNull() & (
+        F.col(f"{on}_xf").isNull() | (db <= df_)
+    )
+    out = f
+    for c in list(right_cols) + [on]:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(use_b, F.col(f"{c}_xb")).otherwise(F.col(f"{c}_xf")),
+        )
     return out.select(*left_cols, *[f"{c}{suffix}" for c in right_cols], f"{on}{suffix}")
 
 

@@ -399,3 +399,81 @@ def test_align_rejected_entities_side_channel(spark):
         [a, b], value_cols=[["av"], ["bv"]], mode="first", error_time_length=60.0
     ).toPandas()
     assert set(kept["conv_id"]) == {"ok"}
+
+
+def _oracle_dir(lpdf, rpdf, direction, tolerance=None, allow_exact=True):
+    out = []
+    for k, lg in lpdf.groupby("conv_id"):
+        rg = rpdf[rpdf.conv_id == k].sort_values("ts")
+        m = pd.merge_asof(
+            lg.sort_values("ts"),
+            rg[["ts", "state"]].rename(columns={"state": "state_asof"}),
+            on="ts",
+            direction=direction,
+            tolerance=pd.Timedelta(seconds=tolerance) if tolerance else None,
+            allow_exact_matches=allow_exact,
+        )
+        m["conv_id"] = k
+        out.append(m)
+    return pd.concat(out).sort_values(["conv_id", "ts"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+@pytest.mark.parametrize("allow_exact", [True, False])
+@pytest.mark.parametrize("tolerance", [None, 5000.0])
+def test_asof_directions_match_merge_asof(spark, direction, allow_exact, tolerance):
+    l, r, lpdf, rpdf = _two_sides(spark, seed=17)
+    got = (
+        asof_join(
+            l,
+            r,
+            on="ts",
+            by="conv_id",
+            right_cols=["state"],
+            tolerance_seconds=tolerance,
+            allow_exact_matches=allow_exact,
+            direction=direction,
+        )
+        .orderBy("conv_id", "ts")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    exp = _oracle_dir(lpdf, rpdf, direction, tolerance, allow_exact)
+    np.testing.assert_allclose(
+        got["state_asof"].to_numpy(dtype=float),
+        exp["state_asof"].to_numpy(dtype=float),
+        err_msg=f"{direction} exact={allow_exact} tol={tolerance}",
+    )
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    base = pd.Timestamp("2024-01-01")
+    t = lambda s: base + pd.Timedelta(seconds=s)  # noqa: E731
+    l = spark.createDataFrame(pd.DataFrame({"conv_id": ["k"], "ts": [t(10)]}))
+    r = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["k", "k"], "ts": [t(5), t(15)], "state": [1.0, 2.0]})
+    )
+    for exact in (True, False):
+        got = asof_join(
+            l, r, on="ts", by="conv_id", right_cols=["state"],
+            allow_exact_matches=exact, direction="nearest",
+        ).toPandas()
+        assert got["state_asof"].iloc[0] == 1.0  # pandas tie rule: backward
+
+
+def test_asof_forward_exact_match_semantics(spark):
+    base = pd.Timestamp("2024-01-01")
+    t = lambda s: base + pd.Timedelta(seconds=s)  # noqa: E731
+    l = spark.createDataFrame(pd.DataFrame({"conv_id": ["k"], "ts": [t(10)]}))
+    r = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["k", "k"], "ts": [t(10), t(20)], "state": [7.0, 9.0]})
+    )
+    inc = asof_join(
+        l, r, on="ts", by="conv_id", right_cols=["state"], direction="forward"
+    ).toPandas()
+    exc = asof_join(
+        l, r, on="ts", by="conv_id", right_cols=["state"],
+        allow_exact_matches=False, direction="forward",
+    ).toPandas()
+    assert inc["state_asof"].iloc[0] == 7.0
+    assert exc["state_asof"].iloc[0] == 9.0
