@@ -2547,6 +2547,37 @@ FROM (
 """
 
 
+def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-frequency discretization (10 bins global + 4 bins per
+    event_type) with NO single-task global sort: chunked two-phase rank.
+    Oracle is the plain row_number() formulation — chunking proven exact."""
+    d = _t(spark, sf_dir, "events")
+    g = pct_ops.quantile_bin(
+        d, "value", 10, tiebreak_cols=["event_id"], out_col="bin_global"
+    )
+    g = pct_ops.quantile_bin(
+        g,
+        "value",
+        4,
+        tiebreak_cols=["event_id"],
+        group_cols=["event_type"],
+        out_col="bin_by_type",
+    )
+    return g.select("event_id", "event_type", F.round("value", 6).alias("value"),
+                    "bin_global", "bin_by_type")
+
+
+_SQL_QUANTILE_BIN = """
+SELECT event_id, event_type, round(value, 6) AS value,
+       CAST(((row_number() OVER (ORDER BY value, event_id) - 1) * 10)
+            // (count(*) OVER ()) AS BIGINT) AS bin_global,
+       CAST(((row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) - 1) * 4)
+            // (count(*) OVER (PARTITION BY event_type)) AS BIGINT) AS bin_by_type
+FROM events
+WHERE value IS NOT NULL
+"""
+
+
 def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strictly-past trailing time-range features (1h / 1d activity), the
     point-in-time feature-store staple. Runs the TIME-SALTED plan (chunk +
@@ -2741,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_decay": q_time_decay,
         "target_encode": q_target_encode,
         "asof_nearest": q_asof_nearest,
+        "quantile_bin": q_quantile_bin,
     }
 
 
@@ -2822,4 +2854,5 @@ def oracle_sql() -> dict[str, str]:
         "time_decay": _SQL_TIME_DECAY,
         "target_encode": _SQL_TARGET_ENCODE,
         "asof_nearest": _SQL_ASOF_NEAREST,
+        "quantile_bin": _SQL_QUANTILE_BIN,
     }

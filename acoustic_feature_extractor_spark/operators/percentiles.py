@@ -210,6 +210,62 @@ def weighted_percentile(
     )
 
 
+def quantile_bin(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    tiebreak_cols: list[str] | None = None,
+    group_cols: list[str] | None = None,
+    out_col: str = "bin",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact equal-frequency binning (quantile discretization): row with
+    0-based rank r of n gets bin ``floor(r * n_bins / n)`` — ntile-shaped
+    bucket sizes (larger buckets first), EXACT, with no single-task global
+    sort: approx-quantile literals chunk the value range (balance only,
+    never semantics), rank = chunk-local row_number + exclusive per-chunk
+    count prefix (the two-phase pattern shared with weighted_percentile).
+
+    Rank order is (value, *tiebreak_cols) — pass a unique tiebreak so the
+    binning is deterministic across runs/engines. Null values are dropped
+    (a null has no quantile). Grouped mode ranks within each group using
+    the same GLOBAL chunk bounds (any monotone chunking splits every
+    group's order into contiguous runs).
+    """
+    gcols = group_cols or []
+    tcols = tiebreak_cols or []
+    spark = df.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = df.where(F.col(value_col).isNotNull())
+    fractions = [i / n_part for i in range(1, n_part)]
+    bounds = (
+        sorted(set(d.select(F.col(value_col).cast("double").alias("_vb")).stat.approxQuantile("_vb", fractions, 0.01)))
+        if fractions
+        else []
+    )
+    # name (not Column) so the CASE tree parses as ONE F.expr string
+    d = d.withColumn("_vd", F.col(value_col).cast("double")).withColumn(
+        "_pid", searchsorted("_vd", [float(b) for b in bounds])
+    ).drop("_vd")
+    w_local = Window.partitionBy(*gcols, "_pid").orderBy(value_col, *tcols)
+    d = d.withColumn("_lrn", F.row_number().over(w_local))
+    counts = d.groupBy(*gcols, "_pid").agg(F.count("*").alias("_pc"))
+    summary_part = gcols if gcols else [F.pmod(F.col("_pid"), F.lit(1))]
+    w_off = (
+        Window.partitionBy(*summary_part).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*summary_part)
+    counts = counts.withColumn(
+        "_roff", F.coalesce(F.sum("_pc").over(w_off), F.lit(0))
+    ).withColumn("_ntot", F.sum("_pc").over(w_all))
+    # per-(group, chunk) summary — grows with group cardinality; gated hint
+    d = d.join(maybe_broadcast(counts.select(*gcols, "_pid", "_roff", "_ntot")), gcols + ["_pid"])
+    rank0 = F.col("_lrn") + F.col("_roff") - 1  # 0-based global rank
+    return d.withColumn(
+        out_col, F.floor(rank0 * F.lit(int(n_bins)) / F.col("_ntot")).cast("long")
+    ).drop("_pid", "_lrn", "_roff", "_ntot")
+
+
 def histogram_vote_filter(
     df: DataFrame,
     value_col: str,

@@ -146,3 +146,55 @@ def test_weighted_percentile_grouped_multichunk(spark):
         for q in qs:
             want = float(np.interp(q, mids, grp["v"]))
             assert abs(got[(g, q)] - want) < 1e-9, (g, q, got[(g, q)], want)
+
+
+def test_quantile_bin_matches_rank_formula(spark):
+    from acoustic_feature_extractor_spark.operators.percentiles import quantile_bin
+
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(500),
+            "g": rng.choice(["x", "y", "z"], 500),
+            "v": np.where(rng.rand(500) < 0.05, np.nan, rng.rand(500) * 100),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        quantile_bin(df, "v", 7, tiebreak_cols=["id"], out_col="b")
+        .orderBy("id")
+        .toPandas()
+    )
+    clean = pdf.dropna(subset=["v"]).sort_values(["v", "id"]).reset_index(drop=True)
+    clean["b_exp"] = (np.arange(len(clean)) * 7) // len(clean)
+    merged = got.merge(clean[["id", "b_exp"]], on="id")
+    assert len(merged) == len(clean)  # nulls dropped
+    np.testing.assert_array_equal(merged["b"], merged["b_exp"])
+    # bucket sizes are ntile-shaped: differ by at most 1, larger first
+    sizes = merged.groupby("b").size()
+    assert sizes.max() - sizes.min() <= 1
+    assert sorted(sizes.index) == list(range(7))
+
+
+def test_quantile_bin_grouped(spark):
+    from acoustic_feature_extractor_spark.operators.percentiles import quantile_bin
+
+    rng = np.random.RandomState(9)
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(400),
+            "g": rng.choice(["x", "y"], 400),
+            "v": rng.rand(400) * 10,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        quantile_bin(df, "v", 4, tiebreak_cols=["id"], group_cols=["g"], out_col="b")
+        .orderBy("id")
+        .toPandas()
+    )
+    for g, grp in pdf.groupby("g"):
+        clean = grp.sort_values(["v", "id"]).reset_index(drop=True)
+        clean["b_exp"] = (np.arange(len(clean)) * 4) // len(clean)
+        merged = got[got.g == g].merge(clean[["id", "b_exp"]], on="id")
+        np.testing.assert_array_equal(merged["b"], merged["b_exp"], err_msg=g)
