@@ -2552,8 +2552,14 @@ def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type) with NO single-task global sort: chunked two-phase rank.
     Oracle is the plain row_number() formulation — chunking proven exact."""
     d = _t(spark, sf_dir, "events")
+    # ONE sketch scan serves both binnings (the grouped call would
+    # otherwise re-sketch on top of the first binning's whole plan)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fr = [i / n_part for i in range(1, n_part)]
+    bounds = d.where(F.col("value").isNotNull()).stat.approxQuantile("value", fr, 0.01) if fr else []
     g = pct_ops.quantile_bin(
-        d, "value", 10, tiebreak_cols=["event_id"], out_col="bin_global"
+        d, "value", 10, tiebreak_cols=["event_id"], out_col="bin_global",
+        chunk_bounds=bounds,
     )
     g = pct_ops.quantile_bin(
         g,
@@ -2562,6 +2568,7 @@ def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=["event_id"],
         group_cols=["event_type"],
         out_col="bin_by_type",
+        chunk_bounds=bounds,
     )
     return g.select("event_id", "event_type", F.round("value", 6).alias("value"),
                     "bin_global", "bin_by_type")

@@ -218,6 +218,7 @@ def quantile_bin(
     group_cols: list[str] | None = None,
     out_col: str = "bin",
     num_partitions: int | None = None,
+    chunk_bounds: list[float] | None = None,
 ) -> DataFrame:
     """Exact equal-frequency binning (quantile discretization): row with
     0-based rank r of n gets bin ``floor(r * n_bins / n)`` — ntile-shaped
@@ -225,6 +226,10 @@ def quantile_bin(
     sort: approx-quantile literals chunk the value range (balance only,
     never semantics), rank = chunk-local row_number + exclusive per-chunk
     count prefix (the two-phase pattern shared with weighted_percentile).
+
+    ``chunk_bounds``: caller-supplied sorted boundaries skip the sketch
+    scan — pass the same bounds to several binnings of one value column
+    (any sorted list is CORRECT; bounds only balance chunk sizes).
 
     Rank order is (value, *tiebreak_cols) — pass a unique tiebreak so the
     binning is deterministic across runs/engines. Null values are dropped
@@ -237,12 +242,15 @@ def quantile_bin(
     spark = df.sparkSession
     n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = df.where(F.col(value_col).isNotNull())
-    fractions = [i / n_part for i in range(1, n_part)]
-    bounds = (
-        sorted(set(d.select(F.col(value_col).cast("double").alias("_vb")).stat.approxQuantile("_vb", fractions, 0.01)))
-        if fractions
-        else []
-    )
+    if chunk_bounds is not None:
+        bounds = sorted(set(chunk_bounds))
+    else:
+        fractions = [i / n_part for i in range(1, n_part)]
+        bounds = (
+            sorted(set(d.select(F.col(value_col).cast("double").alias("_vb")).stat.approxQuantile("_vb", fractions, 0.01)))
+            if fractions
+            else []
+        )
     # name (not Column) so the CASE tree parses as ONE F.expr string
     d = d.withColumn("_vd", F.col(value_col).cast("double")).withColumn(
         "_pid", searchsorted("_vd", [float(b) for b in bounds])
