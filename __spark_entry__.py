@@ -2547,6 +2547,54 @@ FROM (
 """
 
 
+def q_novelty_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware pair: expanding distinct count (how many event types
+    the user produced strictly BEFORE this row — novelty, via
+    first-occurrence flags + the two-phase chunked cumsum) and the purged
+    temporal train/embargo/test split. Oracle = plain-window SQL."""
+    d = _t(spark, sf_dir, "events")
+    r = temporal_ops.expanding_distinct_count(
+        d,
+        "event_type",
+        key="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        out_col="seen_types",
+        strict_past=True,
+        chunk_seconds=172800.0,
+    )
+    r = temporal_ops.temporal_split(
+        r, "2024-01-20 00:00:00", ts_col="ts", embargo_seconds=86400.0
+    )
+    return r.select(
+        "user_id",
+        "event_id",
+        "seen_types",
+        F.col("seen_types_is_new").alias("is_new"),
+        "split",
+    )
+
+
+_SQL_NOVELTY_SPLIT = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus, ts FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY tus, event_id) AS rn
+  FROM e
+)
+SELECT user_id, event_id,
+       CAST(coalesce(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS BIGINT) AS seen_types,
+       (rn = 1) AS is_new,
+       CASE WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' THEN 'test'
+            WHEN ts >= TIMESTAMP '2024-01-20 00:00:00' - INTERVAL 1 DAY THEN 'embargo'
+            ELSE 'train' END AS split
+FROM r
+"""
+
+
 def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact equal-frequency discretization (10 bins global + 4 bins per
     event_type) with NO single-task global sort: chunked two-phase rank.
@@ -2780,6 +2828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "asof_nearest": q_asof_nearest,
         "quantile_bin": q_quantile_bin,
+        "novelty_split": q_novelty_split,
     }
 
 
@@ -2862,4 +2911,5 @@ def oracle_sql() -> dict[str, str]:
         "target_encode": _SQL_TARGET_ENCODE,
         "asof_nearest": _SQL_ASOF_NEAREST,
         "quantile_bin": _SQL_QUANTILE_BIN,
+        "novelty_split": _SQL_NOVELTY_SPLIT,
     }

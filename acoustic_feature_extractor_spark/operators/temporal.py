@@ -276,3 +276,106 @@ def past_target_encode(
     enc = F.when(denom > 0, (psum + F.lit(pw * prior)) / denom)
     out = d.withColumn(out_col, enc).withColumn(f"{out_col}_n", pcnt)
     return out.drop("_t", "_chunk", "_lsum", "_lcnt", "_osum", "_ocnt")
+
+
+def expanding_distinct_count(
+    df: DataFrame,
+    item_col: str,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "turn_idx",
+    out_col: str = "seen_distinct",
+    strict_past: bool = True,
+    chunk_seconds: float | None = None,
+) -> DataFrame:
+    """Per row: how many DISTINCT ``item_col`` values the key has produced
+    so far (strictly before this row in (ts, tiebreak) order, or inclusive)
+    — the "novelty" feature (e.g. distinct tools used earlier in the
+    conversation). Null items don't count. Adds ``out_col`` plus
+    ``{out_col}_is_new`` (this row introduces a never-seen item).
+
+    Exact distributed shape — expanding COUNT(DISTINCT) is not a Spark
+    window function, but it IS the running sum of first-occurrence flags:
+    rank each (key, item) occurrence (one window), flag rank 1, then
+    cumsum the flags over the key timeline (second window). Integer sums —
+    bit-exact under any partitioning. ``chunk_seconds`` swaps the timeline
+    cumsum for the two-phase (key, time-chunk) partial/final form so a
+    mega-key never sorts in one task.
+    """
+    flag_w = Window.partitionBy(key, item_col).orderBy("_t", tiebreak_col)
+    d = df.withColumn("_t", _t_us(ts_col))
+    d = d.withColumn(
+        "_new",
+        F.when(
+            F.col(item_col).isNotNull()
+            & (F.row_number().over(flag_w) == 1),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+    off = -1 if strict_past else 0
+    if chunk_seconds is None:
+        w = (
+            Window.partitionBy(key)
+            .orderBy("_t", tiebreak_col)
+            .rowsBetween(Window.unboundedPreceding, off)
+        )
+        cnt = F.coalesce(F.sum("_new").over(w), F.lit(0)).cast("long")
+        out = d.withColumn(out_col, cnt)
+    else:
+        c_us = int(chunk_seconds * US)
+        d = d.withColumn("_chunk", F.floor(F.col("_t") / F.lit(c_us)).cast("long"))
+        w_local = (
+            Window.partitionBy(key, "_chunk")
+            .orderBy("_t", tiebreak_col)
+            .rowsBetween(Window.unboundedPreceding, off)
+        )
+        d = d.withColumn(
+            "_lc", F.coalesce(F.sum("_new").over(w_local), F.lit(0)).cast("long")
+        )
+        totals = d.groupBy(key, "_chunk").agg(F.sum("_new").alias("_ct"))
+        w_off = (
+            Window.partitionBy(key)
+            .orderBy("_chunk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = totals.select(
+            key,
+            "_chunk",
+            F.coalesce(F.sum("_ct").over(w_off), F.lit(0)).cast("long").alias("_oc"),
+        )
+        out = d.join(maybe_broadcast(offsets), [key, "_chunk"]).withColumn(
+            out_col, F.col("_lc") + F.col("_oc")
+        )
+    return out.withColumn(f"{out_col}_is_new", F.col("_new") == 1).drop(
+        "_t", "_new", "_chunk", "_lc", "_oc"
+    )
+
+
+def temporal_split(
+    df: DataFrame,
+    test_start,
+    ts_col: str = "ts",
+    embargo_seconds: float = 0.0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Purged time-based train/test split: rows before
+    ``test_start - embargo`` are ``train``, rows at/after ``test_start``
+    are ``test``, and the embargo band between them is ``embargo`` —
+    excluded from both so features with trailing windows (rolling sums,
+    decays) computed on train rows can't overlap the test period
+    (the purged-split rule from the financial-ML literature; the
+    leakage-prevention complement of the strictly-past operators above).
+
+    ``test_start``: timestamp string / datetime. Pure projection — no
+    shuffle; at 10^12 rows this is a map-only pass (or a partition-pruned
+    filter when the table is time-partitioned).
+    """
+    start = F.lit(test_start).cast("timestamp")
+    ts = F.col(ts_col).cast("timestamp")
+    emb_lo = start - F.make_interval(secs=F.lit(float(embargo_seconds)))
+    return df.withColumn(
+        out_col,
+        F.when(ts >= start, F.lit("test"))
+        .when(ts >= emb_lo, F.lit("embargo"))
+        .otherwise(F.lit("train")),
+    )

@@ -248,3 +248,72 @@ def test_past_target_encode_no_history_null_without_prior(spark):
     )
     assert len(got) >= 1  # each category's first row
     assert got["target_enc"].isna().all()
+
+
+def test_expanding_distinct_count_bruteforce(spark):
+    from acoustic_feature_extractor_spark.operators.temporal import (
+        expanding_distinct_count,
+    )
+
+    df, pdf = _events(spark, seed=23, n_rows=300)
+    got = (
+        expanding_distinct_count(
+            df, "cat", key="user_id", ts_col="ts", tiebreak_col="event_id",
+            out_col="nov",
+        )
+        .orderBy("event_id")
+        .toPandas()
+    )
+    for _, r in got.iterrows():
+        row = pdf[pdf.event_id == r.event_id].iloc[0]
+        t = row.ts.timestamp()
+        sel = pdf[pdf.user_id == row.user_id]
+        past = sel[
+            sel.apply(
+                lambda b: (b.ts.timestamp(), b.event_id) < (t, row.event_id), axis=1
+            )
+        ]
+        assert r.nov == past["cat"].nunique(), r.event_id
+        assert r.nov_is_new == (row["cat"] not in set(past["cat"])), r.event_id
+
+
+def test_expanding_distinct_count_chunked_equals_plain(spark):
+    from acoustic_feature_extractor_spark.operators.temporal import (
+        expanding_distinct_count,
+    )
+
+    df, _ = _events(spark, seed=29, n_rows=500)
+    kw = dict(key="user_id", ts_col="ts", tiebreak_col="event_id", out_col="nov")
+    plain = (
+        expanding_distinct_count(df, "cat", chunk_seconds=None, **kw)
+        .orderBy("event_id")
+        .toPandas()
+    )
+    chunked = (
+        expanding_distinct_count(df, "cat", chunk_seconds=777.0, **kw)
+        .orderBy("event_id")
+        .toPandas()
+    )
+    np.testing.assert_array_equal(chunked["nov"], plain["nov"])
+    np.testing.assert_array_equal(chunked["nov_is_new"], plain["nov_is_new"])
+
+
+def test_temporal_split_embargo_band(spark):
+    from acoustic_feature_extractor_spark.operators.temporal import temporal_split
+
+    rows = [
+        ("a", 0, EPOCH + dt.timedelta(seconds=s), 1.0)
+        for s in [0, 1000, 85000, 86399, 86400, 90000]
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value"])
+    )
+    test_start = (EPOCH + dt.timedelta(seconds=86400)).replace(tzinfo=None)
+    got = (
+        temporal_split(df, test_start, ts_col="ts", embargo_seconds=3600.0)
+        .orderBy("ts")
+        .toPandas()["split"]
+        .tolist()
+    )
+    # embargo = [test_start - 1h, test_start): the 85000/86399 rows
+    assert got == ["train", "train", "embargo", "embargo", "test", "test"]
