@@ -2547,6 +2547,43 @@ FROM (
 """
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD modified z-score per event_type — the outlier signal
+    a corrupt mega-document cannot drag. Fact table shuffles zero times
+    (two tiny percentile aggregates broadcast back)."""
+    d = _t(spark, sf_dir, "events")
+    r = stats_ops.robust_outliers(d, "value", group_cols=["event_type"])
+    return r.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("robust_z", 6).alias("robust_z"),
+        "is_outlier",
+    )
+
+
+_SQL_ROBUST_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS m
+  FROM events GROUP BY event_type
+),
+ad AS (
+  SELECT e.event_id, e.event_type, e.value, med.m, abs(e.value - med.m) AS adev
+  FROM events e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+  FROM ad GROUP BY event_type
+)
+SELECT ad.event_id, ad.event_type, round(ad.value, 6) AS value,
+       round(CASE WHEN mad.mad > 0
+                  THEN 0.6745 * (ad.value - ad.m) / mad.mad END, 6) AS robust_z,
+       CASE WHEN mad.mad > 0 THEN abs(0.6745 * (ad.value - ad.m) / mad.mad) > 3.5
+            ELSE ad.adev > 0 END AS is_outlier
+FROM ad JOIN mad USING (event_type)
+"""
+
+
 def q_novelty_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-aware pair: expanding distinct count (how many event types
     the user produced strictly BEFORE this row — novelty, via
@@ -2829,6 +2866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "quantile_bin": q_quantile_bin,
         "novelty_split": q_novelty_split,
+        "robust_outliers": q_robust_outliers,
     }
 
 
@@ -2912,4 +2950,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_nearest": _SQL_ASOF_NEAREST,
         "quantile_bin": _SQL_QUANTILE_BIN,
         "novelty_split": _SQL_NOVELTY_SPLIT,
+        "robust_outliers": _SQL_ROBUST_OUTLIERS,
     }

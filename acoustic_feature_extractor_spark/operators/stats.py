@@ -137,3 +137,42 @@ def all_same_filter(
     )
     # degenerate-key set is fact-scaled: estimate-gated hint
     return df.join(maybe_broadcast(degenerate_keys), key, "left_anti")
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.5,
+    z_col: str = "robust_z",
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Median/MAD outlier scoring (Iglewicz-Hoaglin modified z-score):
+    ``z = 0.6745 * (x - median) / MAD``, outlier when ``|z| > threshold``
+    (3.5 is the published default). Robust where the mean/std z-score is
+    not: a handful of corrupt 10^9-length documents cannot drag the
+    center or the scale.
+
+    Plan shape: two tiny exact-percentile aggregates (median, then median
+    of |x - median|) broadcast back into a projection — the fact table
+    shuffles ZERO times. Degenerate groups (MAD = 0, i.e. >= half the
+    values sit exactly on the median) get ``z = null``; a row is then
+    flagged only if it differs from the median at all.
+    """
+    gcols = group_cols or []
+    med = df.groupBy(*gcols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    d = df.join(maybe_broadcast(med), gcols) if gcols else df.crossJoin(maybe_broadcast(med))
+    d = d.withColumn("_ad", F.abs(F.col(value_col) - F.col("_med")))
+    mad = d.groupBy(*gcols).agg(F.expr("percentile(_ad, 0.5)").alias("_mad"))
+    d = d.join(maybe_broadcast(mad), gcols) if gcols else d.crossJoin(maybe_broadcast(mad))
+    z = F.when(
+        F.col("_mad") > 0,
+        F.lit(0.6745) * (F.col(value_col) - F.col("_med")) / F.col("_mad"),
+    )
+    d = d.withColumn(z_col, z)
+    flag = F.when(F.col("_mad") > 0, F.abs(F.col(z_col)) > F.lit(float(threshold))).otherwise(
+        F.col("_ad") > 0
+    )
+    return d.withColumn(flag_col, flag).drop("_med", "_mad", "_ad")

@@ -112,3 +112,31 @@ def test_winsorize_global_and_grouped(spark):
         np.testing.assert_allclose(got, np.sort(grp["v"].clip(lo, hi)), rtol=1e-9)
     # row count preserved (winsorize caps, never drops)
     assert len(outg) == len(pdf)
+
+
+def test_robust_outliers_matches_numpy(spark):
+    from acoustic_feature_extractor_spark.operators.stats import robust_outliers
+
+    rng = np.random.RandomState(11)
+    vals = np.concatenate([rng.normal(50, 5, 200), [500.0, -400.0]])
+    pdf = pd.DataFrame({"id": np.arange(len(vals)), "v": vals})
+    df = spark.createDataFrame(pdf)
+    got = robust_outliers(df, "v", threshold=3.5).orderBy("id").toPandas()
+    med = np.median(vals)
+    mad = np.median(np.abs(vals - med))
+    z = 0.6745 * (vals - med) / mad
+    np.testing.assert_allclose(got["robust_z"], z, rtol=1e-9)
+    np.testing.assert_array_equal(got["is_outlier"], np.abs(z) > 3.5)
+    # the two planted extremes must flag; the bulk must overwhelmingly not
+    assert got["is_outlier"].iloc[-2:].all()
+    assert got["is_outlier"].iloc[:200].sum() <= 2
+
+
+def test_robust_outliers_degenerate_mad(spark):
+    from acoustic_feature_extractor_spark.operators.stats import robust_outliers
+
+    pdf = pd.DataFrame({"id": range(6), "v": [5.0, 5.0, 5.0, 5.0, 5.0, 9.0]})
+    got = robust_outliers(spark.createDataFrame(pdf), "v").orderBy("id").toPandas()
+    # MAD = 0: z undefined, only the off-median row flags
+    assert got["robust_z"].isna().all()
+    assert got["is_outlier"].tolist() == [False] * 5 + [True]
