@@ -1,0 +1,190 @@
+"""Snapshot-log table format over parquet: versioned commits, time travel,
+rollback, expiry.
+
+The north_rule asks for runs "resumable from Iceberg-snapshot checkpoints".
+No Iceberg runtime ships in this sandbox (and the engine must not depend on
+one being installed), so this module implements the load-bearing subset of
+the snapshot model directly over parquet, the same way Iceberg's spec does
+it — an append-only metadata log where each snapshot lists the data
+directories that make up the table at that version:
+
+- a COMMIT writes its data files under ``data/snap-<id>/`` first, then
+  publishes by replacing ``metadata/snapshots.json`` via write-temp +
+  ``os.replace`` (atomic on POSIX — readers see the old or the new log,
+  never a torn one). A crashed commit leaves an orphan data dir and NO log
+  entry: invisible to readers, reclaimed by :func:`expire`.
+- ``append`` snapshots reference the parent's directory list plus their
+  own; ``overwrite`` starts a fresh list. Data files are NEVER rewritten
+  or moved by metadata operations.
+- a READ resolves a snapshot id (default: current) to its directory list
+  and loads exactly those parquet dirs — time travel is just reading an
+  older entry.
+- ROLLBACK appends a new snapshot that re-points at an old snapshot's
+  file set (metadata-only, like Iceberg's rollback — history is preserved,
+  nothing is deleted).
+- EXPIRE drops old log entries and deletes data dirs no surviving
+  snapshot references.
+
+Each snapshot records row count (via ``Observation`` on the write itself —
+no re-read), schema DDL, wall-clock, parent id, and a caller lineage dict —
+the per-partition lineage + metrics contract jobs build on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+_LOG = "metadata/snapshots.json"
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    operation: str  # append | overwrite | rollback
+    dirs: list[str]
+    rows: int
+    schema: str
+    wall_ts: float
+    lineage: dict = field(default_factory=dict)
+
+
+def _log_path(table_path: str) -> str:
+    return os.path.join(table_path, _LOG)
+
+
+def _load_log(table_path: str) -> list[Snapshot]:
+    p = _log_path(table_path)
+    if not os.path.exists(p):
+        return []
+    with open(p) as f:
+        return [Snapshot(**e) for e in json.load(f)]
+
+
+def _publish_log(table_path: str, snaps: list[Snapshot]) -> None:
+    p = _log_path(table_path)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump([vars(s) for s in snaps], f, indent=1)
+    os.replace(tmp, p)  # atomic publish: readers never see a torn log
+
+
+def current_snapshot_id(table_path: str) -> int | None:
+    snaps = _load_log(table_path)
+    return snaps[-1].snapshot_id if snaps else None
+
+
+def history(table_path: str) -> list[Snapshot]:
+    return _load_log(table_path)
+
+
+def commit(
+    df: DataFrame,
+    table_path: str,
+    operation: str = "append",
+    lineage: dict | None = None,
+) -> Snapshot:
+    """Write ``df`` as a new snapshot and publish it. Returns the entry.
+
+    Data lands under ``data/snap-<id>/`` BEFORE the log is replaced, so a
+    failure at any point leaves the table readable at its previous
+    snapshot.
+    """
+    if operation not in ("append", "overwrite"):
+        raise ValueError(f"operation must be append|overwrite, got {operation}")
+    snaps = _load_log(table_path)
+    parent = snaps[-1] if snaps else None
+    if operation == "append" and parent is not None and parent.schema != df.schema.simpleString():
+        raise ValueError(
+            f"append schema mismatch: table has {parent.schema}, "
+            f"commit has {df.schema.simpleString()} — use overwrite to evolve"
+        )
+    sid = (parent.snapshot_id + 1) if parent else 1
+    rel = f"data/snap-{sid}"
+    obs = Observation(f"snap_rows_{sid}")
+    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite").parquet(
+        os.path.join(table_path, rel)
+    )
+    dirs = ([*parent.dirs, rel] if (operation == "append" and parent) else [rel])
+    snap = Snapshot(
+        snapshot_id=sid,
+        parent_id=parent.snapshot_id if parent else None,
+        operation=operation,
+        dirs=dirs,
+        rows=int(obs.get["rows"]),
+        schema=df.schema.simpleString(),
+        wall_ts=round(time.time(), 3),
+        lineage=lineage or {},
+    )
+    _publish_log(table_path, snaps + [snap])
+    return snap
+
+
+def read(
+    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Read the table at ``snapshot_id`` (default: current). Time travel is
+    resolving an older log entry to its directory list."""
+    snaps = _load_log(table_path)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    if snapshot_id is None:
+        snap = snaps[-1]
+    else:
+        by_id = {s.snapshot_id: s for s in snaps}
+        if snapshot_id not in by_id:
+            raise KeyError(
+                f"snapshot {snapshot_id} not in log (have {sorted(by_id)}) — expired?"
+            )
+        snap = by_id[snapshot_id]
+    return spark.read.parquet(*[os.path.join(table_path, d) for d in snap.dirs])
+
+
+def rollback(table_path: str, snapshot_id: int) -> Snapshot:
+    """Metadata-only rollback: append a new snapshot re-pointing at an old
+    file set. History (and the rolled-back data dirs) stay intact."""
+    snaps = _load_log(table_path)
+    by_id = {s.snapshot_id: s for s in snaps}
+    if snapshot_id not in by_id:
+        raise KeyError(f"snapshot {snapshot_id} not in log")
+    src, head = by_id[snapshot_id], snaps[-1]
+    snap = Snapshot(
+        snapshot_id=head.snapshot_id + 1,
+        parent_id=head.snapshot_id,
+        operation="rollback",
+        dirs=list(src.dirs),
+        rows=src.rows,
+        schema=src.schema,
+        wall_ts=round(time.time(), 3),
+        lineage={"rolled_back_to": snapshot_id},
+    )
+    _publish_log(table_path, snaps + [snap])
+    return snap
+
+
+def expire(table_path: str, keep_last: int = 1) -> list[str]:
+    """Drop all but the last ``keep_last`` snapshots from the log and
+    delete data dirs no surviving snapshot references (including orphan
+    dirs from crashed commits). Returns the deleted dirs."""
+    snaps = _load_log(table_path)
+    if not snaps:
+        return []
+    kept = snaps[-max(keep_last, 1):]
+    live = {d for s in kept for d in s.dirs}
+    _publish_log(table_path, kept)
+    deleted = []
+    data_root = os.path.join(table_path, "data")
+    for name in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+        rel = f"data/{name}"
+        if rel not in live:
+            shutil.rmtree(os.path.join(table_path, rel), ignore_errors=True)
+            deleted.append(rel)
+    return deleted

@@ -1,0 +1,85 @@
+"""Snapshot-log table format: commits are atomic and versioned, time
+travel reads exact historical file sets, rollback is metadata-only,
+expire reclaims only unreferenced dirs."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+
+def _df(spark, ids):
+    return spark.createDataFrame(pd.DataFrame({"id": list(ids), "v": [float(i) for i in ids]}))
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    s1 = snap.commit(_df(spark, range(5)), t, lineage={"stage": "a"})
+    s2 = snap.commit(_df(spark, range(5, 8)), t)
+    assert (s1.rows, s2.rows) == (5, 3)
+    assert snap.current_snapshot_id(t) == s2.snapshot_id
+    assert snap.read(spark, t).count() == 8  # current = union of appends
+    assert snap.read(spark, t, s1.snapshot_id).count() == 5  # time travel
+    hist = snap.history(t)
+    assert [h.operation for h in hist] == ["append", "append"]
+    assert hist[1].parent_id == s1.snapshot_id
+    assert hist[0].lineage == {"stage": "a"}
+
+
+def test_overwrite_starts_fresh(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.commit(_df(spark, range(5)), t)
+    s2 = snap.commit(_df(spark, range(100, 102)), t, operation="overwrite")
+    assert snap.read(spark, t).count() == 2
+    assert snap.read(spark, t, 1).count() == 5  # old version still readable
+    assert s2.dirs == ["data/snap-2"]
+
+
+def test_append_schema_mismatch_refused(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.commit(_df(spark, range(3)), t)
+    other = spark.createDataFrame(pd.DataFrame({"x": [1]}))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snap.commit(other, t)
+    snap.commit(other, t, operation="overwrite")  # evolution via overwrite
+    assert snap.read(spark, t).columns == ["x"]
+
+
+def test_rollback_metadata_only(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    s1 = snap.commit(_df(spark, range(4)), t)
+    snap.commit(_df(spark, range(4, 9)), t)
+    s3 = snap.rollback(t, s1.snapshot_id)
+    assert snap.read(spark, t).count() == 4  # current == rolled-back set
+    assert s3.operation == "rollback"
+    # nothing deleted: the rolled-back-over snapshot is still readable
+    assert snap.read(spark, t, 2).count() == 9
+
+
+def test_expire_reclaims_unreferenced_and_orphans(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.commit(_df(spark, range(3)), t)
+    snap.commit(_df(spark, range(3, 5)), t, operation="overwrite")
+    # orphan from a "crashed commit": data dir with no log entry
+    os.makedirs(os.path.join(t, "data/snap-99"))
+    deleted = snap.expire(t, keep_last=1)
+    assert set(deleted) == {"data/snap-1", "data/snap-99"}
+    assert snap.read(spark, t).count() == 2
+    with pytest.raises(KeyError, match="expired"):
+        snap.read(spark, t, 1)
+
+
+def test_crashed_commit_invisible(spark, tmp_path):
+    """Data-dir-written-but-log-not-published must not change what
+    readers see (the commit order guarantees this)."""
+    t = str(tmp_path / "tbl")
+    snap.commit(_df(spark, range(3)), t)
+    # simulate the crash: write a data dir exactly where snap 2 would go,
+    # but never publish the log
+    _df(spark, range(100)).write.parquet(os.path.join(t, "data/snap-2"))
+    assert snap.current_snapshot_id(t) == 1
+    assert snap.read(spark, t).count() == 3
