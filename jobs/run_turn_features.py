@@ -53,6 +53,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--gap-seconds", type=float, default=300.0)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--snapshots",
+        action="store_true",
+        help="commit each bucket as an append snapshot into <output>/features "
+        "(snapshot-log checkpointing: resume reads the committed-bucket set "
+        "from the log, so a crash between data write and manifest save can "
+        "never double-write or skip a bucket) instead of bucket=<i>/ dirs",
+    )
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -72,7 +80,19 @@ def main(argv: list[str] | None = None) -> int:
         t = spark.read.parquet(args.input)
 
     manifest_dir = os.path.join(args.output, "_manifest")
-    done = completed_partitions(manifest_dir) if args.resume else set()
+    snap_table = os.path.join(args.output, "features")
+    if args.snapshots:
+        from acoustic_feature_extractor_spark.sources import snapshots as snaplog
+
+        # the snapshot LOG is the source of truth for completed buckets:
+        # an entry exists iff that bucket's data committed atomically
+        done = (
+            {s.lineage.get("bucket") for s in snaplog.history(snap_table)}
+            if args.resume
+            else set()
+        )
+    else:
+        done = completed_partitions(manifest_dir) if args.resume else set()
     prev = RunManifest.load(manifest_dir) if args.resume else None
     if prev is not None:
         # a resumed run MUST partition identically: mismatched buckets /
@@ -90,7 +110,14 @@ def main(argv: list[str] | None = None) -> int:
     manifest = RunManifest(run_id=run_id, args=vars(args))
     stats = None
     if prev is not None:
-        manifest.partitions = list(prev.partitions)
+        # snapshot mode: keep only lineage the log still vouches for (a
+        # crash between snapshot commit and manifest save makes the
+        # manifest lag the log, never lead it)
+        manifest.partitions = [
+            p
+            for p in prev.partitions
+            if not args.snapshots or p.get("partition") in done
+        ]
         stats = (prev.args or {}).get("_frozen_stats")
 
     # Corpus stats computed ONCE over the full input and frozen into the
@@ -115,16 +142,24 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.perf_counter()
         part = t.where(F.col("_bucket") == b).drop("_bucket")
         feats = turn_features(part, gap_seconds=args.gap_seconds, frozen_stats=stats)
-        out_path = os.path.join(args.output, pid)
-        # row count via Observation on the write itself — re-reading the
-        # fresh output would double the job's I/O at scale
-        from pyspark.sql import Observation
+        if args.snapshots:
+            snap = snaplog.commit(
+                feats,
+                snap_table,
+                lineage={"bucket": pid, "run_id": run_id},
+            )
+            rows = snap.rows
+        else:
+            out_path = os.path.join(args.output, pid)
+            # row count via Observation on the write itself — re-reading
+            # the fresh output would double the job's I/O at scale
+            from pyspark.sql import Observation
 
-        obs = Observation(f"rows_{pid}")
-        feats.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-            "overwrite"
-        ).parquet(out_path)
-        rows = int(obs.get["rows"])
+            obs = Observation(f"rows_{pid}")
+            feats.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).parquet(out_path)
+            rows = int(obs.get["rows"])
         total_rows += rows
         manifest.record_partition(pid, rows=rows, seconds=round(time.perf_counter() - t0, 3))
         manifest.save(manifest_dir)  # checkpoint after every bucket

@@ -83,3 +83,60 @@ def test_crashed_commit_invisible(spark, tmp_path):
     _df(spark, range(100)).write.parquet(os.path.join(t, "data/snap-2"))
     assert snap.current_snapshot_id(t) == 1
     assert snap.read(spark, t).count() == 3
+
+
+def test_job_snapshot_resume_equals_single_shot(tmp_path, spark):
+    """--snapshots mode: crash-resume driven by the snapshot LOG (drop the
+    last two committed snapshots = the data those buckets wrote is gone
+    from every reader's view) must reproduce the single-shot run exactly."""
+    import json as _json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    job = os.path.join(repo, "jobs", "run_turn_features.py")
+
+    def run(args):
+        out = subprocess.run(
+            [sys.executable, job, *args],
+            capture_output=True, text=True, check=True, cwd=repo,
+            env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
+        )
+        return _json.loads(
+            [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        )
+
+    single = str(tmp_path / "single")
+    resumed = str(tmp_path / "resumed")
+    r1 = run(["--generate", "30", "--output", single, "--buckets", "4", "--snapshots"])
+    run(["--generate", "30", "--output", resumed, "--buckets", "4", "--snapshots"])
+
+    # simulate the crash: the last two snapshots never committed
+    table = os.path.join(resumed, "features")
+    log = os.path.join(table, "metadata", "snapshots.json")
+    with open(log) as f:
+        entries = _json.load(f)
+    with open(log, "w") as f:
+        _json.dump(entries[:2], f)
+
+    r3 = run(
+        ["--generate", "30", "--output", resumed, "--buckets", "4",
+         "--snapshots", "--resume"]
+    )
+    assert r3["skipped"] == 2
+
+    a = snap.read(spark, os.path.join(single, "features")).orderBy(
+        "conv_id", "turn_idx"
+    ).toPandas()
+    b = snap.read(spark, table).orderBy("conv_id", "turn_idx").toPandas()
+    assert len(a) == len(b) == r1["rows_written"]
+    assert (a["text"].to_numpy() == b["text"].to_numpy()).all()
+    import numpy as np
+
+    np.testing.assert_allclose(
+        a["text_len_z"].to_numpy(), b["text_len_z"].to_numpy(), rtol=1e-12
+    )
+    # the log carries per-bucket lineage for all four buckets
+    assert {s.lineage["bucket"] for s in snap.history(table)} == {
+        f"bucket={i}" for i in range(4)
+    }
