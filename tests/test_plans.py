@@ -182,3 +182,32 @@ def test_decontaminate_broadcasts_benchmark_side(spark, entry_mod):
     benchmark shingle table must arrive via BroadcastExchange."""
     plan = _plan(entry_mod.queries()["decontaminate"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_trailing_window_single_exchange(spark, entry_mod):
+    """All RANGE frames (both horizons, count+sum, plus the salt explode)
+    share ONE fact exchange — and nothing evaluates in Python."""
+    import re
+
+    plan = _plan(entry_mod.queries()["trailing_window"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # formatted mode lists nodes as "(N) Exchange" with args on detail lines
+    ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert ex == 1, f"expected 1 fact exchange, saw {ex}\n{plan}"
+
+
+def test_temporal_two_phase_no_python(spark, entry_mod):
+    """time_decay / target_encode / novelty_split run the chunked
+    two-phase plans: pure JVM, no per-row Python anywhere."""
+    for q in ("time_decay", "target_encode", "novelty_split"):
+        plan = _plan(entry_mod.queries()[q](spark, SF))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, q
+        assert "Window" in plan, q
+
+
+def test_quantile_bin_no_global_sort(spark, entry_mod):
+    """Equal-frequency binning must never plan a global (non-partitioned)
+    sort — rank comes from (chunk)-local sorts + the count prefix."""
+    plan = _plan(entry_mod.queries()["quantile_bin"](spark, SF))
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
