@@ -118,7 +118,7 @@ def trailing_time_window(
 def time_decayed_sum(
     df: DataFrame,
     value_col: str,
-    half_life_seconds: float,
+    half_life_seconds: float | list[float],
     key: str = "conv_id",
     ts_col: str = "ts",
     tiebreak_col: str = "turn_idx",
@@ -132,71 +132,103 @@ def time_decayed_sum(
     the (ts, tiebreak) total order (ties decay by 2^0 = 1 — deterministic,
     engine-independent). ``strict_past=False`` includes the row itself.
 
+    ``half_life_seconds`` may be a LIST (the multi-horizon feature-store
+    ask: 1h/1d/7d decays): every horizon shares ONE fact sort and one
+    summary pass — columns ``{out}_{int(hl)}s``. A scalar keeps the single
+    ``{out}`` column.
+
     Two-phase exact plan (no overflow at any entity span):
 
-    1. chunk = floor(t / C) with C = ``chunk_half_lives`` half-lives; the
-       local decayed prefix uses exponents anchored at the chunk start,
-       bounded by C/hl = ``chunk_half_lives`` — ``2**x`` stays in range.
+    1. chunk = floor(t / C) with C = ``chunk_half_lives`` × the SHORTEST
+       half-life; each horizon's chunk-anchored exponent is bounded by
+       C/hl ≤ ``chunk_half_lives`` — ``2**x`` stays in range.
     2. per-(key, chunk) totals anchored at the chunk END (one tiny row per
-       chunk) are folded across the previous ``max_back`` PRESENT chunks
-       with explicit ``2^(-(Δchunk-1)·K)`` factors. Present chunks farther
-       back than the frame are ≥ ``max_back`` chunk-widths older, so their
-       true contribution is < 2^-(max_back·K) of a chunk total —
-       with the default 4·32 = 128 half-lives, below double ulp of any
-       result that survives 6-decimal rounding.
+       chunk, one column per horizon) are folded across the previous
+       ``max_back`` PRESENT chunks with explicit ``2^(-(Δchunk-1)·C/hl)``
+       factors. ``max_back`` defaults to ≥128 half-lives of the LONGEST
+       horizon; present chunks farther back contribute < 2^-128 of a chunk
+       total — below double ulp of any result that survives 6-decimal
+       rounding.
 
-    The fold is an ``aggregate`` HOF over a collect_list of (chunk, total)
-    pairs — it runs on the summary table (one row per key×chunk), never on
-    fact rows.
+    The fold is an ``aggregate`` HOF over a collect_list of (chunk,
+    totals...) rows — it runs on the summary table (one row per
+    key×chunk), never on fact rows.
     """
-    out_col = out_col or f"{value_col}_decay"
-    hl = float(half_life_seconds)
-    # the chunk-local exponent reaches chunk_half_lives; 2^x must stay a
-    # finite double (max exponent 1023) with headroom for the value sum
+    scalar = isinstance(half_life_seconds, (int, float))
+    hls = [float(half_life_seconds)] if scalar else [float(h) for h in half_life_seconds]
+    base = out_col or f"{value_col}_decay"
+    names = [base] if scalar else [f"{base}_{int(h) if float(h).is_integer() else h}s" for h in hls]
+    # the chunk-local exponent reaches chunk_half_lives (for the shortest
+    # horizon); 2^x must stay a finite double (max exponent 1023) with
+    # headroom for the value sum
     assert 1 <= chunk_half_lives <= 512, (
         f"chunk_half_lives={chunk_half_lives} must be in [1, 512]: the "
         f"chunk-anchored weight 2**x overflows double past ~1000 half-lives"
     )
-    k_exp = float(chunk_half_lives)  # chunk width in half-lives
-    c_s = hl * chunk_half_lives  # chunk width in seconds
+    c_s = min(hls) * chunk_half_lives  # chunk width in seconds
+    k_exps = [c_s / h for h in hls]  # chunk width in each horizon's half-lives
     if max_back is None:
-        max_back = max(1, -(-128 // chunk_half_lives))  # ceil(128 / K)
+        # ≥128 half-lives of the longest horizon (≈ most chunks needed)
+        import math
+
+        max_back = max(1, math.ceil(128 * max(hls) / c_s))
     two = F.lit(2.0)
     d = df.withColumn("_t", _t_us(ts_col) / F.lit(float(US)))
     d = d.withColumn("_chunk", F.floor(F.col("_t") / F.lit(c_s)).cast("long"))
-    # chunk-anchored exponent in half-lives: x ∈ [0, K)
-    x = (F.col("_t") - F.col("_chunk") * F.lit(c_s)) / F.lit(hl)
-    d = d.withColumn("_u", F.col(value_col) * F.pow(two, x))
     w_local = (
         Window.partitionBy(key, "_chunk")
         .orderBy("_t", tiebreak_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    d = d.withColumn("_lsum", F.sum("_u").over(w_local))
-    # chunk totals anchored at the chunk end: T = sum(u) * 2^-K ∈ (0, sum|v|]
+    # chunk-anchored exponent per horizon: x_i ∈ [0, C/hl_i] ⊆ [0, K]
+    xs = [
+        (F.col("_t") - F.col("_chunk") * F.lit(c_s)) / F.lit(h) for h in hls
+    ]
+    for i, x in enumerate(xs):
+        d = d.withColumn(f"_u{i}", F.col(value_col) * F.pow(two, x))
+    # ALL horizons' running sums in one select → one WindowExec, one sort
+    d = d.select(
+        "*", *[F.sum(f"_u{i}").over(w_local).alias(f"_lsum{i}") for i in range(len(hls))]
+    )
+    # chunk totals anchored at the chunk end: T_i = sum(u_i) * 2^-K_i
     totals = d.groupBy(key, "_chunk").agg(
-        (F.sum("_u") * F.pow(two, F.lit(-k_exp))).alias("_tot")
+        *[
+            (F.sum(f"_u{i}") * F.pow(two, F.lit(-k))).alias(f"_tot{i}")
+            for i, k in enumerate(k_exps)
+        ]
     )
     w_back = (
         Window.partitionBy(key).orderBy("_chunk").rowsBetween(-max_back, -1)
     )
-    pairs = F.collect_list(F.struct(F.col("_chunk").alias("c"), F.col("_tot").alias("t"))).over(
-        w_back
-    )
-    # S = sum of earlier chunk totals decayed to THIS chunk's start:
+    pairs = F.collect_list(
+        F.struct(
+            F.col("_chunk").alias("c"),
+            *[F.col(f"_tot{i}").alias(f"t{i}") for i in range(len(hls))],
+        )
+    ).over(w_back)
+    totals = totals.withColumn("_pairs", pairs)
+    # S_i = sum of earlier chunk totals decayed to THIS chunk's start:
     # end of chunk c' -> start of chunk c is (c - c' - 1) widths
-    carry = F.aggregate(
-        pairs,
-        F.lit(0.0),
-        lambda acc, p: acc
-        + p["t"] * F.pow(two, (-(F.col("_chunk") - p["c"] - 1)).cast("double") * F.lit(k_exp)),
-    )
-    offsets = totals.withColumn("_carry", carry).select(key, "_chunk", "_carry")
+    def _fold(i: int, k: float):
+        # closure factory: pyspark requires the HOF lambda to take exactly
+        # the aggregate arity, so (i, k) must bind outside the lambda
+        def step(acc, p):
+            return acc + p[f"t{i}"] * F.pow(
+                two, (-(F.col("_chunk") - p["c"] - 1)).cast("double") * F.lit(k)
+            )
+
+        return F.aggregate(F.col("_pairs"), F.lit(0.0), step).alias(f"_carry{i}")
+
+    carries = [_fold(i, k) for i, k in enumerate(k_exps)]
+    offsets = totals.select(key, "_chunk", *carries)
     # offsets is per-(key, chunk) — fact-scaled; estimate-gated hint only
     d = d.join(maybe_broadcast(offsets), [key, "_chunk"])
-    local = F.col("_lsum") - (F.col("_u") if strict_past else F.lit(0.0))
-    decayed = F.pow(two, -x) * (local + F.col("_carry"))
-    return d.withColumn(out_col, decayed).drop("_t", "_chunk", "_u", "_lsum", "_carry")
+    drop = ["_t", "_chunk"]
+    for i, (x, name) in enumerate(zip(xs, names)):
+        local = F.col(f"_lsum{i}") - (F.col(f"_u{i}") if strict_past else F.lit(0.0))
+        d = d.withColumn(name, F.pow(two, -x) * (local + F.col(f"_carry{i}")))
+        drop += [f"_u{i}", f"_lsum{i}", f"_carry{i}"]
+    return d.drop(*drop)
 
 
 def past_target_encode(

@@ -317,3 +317,27 @@ def test_temporal_split_embargo_band(spark):
     )
     # embargo = [test_start - 1h, test_start): the 85000/86399 rows
     assert got == ["train", "train", "embargo", "embargo", "test", "test"]
+
+
+def test_time_decay_multi_horizon_equals_single_calls(spark):
+    df, _ = _events(spark, seed=41, n_rows=300, span_s=200000)
+    kw = dict(key="user_id", ts_col="ts", tiebreak_col="event_id")
+    fused = (
+        time_decayed_sum(df, "value", [600.0, 3600.0, 86400.0], **kw)
+        .orderBy("event_id")
+        .toPandas()
+    )
+    for hl in (600.0, 3600.0, 86400.0):
+        single = (
+            time_decayed_sum(df, "value", hl, **kw)
+            .orderBy("event_id")
+            .toPandas()["value_decay"]
+            .to_numpy()
+        )
+        np.testing.assert_allclose(
+            fused[f"value_decay_{int(hl)}s"].to_numpy(),
+            single,
+            rtol=1e-9,
+            atol=1e-12,
+            err_msg=str(hl),
+        )
