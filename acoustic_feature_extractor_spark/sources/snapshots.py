@@ -188,3 +188,54 @@ def expire(table_path: str, keep_last: int = 1) -> list[str]:
             shutil.rmtree(os.path.join(table_path, rel), ignore_errors=True)
             deleted.append(rel)
     return deleted
+
+
+def commit_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    table_path: str,
+    lineage: dict | None = None,
+) -> Snapshot | None:
+    """Idempotent micro-batch commit for ``foreachBatch``: if the table's
+    log already holds this (checkpoint-scoped) epoch, the replay is a
+    no-op — Structured Streaming guarantees a replayed epoch carries the
+    SAME data, so skipping it turns at-least-once batch delivery into
+    exactly-once snapshots (the standard transactional-sink contract of
+    ``foreachBatch``).
+    """
+    for s in _load_log(table_path):
+        if s.lineage.get("epoch") == epoch_id:
+            return None
+    return commit(
+        batch_df, table_path, lineage={**(lineage or {}), "epoch": epoch_id}
+    )
+
+
+def snapshot_sink(
+    df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    query_name: str = "snapshot_sink",
+    available_now: bool = True,
+):
+    """Stream into a snapshot table with exactly-once semantics: each
+    micro-batch becomes one append snapshot (idempotent on epoch replay),
+    so downstream batch readers time-travel over a consistent, versioned
+    view of the stream — and a crashed stream resumes from its checkpoint
+    with no duplicate or missing snapshot. Returns the started query.
+
+    NOTE: epoch ids are scoped to ``checkpoint_dir`` — a fresh checkpoint
+    restarts epoch numbering, so reuse the table only with its checkpoint.
+    """
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        commit_epoch(batch_df, epoch_id, table_path, lineage={"query": query_name})
+
+    writer = (
+        df.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

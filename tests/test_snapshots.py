@@ -140,3 +140,39 @@ def test_job_snapshot_resume_equals_single_shot(tmp_path, spark):
     assert {s.lineage["bucket"] for s in snap.history(table)} == {
         f"bucket={i}" for i in range(4)
     }
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
+    """Two drain runs over a growing file source commit each micro-batch
+    as one snapshot; an epoch REPLAY (the at-least-once case foreachBatch
+    must absorb) is a no-op."""
+    src = str(tmp_path / "in")
+    table = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _df(spark, range(10)).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = snap.snapshot_sink(stream, table, ckpt, available_now=True)
+        q.awaitTermination(120)
+        q.stop()
+
+    drain()
+    n1 = snap.read(spark, table).count()
+    assert n1 == 10
+    _df(spark, range(10, 17)).write.mode("append").parquet(src)
+    drain()  # resumes from the checkpoint: only the new wave commits
+    assert snap.read(spark, table).count() == 17
+    epochs = [s.lineage["epoch"] for s in snap.history(table)]
+    assert len(epochs) == len(set(epochs))  # one snapshot per epoch
+
+    # replay absorption: re-delivering an already-committed epoch no-ops
+    before = snap.current_snapshot_id(table)
+    assert snap.commit_epoch(_df(spark, range(999)), epochs[0], table) is None
+    assert snap.current_snapshot_id(table) == before
+    assert snap.read(spark, table).count() == 17
+
+    # a third drain with nothing new commits nothing
+    drain()
+    assert snap.current_snapshot_id(table) == before
