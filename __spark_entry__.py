@@ -2153,6 +2153,84 @@ FROM scalar s LEFT JOIN top t USING (doc_id)
 """
 
 
+def _c4_page(doc_id: F.Column, text: F.Column) -> F.Column:
+    """Deterministically synthesize C4-shaped pages from the flat fixture
+    text (no newlines/punctuation in the driver corpus): 1/17 docs get a
+    "lorem ipsum" prefix, 1/23 a trailing brace, 'table'→'table.' plants
+    terminal punctuation, 'vector'→'javascript' plants the boilerplate
+    tell, then every 5th space becomes a newline. Mirrored verbatim in
+    the DuckDB oracle."""
+    page = F.when(doc_id % 17 == 0, F.concat(F.lit("lorem ipsum "), text)).otherwise(
+        text
+    )
+    page = F.when(doc_id % 23 == 0, F.concat(page, F.lit(" {"))).otherwise(page)
+    page = F.replace(page, F.lit("table"), F.lit("table."))
+    page = F.replace(page, F.lit("vector"), F.lit("javascript"))
+    return F.regexp_replace(page, r"((?:\S+ ){4}\S+) ", "$1\n")
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleaning (Raffel et al. 2020 §2.2): line-level
+    terminal-punctuation / ≥5-words / no-javascript filters plus the
+    lorem-ipsum / curly-brace / ≥3-kept-lines page gates — map-only, the
+    cleaned text and auditable reject flags in one projection."""
+    d = _t(spark, sf_dir, "documents")
+    doc = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _c4_page(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+    out = tx.c4_clean(doc, min_line_words=5, min_lines=3)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("kept_lines").cast("long").alias("kept_lines"),
+        F.col("dropped_lines").cast("long").alias("dropped_lines"),
+        "has_lorem_ipsum",
+        "has_brace",
+        "keep",
+        "clean_text",
+    )
+
+
+_SQL_C4_CLEAN = r"""
+WITH synth AS (
+  SELECT doc_id,
+         regexp_replace(
+           replace(replace(
+             CASE WHEN doc_id % 23 = 0 THEN base || ' {' ELSE base END,
+             'table', 'table.'), 'vector', 'javascript'),
+           '((?:\S+ ){4}\S+) ', '\1' || chr(10), 'g') AS page
+  FROM (SELECT doc_id,
+               CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum ' || text
+                    ELSE text END AS base
+        FROM documents)
+),
+split AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(page, chr(10)), l -> trim(l)),
+                     l -> length(l) > 0) AS lines,
+         contains(lower(page), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(page, '{') AS has_brace
+  FROM synth
+),
+kept AS (
+  SELECT doc_id, lines, has_lorem_ipsum, has_brace,
+         list_filter(lines, l -> regexp_matches(l, '[.!?"”]$')
+                             AND len(string_split_regex(l, '\s+')) >= 5
+                             AND NOT contains(lower(l), 'javascript')) AS kl
+  FROM split
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kl) AS BIGINT) AS kept_lines,
+       CAST(len(lines) - len(kl) AS BIGINT) AS dropped_lines,
+       has_lorem_ipsum, has_brace,
+       (len(kl) >= 3 AND NOT has_lorem_ipsum AND NOT has_brace) AS keep,
+       COALESCE(array_to_string(kl, chr(10)), '') AS clean_text
+FROM kept
+"""
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII audit + redaction over the corpus: per-doc email/ip/phone
     match counts (the audit trail) and the placeholder-redacted text.
@@ -2853,6 +2931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_shuffle": q_shard_shuffle,
         "semantic_clusters": q_semantic_clusters,
         "doc_quality": q_doc_quality,
+        "c4_clean": q_c4_clean,
         "pii_scrub": q_pii_scrub,
         "decontaminate": q_decontaminate,
         "dup_spans": q_dup_spans,
@@ -2937,6 +3016,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_shuffle": _SQL_SHARD_SHUFFLE,
         "semantic_clusters": _SQL_SEMANTIC_CLUSTERS,
         "doc_quality": _SQL_DOC_QUALITY,
+        "c4_clean": _SQL_C4_CLEAN,
         "pii_scrub": _SQL_PII_SCRUB,
         "decontaminate": _SQL_DECONTAMINATE,
         "dup_spans": _SQL_DUP_SPANS,

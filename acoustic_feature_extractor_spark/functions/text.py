@@ -372,6 +372,71 @@ def pii_scrub(
     )
 
 
+# --------------------------------------------------------------------------
+# C4-style heuristic cleaning (Raffel et al. 2020, §2.2)
+# --------------------------------------------------------------------------
+
+
+def c4_kept_lines(text: Column, min_line_words: int = 5) -> Column:
+    """The lines of a document that survive the C4 line filters.
+
+    Published rules (Raffel et al. 2020): keep a line only if it ends in
+    a terminal punctuation mark (period / exclamation / question mark /
+    closing quote), carries at least ``min_line_words`` whitespace words,
+    and does not mention "javascript" (the boilerplate tell).  Lines are
+    trimmed first; blank lines never survive.
+    """
+    lines = _line_array(text)
+    return F.filter(
+        lines,
+        lambda l: (
+            l.rlike('[.!?"”]$')
+            & (F.size(F.split(l, r"\s+")) >= min_line_words)
+            & ~F.lower(l).contains("javascript")
+        ),
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4 heuristic cleaning: line-level filters + document-level gates.
+
+    Line level: :func:`c4_kept_lines`.  Document level (again the
+    published C4 rules): drop any page containing "lorem ipsum"
+    (case-insensitive) or a curly brace (code tell), and any page left
+    with fewer than ``min_lines`` kept lines.  The reference analog is
+    the validity-mask projection chain (reference ``f0.py`` valid-frame
+    masking) — a map-only pass; rejects stay auditable via the flags.
+
+    Output: (id, n_lines, kept_lines, dropped_lines, has_lorem_ipsum,
+    has_brace, keep, clean_text).  ``clean_text`` re-joins the surviving
+    lines with a newline; for dropped docs it is still produced (callers
+    filter on ``keep``), so the pass stays a pure projection with zero
+    exchanges at any corpus size.
+    """
+    t = F.col(text_col)
+    lines = _line_array(t)
+    kept = c4_kept_lines(t, min_line_words)
+    n_kept = F.size(kept)
+    lorem = F.lower(t).contains("lorem ipsum")
+    brace = t.contains("{")
+    return df.select(
+        id_col,
+        F.size(lines).alias("n_lines"),
+        n_kept.alias("kept_lines"),
+        (F.size(lines) - n_kept).alias("dropped_lines"),
+        lorem.alias("has_lorem_ipsum"),
+        brace.alias("has_brace"),
+        ((n_kept >= min_lines) & ~lorem & ~brace).alias("keep"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
 def bigram_logprob(
     df: DataFrame,
     text_col: str = "text",

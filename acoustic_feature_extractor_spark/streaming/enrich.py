@@ -15,6 +15,14 @@ twins of the batch training-data ops:
   the stream joins on key + range — a stateless stream-static join, so
   no watermark bookkeeping, no stateful operator, and Spark re-reads
   the dimension per micro-batch (picks up slowly-changing updates).
+- :func:`streaming_interval_join` — stream-STREAM twin of the trailing
+  context join (``operators/temporal.trailing_time_window`` membership /
+  ``operators/intervals.overlap_join``): two live feeds joined on key
+  with the right row's event time inside a bounded trailing window of
+  the left row's. Both sides are watermarked and the join condition is
+  a pure event-time range, so Spark derives the state-eviction bound
+  itself — state per side ≈ (arrival rate × (watermark + lag)), no
+  unbounded buffering at any feed volume.
 """
 
 from __future__ import annotations
@@ -60,6 +68,48 @@ def intervalize_dimension(
     dimension (as-of semantics are "latest ROW per timestamp" anyway)."""
     w = Window.partitionBy(by).orderBy(on)
     return dim.withColumn("_valid_to", F.lead(on).over(w))
+
+
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str = "conv_id",
+    max_lag_seconds: float = 300.0,
+    watermark: str = "10 minutes",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Stream-stream trailing-window join: each left row picks up every
+    right row with the same ``by`` key whose event time falls in
+    ``[left.on - max_lag_seconds, left.on]`` (inclusive — the strictly
+    bounded "what happened just before this turn" context join).
+
+    Both inputs must be STREAMING DataFrames carrying an event-time
+    column ``on``. The equi-key plus a closed event-time range is
+    exactly the shape Structured Streaming needs to bound state: each
+    side's buffer is evicted once the other side's watermark passes
+    ``watermark + max_lag_seconds``. Inner join only (outer stream-stream
+    joins emit nulls at watermark expiry — different latency contract;
+    compose with a batch backfill if completeness matters more than
+    freshness).
+
+    Right payload columns come back suffixed; the right event time is
+    ``{on}{suffix}``.
+    """
+    lag = float(max_lag_seconds)
+    payload = [c for c in right.columns if c != by]
+    l = left.withWatermark(on, watermark)
+    r = right.select(
+        F.col(by).alias("_r_by"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+    ).withWatermark(f"{on}{suffix}", watermark)
+    rts = F.col(f"{on}{suffix}")
+    cond = (
+        (F.col(by) == F.col("_r_by"))
+        & (rts >= F.col(on) - F.expr(f"INTERVAL '{lag}' SECOND"))
+        & (rts <= F.col(on))
+    )
+    return l.join(r, cond, "inner").drop("_r_by")
 
 
 def streaming_asof_enrich(

@@ -162,6 +162,70 @@ def test_streaming_exact_dedup_matches_batch(spark, transcripts):
         assert len({r["text"] for r in got}) == n_distinct
 
 
+def test_streaming_interval_join_matches_batch(spark, transcripts):
+    """Stream-stream trailing-window join (watermarked both sides) must
+    equal the batch range join with the identical key + time-bound
+    condition — same multiplicity, not just the same key set."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from acoustic_feature_extractor_spark.streaming.enrich import (
+        streaming_interval_join,
+    )
+
+    base = transcripts.limit(600).where(F.col("ts").isNotNull())
+    left = base.select("conv_id", "turn_idx", "ts")
+    right = base.where(F.col("tool").isNotNull()).select(
+        "conv_id", "ts", F.col("tool").alias("signal")
+    )
+    lag = 120.0
+    batch = left.join(
+        right.select(
+            F.col("conv_id").alias("_rc"),
+            F.col("ts").alias("ts_r"),
+            F.col("signal").alias("signal_r"),
+        ),
+        (F.col("conv_id") == F.col("_rc"))
+        & (F.col("ts_r") >= F.col("ts") - F.expr(f"INTERVAL '{lag}' SECOND"))
+        & (F.col("ts_r") <= F.col("ts")),
+        "inner",
+    )
+    want = Counter(
+        (r["conv_id"], r["turn_idx"], r["ts_r"], r["signal_r"])
+        for r in batch.collect()
+    )
+    assert want  # fixture must actually produce matches
+
+    with tempfile.TemporaryDirectory() as d:
+        left.write.parquet(f"{d}/l")
+        right.write.parquet(f"{d}/r")
+        ls = spark.readStream.schema(spark.read.parquet(f"{d}/l").schema).parquet(
+            f"{d}/l"
+        )
+        rs = spark.readStream.schema(spark.read.parquet(f"{d}/r").schema).parquet(
+            f"{d}/r"
+        )
+        joined = streaming_interval_join(
+            ls, rs, on="ts", by="conv_id", max_lag_seconds=lag, watermark="1 hour"
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sj_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = Counter(
+                (r["conv_id"], r["turn_idx"], r["ts_r"], r["signal_r"])
+                for r in spark.sql("SELECT * FROM sj_out").collect()
+            )
+        finally:
+            q.stop()
+    assert got == want
+
+
 def test_streaming_asof_enrich_matches_batch_asof(spark, transcripts):
     """The interval-join enrichment must equal the batch as-of join
     row-for-row (backward, allow-exact-match semantics)."""

@@ -89,6 +89,93 @@ def test_pii_scrub(spark):
     assert out[3].redacted == rows[2][1]
 
 
+def test_c4_clean_line_rules(spark):
+    """C4 line filters (Raffel et al. 2020): terminal punctuation,
+    minimum words, javascript tell — checked line by line."""
+    rows = [
+        (
+            1,
+            "This sentence ends with a period.\n"  # kept
+            "no terminal punctuation here at all\n"  # dropped: no punct
+            "Too short.\n"  # dropped: < 5 words
+            "Please enable JavaScript to view this page.\n"  # dropped: js
+            "Is this a real question?\n"  # kept
+            'He said "close the door."\n'  # kept (quote after period)
+            "   \n",  # blank: never a line
+        ),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.c4_clean(d).collect()[0]
+    assert out.n_lines == 6
+    assert out.kept_lines == 3
+    assert out.dropped_lines == 3
+    assert out.keep is True
+    assert out.clean_text.split("\n") == [
+        "This sentence ends with a period.",
+        "Is this a real question?",
+        'He said "close the door."',
+    ]
+
+
+def test_c4_clean_doc_gates(spark):
+    good = "One two three four five.\nSix seven eight nine ten.\nMore words keep coming here."
+    rows = [
+        (1, good),
+        (2, good + "\nLorem Ipsum dolor sit amet."),  # lorem -> drop
+        (3, good + "\nfunction f() { return 1; }"),  # brace -> drop
+        (4, "One two three four five.\nSix seven eight nine ten."),  # 2 < min_lines
+        (5, ""),  # empty doc
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in tx.c4_clean(d).collect()}
+    assert out[1].keep is True
+    assert out[2].keep is False and out[2].has_lorem_ipsum
+    assert out[3].keep is False and out[3].has_brace
+    assert out[4].keep is False and out[4].kept_lines == 2
+    assert out[5].keep is False and out[5].n_lines == 0 and out[5].clean_text == ""
+
+
+def test_c4_clean_bruteforce(spark):
+    """c4_clean == the straight-line Python rules on random-ish fixtures."""
+    import re
+
+    words = ["alpha", "beta", "gamma", "javascript", "delta", "epsilon"]
+    rows = []
+    for i in range(40):
+        lines = []
+        for j in range((i % 5) + 1):
+            k = (i * 7 + j * 3) % 6
+            n = (i + j) % 8 + 1
+            line = " ".join(words[(k + m) % 6] for m in range(n))
+            if (i + j) % 3 == 0:
+                line += "."
+            lines.append(line)
+        text = "\n".join(lines)
+        if i % 11 == 0:
+            text = "lorem ipsum " + text
+        if i % 13 == 0:
+            text += " {"
+        rows.append((i, text))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in tx.c4_clean(d).collect()}
+    for i, text in rows:
+        lines = [l.strip() for l in text.split("\n") if l.strip()]
+        kept = [
+            l
+            for l in lines
+            if re.search(r'[.!?"”]$', l)
+            and len(re.split(r"\s+", l)) >= 5
+            and "javascript" not in l.lower()
+        ]
+        lorem = "lorem ipsum" in text.lower()
+        brace = "{" in text
+        r = got[i]
+        assert r.n_lines == len(lines)
+        assert r.kept_lines == len(kept)
+        assert r.clean_text == "\n".join(kept)
+        assert r.keep == (len(kept) >= 3 and not lorem and not brace)
+
+
 def test_bigram_logprob_bruteforce(spark):
     """bigram_logprob == a numpy/dict add-1 bigram model on the same
     corpus; gibberish scores worse (higher perplexity) than repetitive
