@@ -24,6 +24,11 @@ directories that make up the table at that version:
   nothing is deleted).
 - EXPIRE drops old log entries and deletes data dirs no surviving
   snapshot references.
+- MERGE (:func:`merge_upsert`) is copy-on-write at dir granularity:
+  only dirs containing a matched key are rewritten, everything else is
+  carried by reference.
+- COMPACT (:func:`compact`) rewrites the current dir set into one
+  right-sized dir, metadata-published like any commit; history intact.
 
 Each snapshot records row count (via ``Observation`` on the write itself —
 no re-read), schema DDL, wall-clock, parent id, and a caller lineage dict —
@@ -188,6 +193,145 @@ def expire(table_path: str, keep_last: int = 1) -> list[str]:
             shutil.rmtree(os.path.join(table_path, rel), ignore_errors=True)
             deleted.append(rel)
     return deleted
+
+
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_path: str,
+    key: str | list[str],
+    lineage: dict | None = None,
+    assert_unique_keys: bool = True,
+) -> Snapshot:
+    """Copy-on-write MERGE: upsert ``updates`` by key, rewriting ONLY the
+    data dirs that contain a matched key (Iceberg's copy-on-write MERGE
+    at directory granularity — the snapshot log tracks dirs, not files).
+
+    Plan: one semi-join finds the hit dirs (tiny collect — dir names, not
+    rows); survivors of those dirs anti-join the update keys and land in
+    one new dir together with the updates; every untouched dir is carried
+    by reference. A table where updates touch 1% of the dirs rewrites 1%
+    of the bytes. Publishes atomically like every other commit; time
+    travel to the pre-merge snapshot still works.
+    """
+    key_cols = [key] if isinstance(key, str) else list(key)
+    snaps = _load_log(table_path)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    head = snaps[-1]
+    if head.schema != updates.schema.simpleString():
+        raise ValueError(
+            f"merge schema mismatch: table has {head.schema}, "
+            f"updates have {updates.schema.simpleString()}"
+        )
+    ukeys = updates.select(*key_cols).dropDuplicates(key_cols)
+    if assert_unique_keys:
+        dup = (
+            updates.groupBy(*key_cols)
+            .count()
+            .where(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError("updates carry duplicate keys — upsert is ambiguous")
+
+    sid = head.snapshot_id + 1
+    rel = f"data/snap-{sid}"
+    cur = spark.read.parquet(
+        *[os.path.join(table_path, d) for d in head.dirs]
+    ).withColumn("_dir", F.regexp_extract(F.input_file_name(), r"(data/snap-[^/]+)", 1))
+    hit = sorted(
+        r["_dir"]
+        for r in cur.join(ukeys, key_cols, "left_semi")
+        .select("_dir")
+        .distinct()
+        .collect()
+    )
+    untouched = [d for d in head.dirs if d not in set(hit)]
+    survivors = (
+        cur.where(F.col("_dir").isin(hit)).drop("_dir").join(ukeys, key_cols, "left_anti")
+        if hit
+        else None
+    )
+    new_data = (
+        survivors.unionByName(updates) if survivors is not None else updates
+    )
+    obs = Observation(f"snap_rows_{sid}")
+    new_data.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(table_path, rel))
+    untouched_rows = (
+        spark.read.parquet(*[os.path.join(table_path, d) for d in untouched]).count()
+        if untouched
+        else 0
+    )
+    snap = Snapshot(
+        snapshot_id=sid,
+        parent_id=head.snapshot_id,
+        operation="merge",
+        dirs=[*untouched, rel],
+        rows=int(obs.get["rows"]) + untouched_rows,
+        schema=head.schema,
+        wall_ts=round(time.time(), 3),
+        lineage={**(lineage or {}), "rewritten_dirs": hit},
+    )
+    _publish_log(table_path, snaps + [snap])
+    return snap
+
+
+def compact(
+    spark: SparkSession,
+    table_path: str,
+    partitions: int | None = None,
+    lineage: dict | None = None,
+) -> Snapshot:
+    """Small-file compaction: rewrite the CURRENT snapshot's dirs into one
+    dir and publish a ``compact`` snapshot (row-for-row identical —
+    verified by observation — so readers see no data change, just fewer,
+    right-sized files). Old dirs stay until :func:`expire`, so time travel
+    across the compaction keeps working.
+
+    Default sizing needs no shuffle: the merged-scan partitioning already
+    targets ``spark.sql.files.maxPartitionBytes`` per split, so writing it
+    straight back emits files of about that size. Pass ``partitions`` to
+    force a specific output file count (adds one exchange).
+    """
+    snaps = _load_log(table_path)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    head = snaps[-1]
+    if len(head.dirs) <= 1:
+        return head  # nothing to compact
+    sid = head.snapshot_id + 1
+    rel = f"data/snap-{sid}"
+    abs_dirs = [os.path.join(table_path, d) for d in head.dirs]
+    df = spark.read.parquet(*abs_dirs)
+    if partitions is not None:
+        df = df.repartition(partitions)
+    obs = Observation(f"snap_rows_{sid}")
+    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite").parquet(
+        os.path.join(table_path, rel)
+    )
+    rows = int(obs.get["rows"])
+    # footer-metadata count of the old dir set — cheap independent check
+    before = spark.read.parquet(*abs_dirs).count()
+    if rows != before:
+        raise RuntimeError(
+            f"compaction row drift: table has {before}, rewrite has {rows}"
+        )
+    snap = Snapshot(
+        snapshot_id=sid,
+        parent_id=head.snapshot_id,
+        operation="compact",
+        dirs=[rel],
+        rows=rows,
+        schema=head.schema,
+        wall_ts=round(time.time(), 3),
+        lineage={**(lineage or {}), "compacted_dirs": list(head.dirs)},
+    )
+    _publish_log(table_path, snaps + [snap])
+    return snap
 
 
 def commit_epoch(

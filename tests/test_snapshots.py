@@ -85,6 +85,71 @@ def test_crashed_commit_invisible(spark, tmp_path):
     assert snap.read(spark, t).count() == 3
 
 
+def test_merge_upsert_copy_on_write(spark, tmp_path):
+    """MERGE rewrites only the dirs holding matched keys: updates to
+    snap-1 keys must carry the snap-2 dir BY REFERENCE, update matched
+    rows, insert new keys, and keep the pre-merge snapshot time-travelable."""
+    t = str(tmp_path / "tbl")
+    snap.commit(_df(spark, range(5)), t)  # snap-1: ids 0..4
+    snap.commit(_df(spark, range(100, 105)), t)  # snap-2: ids 100..104
+    upd = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2, 999], "v": [-1.0, -2.0, -999.0]})
+    )
+    s3 = snap.merge_upsert(spark, upd, t, key="id")
+    assert s3.operation == "merge"
+    assert s3.lineage["rewritten_dirs"] == ["data/snap-1"]
+    assert "data/snap-2" in s3.dirs  # untouched dir carried by reference
+    assert s3.rows == 11  # 5 + 5 - 2 matched + 2 updated + 1 inserted
+    got = {r["id"]: r["v"] for r in snap.read(spark, t).collect()}
+    assert len(got) == 11
+    assert got[1] == -1.0 and got[2] == -2.0 and got[999] == -999.0
+    assert got[0] == 0.0 and got[100] == 100.0
+    # pre-merge snapshot unchanged
+    old = {r["id"]: r["v"] for r in snap.read(spark, t, 2).collect()}
+    assert old[1] == 1.0 and 999 not in old
+
+
+def test_merge_upsert_guards(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snap.commit(_df(spark, range(3)), t)
+    dup = spark.createDataFrame(pd.DataFrame({"id": [1, 1], "v": [0.0, 1.0]}))
+    with pytest.raises(ValueError, match="duplicate keys"):
+        snap.merge_upsert(spark, dup, t, key="id")
+    other = spark.createDataFrame(pd.DataFrame({"x": [1]}))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snap.merge_upsert(spark, other, t, key="x")
+
+
+def test_merge_upsert_pure_insert(spark, tmp_path):
+    """No matched keys: every existing dir is carried by reference and the
+    new dir holds exactly the inserts."""
+    t = str(tmp_path / "tbl")
+    snap.commit(_df(spark, range(4)), t)
+    s2 = snap.merge_upsert(spark, _df(spark, range(10, 12)), t, key="id")
+    assert s2.lineage["rewritten_dirs"] == []
+    assert s2.dirs == ["data/snap-1", "data/snap-2"]
+    assert snap.read(spark, t).count() == 6
+
+
+def test_compact_preserves_rows_and_history(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        snap.commit(_df(spark, range(lo, lo + 5)), t)
+    head = snap.history(t)[-1]
+    s4 = snap.compact(spark, t, partitions=1)
+    assert s4.operation == "compact" and s4.dirs == ["data/snap-4"]
+    assert s4.rows == 15  # snapshot.rows = rows this snapshot wrote
+    assert sorted(r["id"] for r in snap.read(spark, t).collect()) == list(range(0, 5)) + list(range(10, 15)) + list(range(20, 25))
+    # time travel across the compaction still resolves the old dir set
+    assert snap.read(spark, t, head.snapshot_id).count() == 15
+    # expire reclaims the compacted-away dirs
+    deleted = snap.expire(t, keep_last=1)
+    assert set(deleted) == {"data/snap-1", "data/snap-2", "data/snap-3"}
+    assert snap.read(spark, t).count() == 15
+    # compacting a single-dir table is a no-op returning the head
+    assert snap.compact(spark, t).snapshot_id == s4.snapshot_id
+
+
 def test_job_snapshot_resume_equals_single_shot(tmp_path, spark):
     """--snapshots mode: crash-resume driven by the snapshot LOG (drop the
     last two committed snapshots = the data those buckets wrote is gone
