@@ -1215,6 +1215,59 @@ FROM (
 """
 
 
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-outlier scoring: cosine of every vector to its OWN label
+    centroid (unit-normalized per-label mean), flagging rows under the
+    threshold — the embedding-space mislabel/curation gate. Centroids
+    stay distributed (posexplode + map-combined partials), so the label
+    space can be cluster-id-sized."""
+    e = _t(spark, sf_dir, "embeddings")
+    out = sim_ops.embedding_label_outliers(e, threshold=0.5)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+        F.round("cos_centroid", 6).alias("cos_centroid"),
+        "is_outlier",
+    )
+
+
+_SQL_EMBEDDING_OUTLIERS = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+dims AS (
+  SELECT label, i AS dim, avg(v[i]) AS m
+  FROM v, unnest(generate_series(1, len(v))) AS t(i)
+  GROUP BY label, i
+),
+cent AS (
+  SELECT label, list(m ORDER BY dim) AS c FROM dims GROUP BY label
+),
+cu AS (
+  SELECT label,
+         CASE WHEN sqrt(list_sum(list_transform(c, x -> x * x))) = 0 THEN c
+              ELSE list_transform(c, x -> x / sqrt(list_sum(list_transform(c, x -> x * x))))
+         END AS c
+  FROM cent
+),
+scored AS (
+  SELECT v.vec_id, v.label,
+         CASE WHEN sqrt(list_sum(list_transform(v.v, x -> x * x)))
+                   * sqrt(list_sum(list_transform(cu.c, x -> x * x))) = 0
+              THEN NULL
+              ELSE list_dot_product(v.v, cu.c)
+                   / (sqrt(list_sum(list_transform(v.v, x -> x * x)))
+                      * sqrt(list_sum(list_transform(cu.c, x -> x * x))))
+         END AS cos
+  FROM v JOIN cu USING (label)
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS BIGINT) AS label,
+       ROUND(cos, 6) AS cos_centroid,
+       COALESCE(cos < 0.5, TRUE) AS is_outlier
+FROM scored
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN at FULL multi-probe: probing every bucket within
     Hamming n_planes of the query's bucket covers the whole table, so the
@@ -2917,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "text_profile": q_text_profile,
         "ann_bruteforce": q_ann_bruteforce,
+        "embedding_outliers": q_embedding_outliers,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
@@ -2997,6 +3051,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": _SQL_NGRAM_JACCARD,
         "text_profile": _SQL_TEXT_PROFILE,
         "ann_bruteforce": _SQL_ANN_BRUTEFORCE,
+        "embedding_outliers": _SQL_EMBEDDING_OUTLIERS,
         # full-probe LSH / full-probe IVF degrade provably to exact brute
         # force — the brute-force SQL oracles the bucketed machinery
         "ann_lsh": _SQL_ANN_BRUTEFORCE,

@@ -577,3 +577,75 @@ def kmeans_centroids(
             new.append(m)
         cents = new
     return cents
+
+
+def label_centroids(
+    corpus: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    spherical: bool = True,
+) -> DataFrame:
+    """Per-label mean embedding, fully distributed: ``posexplode →
+    groupBy(label, dim).avg`` (map-side partial sums — each task ships
+    labels×dim partials, never corpus rows), then the dim rows fold back
+    into one ``array<double>`` per label (``collect_list`` is dim-sized
+    per group, bounded by construction). Unlike :func:`kmeans_centroids`
+    nothing lands on the driver, so the label space may be arbitrarily
+    large (e.g. dedup-cluster ids). ``spherical`` unit-normalizes each
+    centroid (cosine convention; zero vectors stay zero)."""
+    d = corpus.select(
+        F.col(label_col).alias("_lbl"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    cent = (
+        d.select("_lbl", F.posexplode("_v").alias("_dim", "_x"))
+        .groupBy("_lbl", "_dim")
+        .agg(F.avg("_x").alias("_m"))
+        .groupBy("_lbl")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_dim", "_m"))),
+                lambda s: s["_m"],
+            ).alias("_c")
+        )
+    )
+    if spherical:
+        n = l2norm(F.col("_c"))
+        cent = cent.select(
+            "_lbl",
+            F.when(
+                n != 0.0, F.transform("_c", lambda x: x / n)
+            ).otherwise(F.col("_c")).alias("_c"),
+        )
+    return cent
+
+
+def embedding_label_outliers(
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic-outlier / mislabel scoring: cosine similarity of every
+    vector to its OWN label's centroid; rows under ``threshold`` flag as
+    outliers (the standard embedding-space curation gate — drop or
+    re-review points far from their cluster).
+
+    Two passes over the corpus (centroid aggregation + scoring join) and
+    the join side is one row per label — broadcast-gated, so the fact
+    table never shuffles when the label space fits, and AQE picks the
+    strategy when it doesn't. Zero-norm vectors (or labels whose centroid
+    is zero) get NULL similarity and flag as outliers.
+    """
+    cents = label_centroids(corpus, label_col, vec_col, spherical=True)
+    scored = corpus.join(
+        maybe_broadcast(cents), F.col(label_col) == F.col("_lbl"), "left"
+    )
+    sim = cosine(F.col(vec_col).cast("array<double>"), F.col("_c"))
+    return scored.select(
+        id_col,
+        label_col,
+        sim.alias("cos_centroid"),
+        F.coalesce(sim < F.lit(float(threshold)), F.lit(True)).alias("is_outlier"),
+    )

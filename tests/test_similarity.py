@@ -251,3 +251,63 @@ def test_kmeans_centroids_matches_numpy_lloyd(spark):
     # blob separation: each trained centroid aligns with one planted axis
     axes = {int(np.argmax(c)) for c in got}
     assert axes == {0, 1, 2}
+
+
+def test_embedding_label_outliers_matches_numpy(spark):
+    """Per-label centroid cosine must equal the numpy computation, and a
+    planted far-from-cluster vector must flag as the outlier."""
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        embedding_label_outliers,
+    )
+
+    rng = np.random.RandomState(7)
+    # two tight clusters + one planted outlier assigned to label 0
+    c0 = rng.randn(DIM) * 0.1 + 5.0
+    c1 = rng.randn(DIM) * 0.1 - 5.0
+    vecs = np.vstack(
+        [c0 + rng.randn(20, DIM) * 0.05, c1 + rng.randn(20, DIM) * 0.05, [-c0]]
+    )
+    labels = [0] * 20 + [1] * 20 + [0]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [v.tolist() for v in vecs],
+            "label": labels,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        embedding_label_outliers(df, threshold=0.5)
+        .toPandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    for lbl in (0, 1):
+        m = vecs[np.array(labels) == lbl].mean(axis=0)
+        m = m / np.linalg.norm(m)
+        for i in np.nonzero(np.array(labels) == lbl)[0]:
+            exp = vecs[i] @ m / (np.linalg.norm(vecs[i]) * np.linalg.norm(m))
+            assert abs(got.loc[i, "cos_centroid"] - exp) < 1e-9
+    flagged = set(got[got.is_outlier].index)
+    assert flagged == {40}  # only the planted anti-cluster vector
+
+
+def test_embedding_label_outliers_zero_vector(spark):
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        embedding_label_outliers,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1],
+            "embedding": [[1.0, 0.0], [0.0, 0.0]],
+            "label": [0, 0],
+        }
+    )
+    got = (
+        embedding_label_outliers(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("vec_id")
+    )
+    assert pd.isna(got.loc[1, "cos_centroid"])
+    assert bool(got.loc[1, "is_outlier"])  # null similarity flags as outlier
