@@ -205,6 +205,29 @@ def test_temporal_two_phase_no_python(spark, entry_mod):
         assert "Window" in plan, q
 
 
+def test_c4_clean_map_only(spark, entry_mod):
+    """C4 cleaning is a pure projection: zero exchanges, zero Python —
+    at 100 TB it pipelines with the scan and writes straight back out."""
+    import re
+
+    plan = _plan(entry_mod.queries()["c4_clean"](spark, SF))
+    assert "EvalPython" not in plan
+    assert not re.findall(r"\(\d+\) Exchange\b", plan), plan[:2000]
+
+
+def test_embedding_outliers_shuffles_partials_not_vectors(spark, entry_mod):
+    """Label-centroid outliers: the only hash exchanges are the exploded
+    (label, dim) partial-average and the labels×dim fold — the corpus
+    itself must never repartition by vec_id, and the centroid join
+    arrives via broadcast (size-gated: labels are few here)."""
+    import re
+
+    plan = _plan(entry_mod.queries()["embedding_outliers"](spark, SF))
+    assert "EvalPython" not in plan
+    assert not re.findall(r"hashpartitioning\(vec_id#", plan), plan[:2000]
+    assert "BroadcastHashJoin" in plan
+
+
 def test_quantile_bin_no_global_sort(spark, entry_mod):
     """Equal-frequency binning must never plan a global (non-partitioned)
     sort — rank comes from (chunk)-local sorts + the count prefix."""
