@@ -4,7 +4,8 @@
 Composes the engine's document operators end-to-end over a documents
 table (doc_id, text, lang, source, n_chars)::
 
-    exact dedup → near-dup drop (MinHash LSH → transitive closure)
+    [C4 heuristic cleaning] → exact dedup
+    → near-dup drop (MinHash LSH → transitive closure)
     → Gopher quality gate → PII redaction → group-aware split → shards
 
 Launch::
@@ -53,6 +54,9 @@ def stage_transforms(
     seed: int = 0,
     cut_spans: bool = False,
     cut_w: int = 8,
+    c4: bool = False,
+    c4_min_line_words: int = 5,
+    c4_min_lines: int = 3,
 ) -> list[tuple[str, Callable[[DataFrame], DataFrame]]]:
     """Ordered (name, prev-stage-df → this-stage-df) transforms.
 
@@ -107,7 +111,23 @@ def stage_transforms(
             split, "doc_id", n_shards=n_shards, seed=seed, within=["split"]
         )
 
-    out = [
+    def c4_stage(d: DataFrame) -> DataFrame:
+        # C4 heuristic cleaning FIRST (the published order: strip
+        # boilerplate lines before dedup so shared boilerplate can't
+        # fuse unrelated docs into near-dup clusters). Idempotent:
+        # surviving lines already satisfy every line rule.
+        cleaned = tx.c4_clean(
+            d, min_line_words=c4_min_line_words, min_lines=c4_min_lines
+        )
+        return d.drop("text").join(
+            cleaned.where(F.col("keep")).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
+
+    out = [("c4_clean", c4_stage)] if c4 else []
+    out += [
         ("exact_dedup", lambda d: dedup_ops.exact_dedup(d)),
         ("near_dedup", near_dedup),
     ]
@@ -144,6 +164,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--cut-spans", action="store_true",
                     help="substring-level dedup stage (cut duplicated spans, keep canonical)")
     ap.add_argument("--cut-w", type=int, default=8)
+    ap.add_argument("--c4", action="store_true",
+                    help="C4 heuristic cleaning stage (line filters + page gates) before dedup")
+    ap.add_argument("--c4-min-line-words", type=int, default=5)
+    ap.add_argument("--c4-min-lines", type=int, default=3)
     ap.add_argument("--checkpoint-stages", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--cores", type=int, default=None)
@@ -169,6 +193,9 @@ def main(argv: list[str] | None = None) -> int:
             "input",
             "cut_spans",
             "cut_w",
+            "c4",
+            "c4_min_line_words",
+            "c4_min_lines",
         ):
             old_v = (prev.args or {}).get(k)
             if old_v is not None and str(old_v) != str(vars(args)[k]):
@@ -188,6 +215,9 @@ def main(argv: list[str] | None = None) -> int:
         seed=args.seed,
         cut_spans=args.cut_spans,
         cut_w=args.cut_w,
+        c4=args.c4,
+        c4_min_line_words=args.c4_min_line_words,
+        c4_min_lines=args.c4_min_lines,
     )
     docs = spark.read.parquet(args.input)
     t_all = time.perf_counter()

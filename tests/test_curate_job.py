@@ -105,6 +105,51 @@ def test_staged_resume_skips_completed(tmp_path):
 
 
 @pytest.mark.slow
+def test_c4_stage(tmp_path, spark):
+    """--c4 prepends the C4 cleaning stage: it drops/trims docs BEFORE
+    dedup, fused ≡ staged holds, and every surviving line satisfies the
+    line rules (terminal punctuation, ≥ min words, no javascript)."""
+    import re
+
+    # the flat fixture has no line structure — plant it deterministically
+    src = str(tmp_path / "docs")
+    d = spark.read.parquet(DOCS)
+    page = F.regexp_replace(
+        F.replace(F.col("text"), F.lit("table"), F.lit("table.")),
+        r"((?:\S+ ){4}\S+) ",
+        "$1\n",
+    )
+    d.withColumn("text", page).write.parquet(src)
+
+    fused = str(tmp_path / "fused")
+    staged = str(tmp_path / "staged")
+    m1 = _run(["--input", src, "--output", fused, "--shards", "4", "--c4",
+               "--c4-min-lines", "1"])
+    m2 = _run(["--input", src, "--output", staged, "--shards", "4", "--c4",
+               "--c4-min-lines", "1", "--checkpoint-stages"])
+
+    n_docs = spark.read.parquet(src).count()
+    rows = {p["partition"]: p["rows"] for p in m2["stages"]}
+    assert rows["stage=c4_clean"] < n_docs  # gate actually dropped docs
+    assert rows["stage=c4_clean"] >= rows["stage=exact_dedup"]
+    assert m1["stages"][-1]["rows"] == rows["stage=curated"]
+
+    a = spark.read.parquet(os.path.join(fused, "curated"))
+    b = spark.read.parquet(os.path.join(staged, "stage=curated"))
+    key = ["doc_id", "split", "shard", "pos"]
+    assert sorted(map(tuple, a.select(key).collect())) == sorted(
+        map(tuple, b.select(key).collect())
+    )
+    # every surviving line obeys the C4 line rules (scrub may add <IP> etc
+    # but never strips the terminal punctuation or shortens below 5 words)
+    for r in a.select("text").limit(200).collect():
+        for line in r["text"].split("\n"):
+            assert re.search(r'[.!?"”]$', line), line
+            assert len(re.split(r"\s+", line)) >= 5, line
+            assert "javascript" not in line.lower()
+
+
+@pytest.mark.slow
 def test_cut_spans_stage(tmp_path, spark):
     """--cut-spans adds the substring pass: fused ≡ staged still holds,
     the span_cut stage drops no DOCS (it trims text), and duplicated
