@@ -743,19 +743,22 @@ WHERE l_orderkey NOT IN (
 
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted exact top-k (win_ops.topk_per_group): phase 1
+    ranks inside (group, salt-bucket) so no task holds a whole mega
+    group, phase 2 re-ranks ≤ salt×k survivors — oracle is the plain
+    single-window SQL, proving the salting exact."""
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    out = win_ops.topk_per_group(
+        li,
+        "l_returnflag",
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        k=3,
     )
-    return (
-        li.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 3)
-        .select(
-            "l_returnflag",
-            F.col("l_orderkey").cast("long").alias("l_orderkey"),
-            F.col("l_linenumber").cast("long").alias("l_linenumber"),
-            F.col("rank").cast("long").alias("rank"),
-        )
+    return out.select(
+        "l_returnflag",
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

@@ -245,3 +245,46 @@ def stable_turn_order_check(df: DataFrame, key: str = "conv_id", order: str = "t
         .where(F.col("_rederived") != F.col(order))
         .drop("_rederived")
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group: str | list[str],
+    order_by: list,
+    k: int,
+    salt: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact top-k per group, two-phase salted — the scale-safe form of
+    ``row_number().over(partitionBy(group)) <= k``.
+
+    The naive single window puts EVERY row of a group into one task; with
+    few/mega groups that is the straggler (10^12 rows / 3 groups = 3
+    tasks). Phase 1 ranks inside (group, salt-bucket) — same shuffle
+    volume, but task size is bounded by the bucket — and keeps each
+    bucket's top k. Phase 2 re-ranks the survivors per group: at most
+    ``salt × k`` rows per group, a tiny window. The union of per-bucket
+    top-k provably contains the global top-k (any global winner is also a
+    winner inside its own bucket), so the result is EXACT — provided
+    ``order_by`` is a TOTAL order (add unique tie-break columns; with
+    ties the local prune could otherwise drop a row an arbitrary global
+    tie-pick would have kept).
+
+    The salt is ``spark_partition_id()``: free (no hash evaluation), and
+    any assignment whatsoever yields the same final result, so plan
+    determinism is not required of it.
+    """
+    groups = [group] if isinstance(group, str) else list(group)
+    d = df.withColumn("_salt", F.spark_partition_id() % F.lit(max(int(salt), 1)))
+    w1 = Window.partitionBy(*groups, "_salt").orderBy(*order_by)
+    local = (
+        d.withColumn("_lr", F.row_number().over(w1))
+        .where(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    w2 = Window.partitionBy(*groups).orderBy(*order_by)
+    return (
+        local.withColumn(rank_col, F.row_number().over(w2))
+        .where(F.col(rank_col) <= k)
+        .drop("_salt")
+    )

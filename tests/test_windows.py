@@ -150,3 +150,44 @@ def test_pad_consensus_short_segment(spark):
     )
     r = estimate_pad_values(df, "v").collect()[0]
     assert r["consensus_ok"] and r["pad_value"] == 1.0
+
+
+def test_topk_per_group_salted_equals_plain(spark, transcripts):
+    """Two-phase salted top-k == the single-window top-k, at any input
+    partitioning (the salt is spark_partition_id, so repartitioning is
+    the adversarial case)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from acoustic_feature_extractor_spark.operators.windows import topk_per_group
+
+    t = transcripts.limit(3000).withColumn("text_len", F.length("text"))
+    order = [F.col("text_len").desc(), F.col("conv_id"), F.col("turn_idx")]
+    w = Window.partitionBy("role").orderBy(*order)
+    plain = (
+        t.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 7)
+        .select("role", "conv_id", "turn_idx", "rank")
+    )
+    exp = sorted(map(tuple, plain.collect()))
+    for parts in (1, 3, 17):
+        got = topk_per_group(t.repartition(parts), "role", order, k=7)
+        assert sorted(map(tuple, got.select("role", "conv_id", "turn_idx", "rank").collect())) == exp
+
+
+def test_topk_per_group_small_groups(spark):
+    """k >= group size: every row survives with its exact rank."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from acoustic_feature_extractor_spark.operators.windows import topk_per_group
+
+    pdf = pd.DataFrame({"g": ["a", "a", "b"], "v": [3, 1, 2], "id": [0, 1, 2]})
+    got = topk_per_group(
+        spark.createDataFrame(pdf).repartition(4),
+        "g",
+        [F.col("v").desc(), F.col("id")],
+        k=10,
+    )
+    rows = {(r["g"], r["id"]): r["rank"] for r in got.collect()}
+    assert rows == {("a", 0): 1, ("a", 1): 2, ("b", 2): 1}
