@@ -78,6 +78,45 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    n_buckets: int = 16,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Catalog-bucketed write (Iceberg's ``bucket(N, key)`` partition
+    transform, expressed through Spark's native bucketing).
+
+    Tables bucketed on the same key with the same bucket count equi-join
+    and aggregate WITHOUT any exchange — at 100 TB that turns the
+    repeated (conv_id) shuffles of a feature-backfill job into pure
+    map-side work, paid once at write time. ``sortBy(key, order)`` lays
+    each bucket out pre-sorted so window consumers skip the sort too when
+    buckets land as single files. Requires ``saveAsTable`` (bucket
+    metadata lives in the catalog; the default in-memory catalog +
+    ``spark.sql.warehouse.dir`` is enough — no Hive service needed).
+    """
+    sort_cols = [key] + ([order] if order != key else [])
+    w = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(*sort_cols)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+def read_bucketed_table(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed table BY NAME — reading the parquet path directly
+    would drop the bucket metadata and reintroduce the shuffle."""
+    return spark.table(table_name)
+
+
 def load_driver_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver-generated parquet tables and register temp views."""
     out = {}

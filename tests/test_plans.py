@@ -205,6 +205,46 @@ def test_temporal_two_phase_no_python(spark, entry_mod):
         assert "Window" in plan, q
 
 
+def test_bucketed_tables_join_and_agg_without_shuffle(spark, tmp_path):
+    """Tables bucketed on the same key with the same bucket count must
+    equi-join AND aggregate with ZERO exchanges — the write-once,
+    shuffle-never co-location contract the table layer promises for
+    repeated feature-backfill jobs."""
+    import re
+
+    from acoustic_feature_extractor_spark.datagen import generate_transcripts
+    from acoustic_feature_extractor_spark.sources.tables import (
+        read_bucketed_table,
+        write_bucketed_table,
+    )
+
+    t = generate_transcripts(spark, n_convs=40)
+    agg = t.groupBy("conv_id").count().withColumnRenamed("count", "n")
+    spark.sql("DROP TABLE IF EXISTS _bkt_l")
+    spark.sql("DROP TABLE IF EXISTS _bkt_r")
+    write_bucketed_table(t, "_bkt_l", n_buckets=8, path=str(tmp_path / "l"))
+    write_bucketed_table(
+        agg, "_bkt_r", key="conv_id", order="conv_id", n_buckets=8,
+        path=str(tmp_path / "r"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_bucketed_table(spark, "_bkt_l").join(
+            read_bucketed_table(spark, "_bkt_r"), "conv_id"
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert not re.findall(r"\(\d+\) Exchange\b", plan), plan[:2000]
+        g = read_bucketed_table(spark, "_bkt_l").groupBy("conv_id").count()
+        assert not re.findall(r"\(\d+\) Exchange\b", _plan(g))
+        assert j.count() == t.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS _bkt_l")
+        spark.sql("DROP TABLE IF EXISTS _bkt_r")
+
+
 def test_c4_clean_map_only(spark, entry_mod):
     """C4 cleaning is a pure projection: zero exchanges, zero Python —
     at 100 TB it pipelines with the scan and writes straight back out."""
