@@ -44,6 +44,7 @@ from acoustic_feature_extractor_spark.operators import (
     similarity as sim_ops,
     skew as skew_ops,
     stats as stats_ops,
+    rollup as rollup_ops,
     temporal as temporal_ops,
     windows as win_ops,
 )
@@ -740,6 +741,60 @@ WHERE l_orderkey NOT IN (
   HAVING min(l_discount) = max(l_discount)
 )
 """
+
+
+def _rollup_export(r: DataFrame, key: str) -> DataFrame:
+    return r.select(
+        F.col(key).cast("long").alias(key),
+        F.round(F.col("bucket").cast("double"), 6).alias("bucket_sec"),
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round(_sec("first_ts"), 6).alias("first_ts_sec"),
+        F.round(_sec("last_ts"), 6).alias("last_ts_sec"),
+        F.round("avg_v", 6).alias("avg_v"),
+    )
+
+
+def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: per-(user, hour-bucket) decomposable summaries.
+    One partial/final groupBy — the shuffle carries one row per (user,
+    bucket) per task, never raw events."""
+    ev = _t(spark, sf_dir, "events")
+    return _rollup_export(
+        rollup_ops.rollup(ev, 3600.0, by="user_id", value_col="value"), "user_id"
+    )
+
+
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade: the DAY rollup is re-aggregated from
+    the HOUR rollup — the fact table is scanned exactly once. The oracle
+    computes days DIRECTLY from raw events, proving the cascade
+    lossless (count/sum/min/max decompose; avg finalizes from sum+n)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = rollup_ops.rollup(ev, 3600.0, by="user_id", value_col="value")
+    daily = rollup_ops.rollup_coarser(hourly, 86400.0, by="user_id")
+    return _rollup_export(daily, "user_id")
+
+
+def _sql_rollup(width: int) -> str:
+    return f"""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(floor(epoch_us(ts) / 1000000.0 / {width}) * {width} AS DOUBLE) AS bucket_sec,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(value), 6) AS sum_v,
+       ROUND(min(value), 6) AS min_v,
+       ROUND(max(value), 6) AS max_v,
+       ROUND(epoch_us(min(ts)) / 1000000.0, 6) AS first_ts_sec,
+       ROUND(epoch_us(max(ts)) / 1000000.0, 6) AS last_ts_sec,
+       ROUND(sum(value) / count(*), 6) AS avg_v
+FROM events GROUP BY 1, 2
+"""
+
+
+_SQL_ROLLUP_HOURLY = _sql_rollup(3600)
+_SQL_ROLLUP_CASCADE = _sql_rollup(86400)
 
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2951,6 +3006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_filter": q_histogram_filter,
         "all_same_filter": q_all_same_filter,
         "topk_per_group": q_topk_per_group,
+        "rollup_hourly": q_rollup_hourly,
+        "rollup_cascade": q_rollup_cascade,
         "stratified_sample": q_stratified_sample,
         "keyset_diff": q_keyset_diff,
         "tpch_q1": q_tpch_q1,
@@ -3030,6 +3087,8 @@ def oracle_sql() -> dict[str, str]:
         "histogram_filter": _SQL_HISTOGRAM,
         "all_same_filter": _SQL_ALL_SAME,
         "topk_per_group": _SQL_TOPK,
+        "rollup_hourly": _SQL_ROLLUP_HOURLY,
+        "rollup_cascade": _SQL_ROLLUP_CASCADE,
         "stratified_sample": _SQL_STRATIFIED,
         "keyset_diff": _SQL_KEYSET_DIFF,
         "tpch_q1": _SQL_TPCH_Q1,
