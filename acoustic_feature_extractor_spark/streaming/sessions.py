@@ -38,6 +38,47 @@ def streaming_session_agg(
     )
 
 
+def streaming_rollup(
+    stream: DataFrame,
+    bucket_seconds: float,
+    by: str = "user_id",
+    value_col: str = "value",
+    ts: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``operators/rollup.rollup``: per-(entity,
+    time-bucket) decomposable summaries over a live feed, watermarked so
+    bucket state is finalized and evicted once late data can no longer
+    arrive. Emits the same schema as the batch rollup (bucket = window
+    start), so a ``snapshot_sink`` of this stream IS the continuous
+    aggregate the batch ``rollup_coarser`` cascades from."""
+    v = F.col(value_col)
+    w = F.window(F.col(ts), f"{int(bucket_seconds)} seconds")
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.col(by), w.alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("sum_v"),
+            F.min(v).alias("min_v"),
+            F.max(v).alias("max_v"),
+            F.min(ts).alias("first_ts"),
+            F.max(ts).alias("last_ts"),
+        )
+        .select(
+            by,
+            F.col("_w.start").alias("bucket"),
+            "n",
+            "sum_v",
+            "min_v",
+            "max_v",
+            "first_ts",
+            "last_ts",
+            (F.col("sum_v") / F.col("n")).alias("avg_v"),
+        )
+    )
+
+
 def streaming_state_fill(
     stream: DataFrame,
     value_col: str = "tool",

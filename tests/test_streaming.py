@@ -162,6 +162,49 @@ def test_streaming_exact_dedup_matches_batch(spark, transcripts):
         assert len({r["text"] for r in got}) == n_distinct
 
 
+def test_streaming_rollup_matches_batch(spark, transcripts):
+    """The watermarked streaming rollup, drained to completion, must equal
+    the batch rollup row-for-row (same buckets, same decomposable stats)."""
+    from pyspark.sql import functions as F
+
+    from acoustic_feature_extractor_spark.operators.rollup import rollup
+    from acoustic_feature_extractor_spark.streaming.sessions import streaming_rollup
+
+    src_df = (
+        transcripts.limit(2000)
+        .where(F.col("ts").isNotNull())
+        .select("conv_id", "ts", F.length("text").cast("double").alias("value"))
+    )
+    want = sorted(
+        map(
+            tuple,
+            rollup(src_df, 600.0, by="conv_id", value_col="value").collect(),
+        )
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        src_df.write.parquet(src)
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        agg = streaming_rollup(
+            stream, 600.0, by="conv_id", value_col="value", watermark="1 hour"
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("roll_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(
+                map(tuple, spark.sql("SELECT * FROM roll_out").collect())
+            )
+        finally:
+            q.stop()
+    assert got == want
+
+
 def test_streaming_interval_join_matches_batch(spark, transcripts):
     """Stream-stream trailing-window join (watermarked both sides) must
     equal the batch range join with the identical key + time-bound
