@@ -224,6 +224,10 @@ def merge_upsert(
             f"merge schema mismatch: table has {head.schema}, "
             f"updates have {updates.schema.simpleString()}"
         )
+    # the updates plan is consumed three times (uniqueness check, hit-dir
+    # probe, final write) — pin it so an expensive upstream (e.g. the
+    # incremental feature recompute) executes once, not three times
+    updates = updates.persist()
     ukeys = updates.select(*key_cols).dropDuplicates(key_cols)
     if assert_unique_keys:
         dup = (
@@ -234,6 +238,7 @@ def merge_upsert(
             .count()
         )
         if dup:
+            updates.unpersist()
             raise ValueError("updates carry duplicate keys — upsert is ambiguous")
 
     sid = head.snapshot_id + 1
@@ -258,9 +263,12 @@ def merge_upsert(
         survivors.unionByName(updates) if survivors is not None else updates
     )
     obs = Observation(f"snap_rows_{sid}")
-    new_data.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(table_path, rel))
+    try:
+        new_data.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(table_path, rel))
+    finally:
+        updates.unpersist()
     untouched_rows = (
         spark.read.parquet(*[os.path.join(table_path, d) for d in untouched]).count()
         if untouched
