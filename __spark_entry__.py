@@ -639,6 +639,58 @@ FROM events GROUP BY event_type
 """
 
 
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-vocabulary pivot (crosstab): docs per source × language.
+    The value list is PINNED (no pivot-discovery pre-job — at 100 TB the
+    implicit distinct scan is the hidden cost of bare ``pivot()``), so
+    the whole crosstab is one partial/final aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    p = d.groupBy("source").pivot("lang", langs).count()
+    return p.select(
+        "source",
+        *[
+            F.coalesce(F.col(l), F.lit(0)).cast("long").alias(f"n_{l}")
+            for l in langs
+        ],
+    )
+
+
+_SQL_PIVOT_COUNTS = """
+SELECT source,
+       count(*) FILTER (WHERE lang = 'de') AS n_de,
+       count(*) FILTER (WHERE lang = 'en') AS n_en,
+       count(*) FILTER (WHERE lang = 'es') AS n_es,
+       count(*) FILTER (WHERE lang = 'fr') AS n_fr,
+       count(*) FILTER (WHERE lang = 'zh') AS n_zh
+FROM documents GROUP BY source
+"""
+
+
+def q_cube_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets CUBE over (event_type, cohort) with subtotal rows
+    identified by grouping_id — one aggregation pass computes every
+    marginal (Catalyst expands the sets map-side, no re-scan per level)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cohort", F.pmod("user_id", F.lit(4)).cast("long")
+    )
+    c = ev.cube("event_type", "cohort").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_v"),
+    )
+    return c.select("event_type", "cohort", "gid", "n", "sum_v")
+
+
+_SQL_CUBE_STATS = """
+SELECT event_type, CAST(user_id % 4 AS BIGINT) AS cohort,
+       CAST(GROUPING(event_type, user_id % 4) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(value), 6) AS sum_v
+FROM events GROUP BY CUBE(event_type, user_id % 4)
+"""
+
+
 def q_percentile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
@@ -3001,6 +3053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_align_max": q_multi_align_max,
         "stats_normalize": q_stats_normalize,
         "grouped_stats": q_grouped_stats,
+        "pivot_counts": q_pivot_counts,
+        "cube_stats": q_cube_stats,
         "percentile_report": q_percentile_report,
         "weighted_percentile": q_weighted_percentile,
         "histogram_filter": q_histogram_filter,
@@ -3082,6 +3136,8 @@ def oracle_sql() -> dict[str, str]:
         "multi_align_max": _SQL_MULTI_ALIGN_MAX,
         "stats_normalize": _SQL_STATS_NORMALIZE,
         "grouped_stats": _SQL_GROUPED_STATS,
+        "pivot_counts": _SQL_PIVOT_COUNTS,
+        "cube_stats": _SQL_CUBE_STATS,
         "percentile_report": _SQL_PERCENTILES,
         "weighted_percentile": _SQL_WEIGHTED_PCT,
         "histogram_filter": _SQL_HISTOGRAM,
