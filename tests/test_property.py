@@ -133,3 +133,86 @@ def test_sessionize_matches_pandas(spark, seed, gap):
     d = pdf["ts"].diff().dt.total_seconds()
     exp = (d > gap).fillna(False).cumsum().to_numpy()
     np.testing.assert_array_equal(got, exp)
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 200),
+    k=st.integers(1, 6),
+    salt=st.integers(1, 5),
+)
+@settings(**_SETTINGS)
+def test_topk_per_group_property(spark, seed, n, k, salt):
+    """Salted two-phase top-k == pandas nsmallest-by-total-order for any
+    random input, k, and salt width."""
+    import pyspark.sql.functions as F
+
+    from acoustic_feature_extractor_spark.operators.windows import topk_per_group
+
+    rng = np.random.RandomState(seed)
+    pdf = pd.DataFrame(
+        {
+            "g": [f"g{rng.randint(3)}" for _ in range(n)],
+            "v": rng.randint(0, 10, n),  # ties likely
+            "id": np.arange(n),
+        }
+    )
+    got = (
+        topk_per_group(
+            spark.createDataFrame(pdf).repartition(7),
+            "g",
+            [F.col("v").desc(), F.col("id")],
+            k=k,
+            salt=salt,
+        )
+        .orderBy("g", "rank")
+        .toPandas()
+    )
+    exp = (
+        pdf.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("g")
+        .head(k)
+        .sort_values(["g", "v", "id"], ascending=[True, False, True])
+    )
+    assert got[["g", "id"]].values.tolist() == exp[["g", "id"]].values.tolist()
+
+
+@given(
+    seed=st.integers(0, 10_000),
+    fine=st.sampled_from([60.0, 600.0, 3600.0]),
+    mult=st.integers(2, 24),
+)
+@settings(**_SETTINGS)
+def test_rollup_cascade_property(spark, seed, fine, mult):
+    """hour→coarser cascade is lossless for any nested width pair."""
+    from acoustic_feature_extractor_spark.operators.rollup import (
+        rollup,
+        rollup_coarser,
+    )
+
+    rng = np.random.RandomState(seed)
+    n = 300
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 4, n),
+            "ts": [
+                base + pd.Timedelta(seconds=int(s))
+                for s in rng.randint(0, 7 * 86400, n)
+            ],
+            "value": rng.randn(n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    fine_r = rollup(df, fine, by="user_id", value_col="value")
+    via = rollup_coarser(fine_r, fine * mult, by="user_id")
+    direct = rollup(df, fine * mult, by="user_id", value_col="value")
+    cols = ["user_id", "bucket", "n", "min_v", "max_v", "first_ts", "last_ts"]
+    a = sorted(map(tuple, via.select(cols).collect()))
+    b = sorted(map(tuple, direct.select(cols).collect()))
+    assert a == b
+    sv = {tuple(r[:2]): r[2] for r in via.select("user_id", "bucket", "sum_v").collect()}
+    sd = {tuple(r[:2]): r[2] for r in direct.select("user_id", "bucket", "sum_v").collect()}
+    assert sv.keys() == sd.keys()
+    for kk in sv:
+        assert abs(sv[kk] - sd[kk]) < 1e-9
