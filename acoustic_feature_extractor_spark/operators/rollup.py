@@ -65,12 +65,18 @@ def rollup_coarser(
     bucket_seconds: float,
     by: str | list[str],
     bucket_col: str = "bucket",
+    fine_seconds: float | None = None,
 ) -> DataFrame:
     """Re-aggregate a finer rollup to a coarser grain WITHOUT touching the
-    fact table. Requires the coarse width to be a multiple of the fine
-    width (asserted per row via the bucket transform itself: a fine bucket
-    must fall entirely inside one coarse bucket, which the floor transform
-    guarantees whenever the widths nest)."""
+    fact table. The coarse width must be a multiple of the fine width so
+    every fine bucket falls entirely inside one coarse bucket — pass
+    ``fine_seconds`` to have that validated (the rollup rows don't carry
+    their own width, so it can't be self-checked)."""
+    if fine_seconds is not None and float(bucket_seconds) % float(fine_seconds) != 0.0:
+        raise ValueError(
+            f"coarse width {bucket_seconds}s is not a multiple of the fine "
+            f"width {fine_seconds}s — fine buckets would straddle coarse ones"
+        )
     by_cols = [by] if isinstance(by, str) else list(by)
     return (
         fine.withColumn("_cb", time_bucket(bucket_col, bucket_seconds))

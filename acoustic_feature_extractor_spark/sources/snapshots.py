@@ -245,7 +245,13 @@ def merge_upsert(
     rel = f"data/snap-{sid}"
     cur = spark.read.parquet(
         *[os.path.join(table_path, d) for d in head.dirs]
-    ).withColumn("_dir", F.regexp_extract(F.input_file_name(), r"(data/snap-[^/]+)", 1))
+    ).withColumn(
+        # the snap dir IMMEDIATELY containing the file (anchored to the
+        # parquet filename so a table path that itself contains
+        # "data/snap-…" can never match first)
+        "_dir",
+        F.regexp_extract(F.input_file_name(), r"(data/snap-[^/]+)/[^/]+$", 1),
+    )
     hit = sorted(
         r["_dir"]
         for r in cur.join(ukeys, key_cols, "left_semi")

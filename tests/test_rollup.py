@@ -103,3 +103,10 @@ def test_rollup_single_exchange(spark):
     with contextlib.redirect_stdout(buf):
         fine.explain("formatted")
     assert len(re.findall(r"\(\d+\) Exchange\b", buf.getvalue())) == 1
+
+
+def test_cascade_rejects_non_nested_widths(spark):
+    df = _events(spark)
+    hourly = rollup(df, 3600.0, "user_id", "value")
+    with pytest.raises(ValueError, match="not a multiple"):
+        rollup_coarser(hourly, 5000.0, "user_id", fine_seconds=3600.0)
