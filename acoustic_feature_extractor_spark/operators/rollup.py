@@ -72,11 +72,14 @@ def rollup_coarser(
     every fine bucket falls entirely inside one coarse bucket — pass
     ``fine_seconds`` to have that validated (the rollup rows don't carry
     their own width, so it can't be self-checked)."""
-    if fine_seconds is not None and float(bucket_seconds) % float(fine_seconds) != 0.0:
-        raise ValueError(
-            f"coarse width {bucket_seconds}s is not a multiple of the fine "
-            f"width {fine_seconds}s — fine buckets would straddle coarse ones"
-        )
+    if fine_seconds is not None:
+        ratio = float(bucket_seconds) / float(fine_seconds)
+        # float-safe multiplicity test (0.3 % 0.1 != 0 in IEEE doubles)
+        if abs(ratio - round(ratio)) > 1e-9 or round(ratio) < 1:
+            raise ValueError(
+                f"coarse width {bucket_seconds}s is not a multiple of the fine "
+                f"width {fine_seconds}s — fine buckets would straddle coarse ones"
+            )
     by_cols = [by] if isinstance(by, str) else list(by)
     return (
         fine.withColumn("_cb", time_bucket(bucket_col, bucket_seconds))

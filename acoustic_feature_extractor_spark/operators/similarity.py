@@ -637,6 +637,11 @@ def embedding_label_outliers(
     table never shuffles when the label space fits, and AQE picks the
     strategy when it doesn't. Zero-norm vectors (or labels whose centroid
     is zero) get NULL similarity and flag as outliers.
+
+    NOTE: because both passes read ``corpus``, a corpus that is itself an
+    expensive derived plan (not a table scan) executes twice — persist it
+    first (persisting is the caller's call: at full scale the input is a
+    scan and pinning it would be harmful).
     """
     cents = label_centroids(corpus, label_col, vec_col, spherical=True)
     scored = corpus.join(

@@ -224,68 +224,74 @@ def merge_upsert(
             f"merge schema mismatch: table has {head.schema}, "
             f"updates have {updates.schema.simpleString()}"
         )
-    # the updates plan is consumed three times (uniqueness check, hit-dir
+    # the updates plan is consumed several times (key checks, hit-dir
     # probe, final write) — pin it so an expensive upstream (e.g. the
-    # incremental feature recompute) executes once, not three times
+    # incremental feature recompute) executes once
     updates = updates.persist()
-    ukeys = updates.select(*key_cols).dropDuplicates(key_cols)
-    if assert_unique_keys:
-        dup = (
-            updates.groupBy(*key_cols)
-            .count()
-            .where(F.col("count") > 1)
-            .limit(1)
-            .count()
-        )
-        if dup:
-            updates.unpersist()
-            raise ValueError("updates carry duplicate keys — upsert is ambiguous")
-
-    sid = head.snapshot_id + 1
-    rel = f"data/snap-{sid}"
-    cur = spark.read.parquet(
-        *[os.path.join(table_path, d) for d in head.dirs]
-    ).withColumn(
-        # the snap dir IMMEDIATELY containing the file (anchored to the
-        # parquet filename so a table path that itself contains
-        # "data/snap-…" can never match first)
-        "_dir",
-        F.regexp_extract(F.input_file_name(), r"(data/snap-[^/]+)/[^/]+$", 1),
-    )
-    hit = sorted(
-        r["_dir"]
-        for r in cur.join(ukeys, key_cols, "left_semi")
-        .select("_dir")
-        .distinct()
-        .collect()
-    )
-    untouched = [d for d in head.dirs if d not in set(hit)]
-    survivors = (
-        cur.where(F.col("_dir").isin(hit)).drop("_dir").join(ukeys, key_cols, "left_anti")
-        if hit
-        else None
-    )
-    new_data = (
-        survivors.unionByName(updates) if survivors is not None else updates
-    )
-    obs = Observation(f"snap_rows_{sid}")
     try:
+        ukeys = updates.select(*key_cols).dropDuplicates(key_cols)
+        # NULL keys never match an equi-join: the old row would survive AND
+        # the update would insert — a silent duplicate. Always refuse.
+        null_pred = key_cols and F.lit(False)
+        for k in key_cols:
+            null_pred = null_pred | F.col(k).isNull()
+        if updates.where(null_pred).limit(1).count():
+            raise ValueError("updates carry NULL key values — upsert cannot match them")
+        if assert_unique_keys:
+            dup = (
+                updates.groupBy(*key_cols)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError("updates carry duplicate keys — upsert is ambiguous")
+
+        sid = head.snapshot_id + 1
+        rel = f"data/snap-{sid}"
+        # probe: which dirs hold a matched key. Column-pruned scan (keys
+        # only); the dir is the file's immediate parent (anchored to the
+        # filename so a table path containing "data/snap-…" never matches).
+        probe = spark.read.parquet(
+            *[os.path.join(table_path, d) for d in head.dirs]
+        ).select(
+            *key_cols,
+            F.regexp_extract(
+                F.input_file_name(), r"(data/snap-[^/]+)/[^/]+$", 1
+            ).alias("_dir"),
+        )
+        hit = sorted(
+            r["_dir"]
+            for r in probe.join(ukeys, key_cols, "left_semi")
+            .select("_dir")
+            .distinct()
+            .collect()
+        )
+        untouched = [d for d in head.dirs if d not in set(hit)]
+        # rewrite leg reads ONLY the hit dirs — merge IO is O(touched), the
+        # probe above reads key columns only
+        if hit:
+            survivors = spark.read.parquet(
+                *[os.path.join(table_path, d) for d in hit]
+            ).join(ukeys, key_cols, "left_anti")
+            new_data = survivors.unionByName(updates)
+        else:
+            new_data = updates
+        obs = Observation(f"snap_rows_{sid}")
         new_data.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
             "overwrite"
         ).parquet(os.path.join(table_path, rel))
     finally:
         updates.unpersist()
-    untouched_rows = (
-        spark.read.parquet(*[os.path.join(table_path, d) for d in untouched]).count()
-        if untouched
-        else 0
-    )
     snap = Snapshot(
         snapshot_id=sid,
         parent_id=head.snapshot_id,
         operation="merge",
         dirs=[*untouched, rel],
-        rows=int(obs.get["rows"]) + untouched_rows,
+        # rows = rows THIS snapshot wrote (commit()'s convention; total
+        # table size is a read-side question, not snapshot metadata)
+        rows=int(obs.get["rows"]),
         schema=head.schema,
         wall_ts=round(time.time(), 3),
         lineage={**(lineage or {}), "rewritten_dirs": hit},
@@ -315,8 +321,11 @@ def compact(
     if not snaps:
         raise FileNotFoundError(f"no snapshots at {table_path}")
     head = snaps[-1]
-    if len(head.dirs) <= 1:
-        return head  # nothing to compact
+    if len(head.dirs) <= 1 and partitions is None:
+        # one dir and no explicit file-count request: nothing to merge.
+        # With partitions= the single dir may still hold many small files
+        # (a wide write), so the rewrite proceeds.
+        return head
     sid = head.snapshot_id + 1
     rel = f"data/snap-{sid}"
     abs_dirs = [os.path.join(table_path, d) for d in head.dirs]

@@ -51,9 +51,14 @@ def streaming_rollup(
     bucket state is finalized and evicted once late data can no longer
     arrive. Emits the same schema as the batch rollup (bucket = window
     start), so a ``snapshot_sink`` of this stream IS the continuous
-    aggregate the batch ``rollup_coarser`` cascades from."""
+    aggregate the batch ``rollup_coarser`` cascades from. Widths are
+    honored to the microsecond (the timestamp resolution), so fractional
+    ``bucket_seconds`` bucket identically to the batch floor transform
+    instead of being silently truncated."""
+    if not bucket_seconds > 0:
+        raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
     v = F.col(value_col)
-    w = F.window(F.col(ts), f"{int(bucket_seconds)} seconds")
+    w = F.window(F.col(ts), f"{int(round(float(bucket_seconds) * 1e6))} microseconds")
     return (
         stream.withWatermark(ts, watermark)
         .groupBy(F.col(by), w.alias("_w"))

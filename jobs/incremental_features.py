@@ -75,6 +75,12 @@ def main(argv: list[str] | None = None) -> int:
     # delta = dirs the source gained since `last` (snapshot METADATA diff —
     # nothing is scanned to find the increment)
     by_id = {s.snapshot_id: s for s in src_hist}
+    if last and last not in by_id:
+        raise SystemExit(
+            f"source snapshot {last} (the last one processed) has been "
+            f"expired from the log (have {sorted(by_id)}) — the delta is "
+            "unrecoverable; truncate the features table and rerun full"
+        )
     old_dirs = set(by_id[last].dirs) if last else set()
     bad = [
         s.snapshot_id
@@ -127,7 +133,7 @@ def main(argv: list[str] | None = None) -> int:
             {
                 "noop": False,
                 "source_snapshot": head.snapshot_id,
-                "table_rows": out.rows,
+                "rows_written": out.rows,
                 "touched_convs": n_touched,
                 "rewritten_dirs": rewritten,
                 "wall_s": round(time.perf_counter() - t0, 3),

@@ -99,7 +99,9 @@ def test_merge_upsert_copy_on_write(spark, tmp_path):
     assert s3.operation == "merge"
     assert s3.lineage["rewritten_dirs"] == ["data/snap-1"]
     assert "data/snap-2" in s3.dirs  # untouched dir carried by reference
-    assert s3.rows == 11  # 5 + 5 - 2 matched + 2 updated + 1 inserted
+    # rows = rows THIS snapshot wrote (commit convention): 3 survivors of
+    # snap-1 (ids 0,3,4) + 2 updates + 1 insert
+    assert s3.rows == 6
     got = {r["id"]: r["v"] for r in snap.read(spark, t).collect()}
     assert len(got) == 11
     assert got[1] == -1.0 and got[2] == -2.0 and got[999] == -999.0
@@ -118,6 +120,12 @@ def test_merge_upsert_guards(spark, tmp_path):
     other = spark.createDataFrame(pd.DataFrame({"x": [1]}))
     with pytest.raises(ValueError, match="schema mismatch"):
         snap.merge_upsert(spark, other, t, key="x")
+    # NULL keys can never equi-join: refusing beats silently duplicating
+    nulls = spark.createDataFrame(
+        pd.DataFrame({"id": pd.array([None], dtype="Int64"), "v": [0.0]})
+    )
+    with pytest.raises(ValueError, match="NULL key"):
+        snap.merge_upsert(spark, nulls, t, key="id")
 
 
 def test_merge_upsert_pure_insert(spark, tmp_path):
@@ -146,8 +154,13 @@ def test_compact_preserves_rows_and_history(spark, tmp_path):
     deleted = snap.expire(t, keep_last=1)
     assert set(deleted) == {"data/snap-1", "data/snap-2", "data/snap-3"}
     assert snap.read(spark, t).count() == 15
-    # compacting a single-dir table is a no-op returning the head
+    # compacting a single-dir table is a no-op returning the head…
     assert snap.compact(spark, t).snapshot_id == s4.snapshot_id
+    # …unless an explicit file count is requested (one dir can still hold
+    # many small files from a wide write)
+    s5 = snap.compact(spark, t, partitions=1)
+    assert s5.snapshot_id == s4.snapshot_id + 1
+    assert snap.read(spark, t).count() == 15
 
 
 def test_job_snapshot_resume_equals_single_shot(tmp_path, spark):
