@@ -252,6 +252,50 @@ FROM d
 """
 
 
+def q_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, session) summary: the sessionizer's cumsum ids feed one
+    partial/final aggregate — duration, size, value stats, and distinct
+    event types per session. Sessionize + rollup share the single user_id
+    exchange (the aggregation keys are a superset of the window key)."""
+    d = _indexed_events(spark, sf_dir)
+    d = sess_ops.sessionize(d, gap_seconds=3600.0, key="user_id", ts="ts", order="idx")
+    g = d.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.max(_sec("ts")) - F.min(_sec("ts")), 6).alias("duration_sec"),
+        F.round(F.sum("value"), 6).alias("sum_v"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+    return g.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "n_events",
+        "duration_sec",
+        "sum_v",
+        "n_types",
+    )
+
+
+_SQL_SESSION_ROLLUP = f"""
+WITH base AS ({_IDX_SQL}),
+d AS (
+  SELECT user_id, event_id, idx, ts, value, event_type,
+         CASE WHEN epoch_us(ts)/1000000.0 - lag(epoch_us(ts)/1000000.0)
+              OVER (PARTITION BY user_id ORDER BY idx) > 3600.0 THEN 1 ELSE 0 END AS is_new
+  FROM base
+),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY idx) AS session_id
+  FROM d
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(max(epoch_us(ts)/1000000.0) - min(epoch_us(ts)/1000000.0), 6) AS duration_sec,
+       ROUND(sum(value), 6) AS sum_v,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def q_session_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _indexed_events(spark, sf_dir)
     d = sess_ops.sessionize(d, gap_seconds=3600.0, key="user_id", ts="ts", order="idx")
@@ -3042,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_hop": q_rolling_hop,
         "sessionize": q_sessionize,
         "session_bounds": q_session_bounds,
+        "session_rollup": q_session_rollup,
         "run_boundaries": q_run_boundaries,
         "forward_fill": q_forward_fill,
         "interp_fill": q_interp_fill,
@@ -3125,6 +3170,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_hop": _SQL_ROLLING_HOP,
         "sessionize": _SQL_SESSIONIZE,
         "session_bounds": _SQL_SESSION_BOUNDS,
+        "session_rollup": _SQL_SESSION_ROLLUP,
         "run_boundaries": _SQL_RUN_BOUNDARIES,
         "forward_fill": _SQL_FFILL,
         "interp_fill": _SQL_INTERP,
