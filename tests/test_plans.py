@@ -245,6 +245,16 @@ def test_bucketed_tables_join_and_agg_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS _bkt_r")
 
 
+def test_doc_quality_map_only(spark, entry_mod):
+    """The Gopher gate is ONE projection since the sorted-runs top-gram
+    fold replaced the explode → groupBy: zero exchanges, zero Python."""
+    import re
+
+    plan = _plan(entry_mod.queries()["doc_quality"](spark, SF))
+    assert "EvalPython" not in plan
+    assert not re.findall(r"\(\d+\) Exchange\b", plan), plan[:2000]
+
+
 def test_c4_clean_map_only(spark, entry_mod):
     """C4 cleaning is a pure projection: zero exchanges, zero Python —
     at 100 TB it pipelines with the scan and writes straight back out."""
