@@ -54,3 +54,29 @@ def test_frame_sample_plan(spark):
     )
     frames = frame_sample_plan(df, every_n=10).orderBy("frame_idx").collect()
     assert [r["frame_idx"] for r in frames] == [0, 10, 20]
+
+
+def test_resize_media_rewrites_meta_and_scales_payload(spark):
+    from acoustic_feature_extractor_spark.operators.multimodal import resize_media
+
+    media = attach_binary_payload(_docs(spark))
+    out = resize_media(media, target_w=8, target_h=8).collect()
+    src = {r["media_id"]: r for r in media.collect()}
+    assert len(out) == 3
+    for r in out:
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 8
+        s = src[r["media_id"]]
+        src_px = max((s["meta"]["width"] or 1) * (s["meta"]["height"] or 1), 1)
+        want = max(int(len(s["payload"]) * 64 / src_px), 1)
+        assert len(r["payload"]) == want
+    # deterministic: second run byte-identical
+    again = {r["media_id"]: r["payload"] for r in resize_media(media, 8, 8).collect()}
+    assert all(bytes(r["payload"]) == bytes(again[r["media_id"]]) for r in out)
+
+
+def test_resize_media_honest_without_fake(spark):
+    from acoustic_feature_extractor_spark.operators.multimodal import resize_media
+
+    media = attach_binary_payload(_docs(spark))
+    with pytest.raises(Exception, match="NotImplementedError|resize requires"):
+        resize_media(media, fake=False).collect()
