@@ -273,30 +273,78 @@ def top_gram_share(text: Column, w: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _scalar_signals(t: Column, id_col: str, extra: list[Column]) -> list[Column]:
+    return [
+        id_col,
+        *extra,
+        F.round(dup_line_ratio(t), 6).alias("dup_line_ratio"),
+        F.round(dup_line_char_ratio(t), 6).alias("dup_line_char_ratio"),
+        F.round(alpha_word_ratio(t), 6).alias("alpha_word_ratio"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+    ]
+
+
+def _top_gram_grouped(df: DataFrame, t: Column, id_col: str, w: int) -> DataFrame:
+    from acoustic_feature_extractor_spark.operators.dedup import (
+        tokenize,
+        word_shingles,
+    )
+
+    toks = tokenize(t)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(toks) >= w, word_shingles(toks, w)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("_g"),
+    )
+    return (
+        grams.groupBy(id_col, "_g")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_tot"))
+        .select(
+            id_col,
+            F.round(F.col("_top") / F.col("_tot").cast("double"), 6).alias(
+                "top_gram_share"
+            ),
+        )
+    )
+
+
 def repetition_profile(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     w: int = 2,
+    method: str = "grouped",
 ) -> DataFrame:
-    """Per-doc repetition + shape signals, Gopher-style — ONE projection.
+    """Per-doc repetition + shape signals, Gopher-style.
 
-    Every signal (dup-line ratios, alpha-word ratio, mean word length,
-    top-w-gram share) is a pure Column expression, so the whole profile
-    is map-only: zero exchanges at any corpus size, pipelining with the
-    scan. The top-gram share uses the sorted-runs fold
-    (:func:`top_gram_share`) instead of an explode → groupBy — same
-    values, no shuffle.
+    The scalar signals are ONE projection; the top-w-gram share comes in
+    two interchangeable shapes (identical values — pytest-equal):
+
+    - ``grouped`` (default): explode → groupBy(doc, gram) → per-doc max.
+      Map-side partial aggregation keeps the shuffle at one row per
+      distinct (doc, gram); fastest measured single-node (the fold's
+      interpreted per-element lambda costs more than this machine's
+      in-memory shuffle — honest A/B with a noop sink, not a pruned agg).
+    - ``fold``: :func:`top_gram_share`'s sorted-runs fold — ZERO
+      exchanges, the whole profile pipelines with the scan. The shape to
+      pick when cluster network, not CPU, is the scarce resource.
     """
     t = F.col(text_col)
-    return df.select(
-        id_col,
-        F.round(dup_line_ratio(t), 6).alias("dup_line_ratio"),
-        F.round(dup_line_char_ratio(t), 6).alias("dup_line_char_ratio"),
-        F.round(alpha_word_ratio(t), 6).alias("alpha_word_ratio"),
-        F.round(mean_word_length(t), 6).alias("mean_word_len"),
-        top_gram_share(t, w).alias("top_gram_share"),
-    )
+    if method == "fold":
+        return df.select(
+            *_scalar_signals(t, id_col, []),
+            top_gram_share(t, w).alias("top_gram_share"),
+        )
+    if method != "grouped":
+        raise ValueError(f"method must be grouped|fold, got {method}")
+    scalar = df.select(*_scalar_signals(t, id_col, []))
+    top = _top_gram_grouped(df, t, id_col, w)
+    return scalar.join(top, id_col, "left").na.fill({"top_gram_share": 0.0})
 
 
 def gopher_filter(
@@ -310,21 +358,26 @@ def gopher_filter(
     min_alpha_ratio: float = 0.8,
     max_dup_line_ratio: float = 0.3,
     max_top_gram_share: float = 0.2,
+    method: str = "grouped",
 ) -> DataFrame:
     """Apply the published Gopher quality thresholds; adds ``keep`` +
     the signals so rejects are auditable (filtering silently is how
-    corpora rot). Map-only: the profile is one projection, so the gate
-    adds zero exchanges."""
+    corpora rot). Scalar signals + n_words share ONE projection; the
+    top-gram side follows ``method`` (grouped: one join; fold: the gate
+    is entirely map-only)."""
     t = F.col(text_col)
     sig = df.select(
-        id_col,
-        token_count(t).alias("n_words"),
-        F.round(dup_line_ratio(t), 6).alias("dup_line_ratio"),
-        F.round(dup_line_char_ratio(t), 6).alias("dup_line_char_ratio"),
-        F.round(alpha_word_ratio(t), 6).alias("alpha_word_ratio"),
-        F.round(mean_word_length(t), 6).alias("mean_word_len"),
-        top_gram_share(t).alias("top_gram_share"),
+        *_scalar_signals(t, id_col, [token_count(t).alias("n_words")])
     )
+    if method == "fold":
+        sig = df.select(
+            *_scalar_signals(t, id_col, [token_count(t).alias("n_words")]),
+            top_gram_share(t).alias("top_gram_share"),
+        )
+    else:
+        sig = sig.join(_top_gram_grouped(df, t, id_col, 2), id_col, "left").na.fill(
+            {"top_gram_share": 0.0}
+        )
     keep = (
         (F.col("n_words") >= min_words)
         & (F.col("n_words") <= max_words)

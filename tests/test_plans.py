@@ -245,14 +245,25 @@ def test_bucketed_tables_join_and_agg_without_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS _bkt_r")
 
 
-def test_doc_quality_map_only(spark, entry_mod):
-    """The Gopher gate is ONE projection since the sorted-runs top-gram
-    fold replaced the explode → groupBy: zero exchanges, zero Python."""
+def test_gopher_fold_map_only_and_methods_agree(spark):
+    """method="fold" makes the whole Gopher gate ONE map-only projection
+    (zero exchanges — the wide-cluster shape); the default grouped method
+    must produce identical rows (it wins on this single-node box)."""
     import re
 
-    plan = _plan(entry_mod.queries()["doc_quality"](spark, SF))
+    import pandas as pd
+
+    from acoustic_feature_extractor_spark.functions.text import gopher_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    fold = gopher_filter(docs, min_words=20, method="fold")
+    plan = _plan(fold)
     assert "EvalPython" not in plan
     assert not re.findall(r"\(\d+\) Exchange\b", plan), plan[:2000]
+    grouped = gopher_filter(docs, min_words=20)
+    a = sorted(map(tuple, fold.collect()))
+    b = sorted(map(tuple, grouped.collect()))
+    assert a == b
 
 
 def test_c4_clean_map_only(spark, entry_mod):
