@@ -3079,57 +3079,27 @@ WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id
 # --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
+    # entries. Block 1 = 10 sentinels (core operators that have passed the
+    # driver gate every round — regression canaries). Block 2 = the 29
+    # round-2 queries the driver's window never reached (they pass the
+    # identical local replay; this rotation gets them driver-grade
+    # evidence). Block 3 = round-3 additions. Block 4 = the remaining
+    # round-1/2 queries, all driver-green in CORRECTNESS_r02.json and
+    # still covered by the local replay gate (tools/check_oracle.py).
     return {
+        # -- block 1: sentinels (driver-green r1+r2) ----------------------
         "flagship_features": q_flagship_features,
-        "lag_lead_context": q_lag_lead_context,
-        "rolling_stats": q_rolling_stats,
-        "rolling_hop": q_rolling_hop,
-        "sessionize": q_sessionize,
-        "session_bounds": q_session_bounds,
-        "session_rollup": q_session_rollup,
-        "run_boundaries": q_run_boundaries,
-        "forward_fill": q_forward_fill,
-        "interp_fill": q_interp_fill,
         "asof_join": q_asof_join,
         "asof_salted": q_asof_salted,
-        "resample_nearest": q_resample_nearest,
-        "resample_linear": q_resample_linear,
-        "multi_align": q_multi_align,
-        "multi_align_max": q_multi_align_max,
+        "sessionize": q_sessionize,
+        "forward_fill": q_forward_fill,
         "stats_normalize": q_stats_normalize,
-        "grouped_stats": q_grouped_stats,
-        "pivot_counts": q_pivot_counts,
-        "cube_stats": q_cube_stats,
-        "percentile_report": q_percentile_report,
-        "weighted_percentile": q_weighted_percentile,
-        "histogram_filter": q_histogram_filter,
-        "all_same_filter": q_all_same_filter,
-        "topk_per_group": q_topk_per_group,
-        "rollup_hourly": q_rollup_hourly,
-        "rollup_cascade": q_rollup_cascade,
-        "stratified_sample": q_stratified_sample,
-        "keyset_diff": q_keyset_diff,
-        "tpch_q1": q_tpch_q1,
-        "revenue_by_nation": q_revenue_by_nation,
-        "interval_expand": q_interval_expand,
-        "interval_overlap": q_interval_overlap,
-        "props_parse": q_props_parse,
-        "onehot_features": q_onehot_features,
-        "salted_rolling": q_salted_rolling,
-        "salted_cumsum": q_salted_cumsum,
-        "salted_ffill": q_salted_ffill,
-        "entity_profile": q_entity_profile,
-        "keypoint_split": q_keypoint_split,
-        "pad_sessions": q_pad_sessions,
-        "boundary_adjust": q_boundary_adjust,
-        "range_refine": q_range_refine,
-        "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
-        "text_profile": q_text_profile,
-        "ann_bruteforce": q_ann_bruteforce,
-        "embedding_outliers": q_embedding_outliers,
+        "rolling_stats": q_rolling_stats,
+        "multi_align": q_multi_align,
+        "tpch_q1": q_tpch_q1,
+        # -- block 2: r2 queries not yet seen by the driver gate ----------
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_neardup": q_embedding_neardup,
@@ -3159,6 +3129,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bin": q_quantile_bin,
         "novelty_split": q_novelty_split,
         "robust_outliers": q_robust_outliers,
+        # -- block 3: round-3 additions ------------------------------------
+        # -- block 4: r1/r2 queries already driver-green (replay-covered) --
+        "lag_lead_context": q_lag_lead_context,
+        "rolling_hop": q_rolling_hop,
+        "session_bounds": q_session_bounds,
+        "session_rollup": q_session_rollup,
+        "run_boundaries": q_run_boundaries,
+        "interp_fill": q_interp_fill,
+        "resample_nearest": q_resample_nearest,
+        "resample_linear": q_resample_linear,
+        "multi_align_max": q_multi_align_max,
+        "grouped_stats": q_grouped_stats,
+        "pivot_counts": q_pivot_counts,
+        "cube_stats": q_cube_stats,
+        "percentile_report": q_percentile_report,
+        "weighted_percentile": q_weighted_percentile,
+        "histogram_filter": q_histogram_filter,
+        "all_same_filter": q_all_same_filter,
+        "topk_per_group": q_topk_per_group,
+        "rollup_hourly": q_rollup_hourly,
+        "rollup_cascade": q_rollup_cascade,
+        "stratified_sample": q_stratified_sample,
+        "keyset_diff": q_keyset_diff,
+        "revenue_by_nation": q_revenue_by_nation,
+        "interval_expand": q_interval_expand,
+        "interval_overlap": q_interval_overlap,
+        "props_parse": q_props_parse,
+        "onehot_features": q_onehot_features,
+        "salted_rolling": q_salted_rolling,
+        "salted_cumsum": q_salted_cumsum,
+        "salted_ffill": q_salted_ffill,
+        "entity_profile": q_entity_profile,
+        "keypoint_split": q_keypoint_split,
+        "pad_sessions": q_pad_sessions,
+        "boundary_adjust": q_boundary_adjust,
+        "range_refine": q_range_refine,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "text_profile": q_text_profile,
+        "ann_bruteforce": q_ann_bruteforce,
+        "embedding_outliers": q_embedding_outliers,
     }
 
 

@@ -414,19 +414,22 @@ def simhash(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
     ).withColumn("_h", hash_fn(F.col("_t")))
     # SWAR bit-plane accumulation: instead of `bits` conditional ±1 sums
-    # (one agg buffer + CASE per bit per row), accumulate 16 planes —
-    # plane k packs the counts of bits {k, k+16, k+32, k+48} into four
-    # 16-bit lanes of ONE long: sum((h >> k) & 0x0001000100010001). Per
-    # row that is 16 shift+mask+adds instead of `bits` CASEs (~4-6×
-    # less aggregate work); the per-bit majority vote (2·cnt > n, the
-    # exact equivalent of sign(Σ±1)) unpacks lanes AFTER the aggregation,
-    # on one row per document. Lane capacity bounds the doc length:
-    # n ≤ 32767 tokens keeps every lane sum exact in int64 (try_sum +
-    # the explicit guard below null the fingerprint beyond the bound
-    # instead of failing the job under ANSI mode).
-    lane_mask = 0x0001000100010001
-    max_tokens = 32767
-    n_planes = min(16, bits)
+    # (one agg buffer + CASE per bit per row), accumulate 32 planes —
+    # plane k packs the counts of bits {k, k+32} into two 32-bit lanes
+    # of ONE long: sum((h >> k) & 0x0000000100000001). Per row that is
+    # 32 shift+mask+adds instead of `bits` CASEs (~2-3× less aggregate
+    # work); the per-bit majority vote (2·cnt > n, the exact equivalent
+    # of sign(Σ±1)) unpacks lanes AFTER the aggregation, on one row per
+    # document. 32-bit lanes put the exactness bound at 2^30 tokens per
+    # document (low lane carries at 2^32; the packed int64 total
+    # n·(2^32+1) stays < 2^63 up to n ≈ 2^31) — six orders of magnitude
+    # past the longest real document, vs the 16-bit-lane variant whose
+    # 32767-token cap silently nulled long-doc fingerprints and dropped
+    # them from the near-dup join. try_sum + the explicit guard below
+    # still null (never crash) beyond the astronomically-remote bound.
+    lane_mask = 0x0000000100000001
+    max_tokens = 1 << 30
+    n_planes = min(32, bits)
     aggs = [F.count("*").alias("_n")]
     for k in range(n_planes):
         plane = F.shiftright(F.col("_h"), k).bitwiseAND(F.lit(lane_mask))
@@ -438,8 +441,8 @@ def simhash(
     # sum of disjoint bit terms is a single call and analyzes JVM-side.
     terms = []
     for j in range(bits):
-        k, lane = j % 16, j // 16
-        cnt = f"(shiftright(_p{k}, {16 * lane}) & 65535)"
+        k, lane = j % 32, j // 32
+        cnt = f"(shiftright(_p{k}, {32 * lane}) & 4294967295)"
         terms.append(
             f"(CASE WHEN {cnt} * 2 > _n THEN shiftleft(CAST(1 AS BIGINT), {j}) "
             f"ELSE CAST(0 AS BIGINT) END)"

@@ -75,6 +75,35 @@ def test_simhash_near_dups(spark):
     assert (3, 4) not in pairs
 
 
+def test_simhash_long_docs_not_dropped(spark):
+    """Docs past the old 16-bit-lane cap (32767 tokens) must still get a
+    fingerprint and appear in near-dup pairs — the 32-bit-lane SWAR is
+    exact to 2^30 tokens (regression for the silent long-doc null)."""
+    from acoustic_feature_extractor_spark.operators.dedup import simhash
+
+    base = " ".join(f"tok{i % 997}" for i in range(40_000))
+    near = base + " extra trailing tokens here"
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "text": [base, near, "tiny unrelated"]})
+    df = spark.createDataFrame(pdf)
+    fps = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    assert all(fps[i] is not None for i in range(3))
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=8).collect()}
+    assert (0, 1) in pairs  # long near-dups detected
+    # exactness: SWAR fingerprint == per-bit reference vote on the long doc
+    tok_rows = (
+        df.where("doc_id = 0")
+        .selectExpr("explode(split(lower(trim(text)), '\\\\s+')) AS t")
+        .selectExpr("xxhash64(t) AS h")
+        .collect()
+    )
+    hs = np.array([r["h"] for r in tok_rows], dtype=np.uint64)
+    ref = 0
+    for j in range(64):
+        if int(((hs >> np.uint64(j)) & np.uint64(1)).sum()) * 2 > len(hs):
+            ref |= 1 << j
+    assert fps[0] == np.int64(np.uint64(ref)).item()
+
+
 def test_minhash_r1_banding_total_recall(spark):
     """r=1 banding (64 bands of one hash) has provably-total recall on
     the driver fixtures: every true pair at jaccard >= 0.5 shares at
