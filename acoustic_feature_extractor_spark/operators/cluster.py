@@ -56,16 +56,70 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 30,
 ) -> DataFrame:
-    """(node, component) for every node in ``edges``; component = min id.
+    """(node, component) for every node in ``edges``; component = min id
+    (numeric order for integer ids, the column's native order — e.g.
+    lexicographic for strings — otherwise).
 
     Edges are treated as undirected; self-loops are ignored.  Raises if
     no fixpoint is reached in ``max_iter`` rounds (with pointer jumping
     that bounds component diameter at ~2^max_iter — unreachable for any
     real duplicate graph).
+
+    Non-integer ids (string doc ids, UUIDs) run the same long-keyed loop
+    over a surrogate-id mapping: hashing to long would silently merge
+    clusters on collisions at corpus scale (birthday bound ~2^32 docs),
+    and the previous ``cast("long")`` threw CAST_INVALID_INPUT under ANSI
+    mode — so surrogates come from ``monotonically_increasing_id`` over
+    the distinct node set, PINNED by an eager localCheckpoint (the id is
+    partition-layout-dependent and must never be recomputed), and the
+    final labels are re-canonicalized to the min ORIGINAL id per
+    component, preserving the contract exactly.
     """
-    sym = edges.select(
-        F.col(src).cast("long").alias("n"), F.col(dst).cast("long").alias("m")
+    int_types = ("tinyint", "smallint", "int", "bigint")
+    src_t = edges.schema[src].dataType.simpleString()
+    dst_t = edges.schema[dst].dataType.simpleString()
+    if src_t in int_types and dst_t in int_types:
+        sym = edges.select(
+            F.col(src).cast("long").alias("n"), F.col(dst).cast("long").alias("m")
+        )
+        return _cc_long(sym, max_iter).select("node", F.col("comp").alias("component"))
+
+    raw = edges.select(F.col(src).alias("n"), F.col(dst).alias("m"))
+    raw = (
+        raw.union(raw.select(F.col("m").alias("n"), F.col("n").alias("m")))
+        .where(F.col("n").isNotNull() & F.col("m").isNotNull() & (F.col("n") != F.col("m")))
+        .distinct()
     )
+    raw = tracked_persist(raw)
+    # raw is already symmetric, so every node appears on the n side
+    mapping = (
+        raw.select(F.col("n").alias("orig"))
+        .distinct()
+        .withColumn("_sid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)  # pin: never recompute surrogate ids
+    )
+    sym = (
+        raw.join(mapping.select(F.col("orig").alias("n"), F.col("_sid").alias("_sn")), "n")
+        .join(mapping.select(F.col("orig").alias("m"), F.col("_sid").alias("_sm")), "m")
+        .select(F.col("_sn").alias("n"), F.col("_sm").alias("m"))
+    )
+    labels = _cc_long(sym, max_iter)
+    raw.unpersist()
+    lab = labels.join(
+        mapping.select(F.col("_sid").alias("node"), "orig"), "node"
+    ).select("orig", F.col("comp").alias("_scomp"))
+    # canonical label = min ORIGINAL id per component (native ordering) —
+    # one row per component, fact-scaled worst case → estimate-gated hint
+    canon = lab.groupBy("_scomp").agg(F.min("orig").alias("component"))
+    return (
+        lab.join(maybe_broadcast(canon), "_scomp")
+        .select(F.col("orig").alias("node"), "component")
+    )
+
+
+def _cc_long(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Hash-min + pointer-jump loop over long-typed edges (n, m) —
+    symmetrizes, dedups, iterates to fixpoint. Returns (node, comp)."""
     sym = (
         sym.union(sym.select(F.col("m").alias("n"), F.col("n").alias("m")))
         .where(F.col("n").isNotNull() & F.col("m").isNotNull() & (F.col("n") != F.col("m")))
@@ -118,7 +172,7 @@ def connected_components(
     sym.unpersist()
     if not converged:
         raise RuntimeError(f"connected_components: no fixpoint within {max_iter} rounds")
-    return labels.select("node", F.col("comp").alias("component"))
+    return labels.select("node", "comp")
 
 
 def dedup_clusters(

@@ -79,6 +79,55 @@ def test_dedup_clusters_column_contract(spark):
     assert rows == {(3, 3), (9, 3), (4, 3)}
 
 
+def test_string_ids_match_union_find(spark):
+    # ADVICE r2: string doc ids previously threw CAST_INVALID_INPUT under
+    # ANSI mode — the surrogate-id path must give the same clusters with
+    # component = lexicographic-min original id.
+    rng = random.Random(11)
+    names = [f"doc-{i:03d}" for i in range(60)]
+    edges = [(rng.choice(names), rng.choice(names)) for _ in range(45)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    # driver-side oracle on strings (min = lexicographic via the same tuple order)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+def test_string_ids_chain_and_layout_invariance(spark):
+    names = [f"u-{i:02d}" for i in range(16)]
+    edges = [(names[i], names[i + 1]) for i in range(15)]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    a = {(r.node, r.component) for r in connected_components(df).collect()}
+    assert a == {(n, "u-00") for n in names}
+    b = {
+        (r.node, r.component)
+        for r in connected_components(df.repartition(7)).collect()
+    }
+    assert a == b
+
+
+def test_dedup_clusters_string_ids(spark):
+    df = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y")], "id_a string, id_b string"
+    )
+    rows = {(r.doc_id, r.cluster_id) for r in dedup_clusters(df).collect()}
+    assert rows == {("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
 def test_partition_layout_invariance(spark):
     edges = [(i, i + 1) for i in range(0, 40, 2)] + [(0, 2), (4, 6)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
