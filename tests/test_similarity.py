@@ -125,6 +125,33 @@ def test_blocked_neardup_equals_broadcast_exact(spark):
             assert np.isclose(got[k], exact[k], atol=1e-6), (n_blocks, k)
 
 
+def test_blocked_neardup_max_cell_vecs(spark):
+    """max_cell_vecs forces multi-row sub-chunked blocks (here: 80 vecs /
+    2 blocks / 5-vec cells -> 16 chunks) — output must be identical to the
+    broadcast exact path (VERDICT r2 #8: the Arrow 2 GB cell cap must not
+    dictate n_blocks)."""
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        embedding_neardup_blocked,
+        embedding_neardup_exact,
+    )
+
+    df, _ = _emb(spark, n=80, seed=13)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_neardup_exact(df, threshold=0.2).collect()
+    }
+    assert exact
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_neardup_blocked(
+            df, threshold=0.2, n_blocks=2, max_cell_vecs=5
+        ).collect()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        assert np.isclose(got[k], exact[k], atol=1e-6), k
+
+
 def test_exact_neardup_driver_cap(spark):
     """The broadcast verify primitive refuses to materialize a corpus
     larger than max_driver_rows on the driver."""

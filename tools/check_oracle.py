@@ -40,13 +40,26 @@ def canon(rows, cols):
     return out
 
 
-def main() -> int:
-    sys.path.insert(0, "/root/repo")
-    import __spark_entry__ as entry_mod
-    from acoustic_feature_extractor_spark.session import get_spark
+def replay(
+    names: list[str] | None = None,
+    sf_dir: str | None = None,
+    spark=None,
+) -> list[str]:
+    """Run the driver-equivalent gate; returns the failing query names.
 
-    sf_dir = os.environ.get("AFE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    spark = get_spark(cores=16)
+    Importable so CI can run it as a pytest (``-m oracle_replay``) and
+    catch oracle drift before the driver does; the CLI below is a thin
+    wrapper.
+    """
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry_mod
+
+    if spark is None:
+        from acoustic_feature_extractor_spark.session import get_spark
+
+        spark = get_spark(cores=16)
+    if sf_dir is None:
+        sf_dir = os.environ.get("AFE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
@@ -55,7 +68,7 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    names = sys.argv[1:] or list(qs)
+    names = names or list(qs)
     failures = []
     for name in names:
         try:
@@ -102,7 +115,11 @@ def main() -> int:
         else:
             failures.append(name)
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
-    return 1 if failures else 0
+    return failures
+
+
+def main() -> int:
+    return 1 if replay(sys.argv[1:] or None) else 0
 
 
 if __name__ == "__main__":
