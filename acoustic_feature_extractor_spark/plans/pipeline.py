@@ -12,6 +12,17 @@ ts) producing the per-turn feature vector the north_star describes:
 Single shuffle on conv_id serves every window (same partitioning reused
 across specs); the stats side is a 1-row broadcast. Payload columns pass
 through untouched (per-turn text-equality invariant).
+
+Skew routing (``salt_above``): at 10^12 turns a 10^7-turn
+mega-conversation is one straggler task under plain
+``partitionBy(conv_id)`` windows. When ``salt_above`` is set, every
+conversation longer than that many turns is routed through a FUSED
+salted plan (carry-row chunk windows for the bounded features +
+two-phase partial/final hand-off for the run-frame features — the same
+exact-equality machinery as ``operators/skew.py``, fused so the mega
+slice costs two chunk-keyed window passes + one tiny summary join
+instead of nine). The two slices are unioned; output is frame-identical
+to the plain path (pytest-pinned on a mega-conv fixture).
 """
 
 from __future__ import annotations
@@ -23,16 +34,28 @@ from pyspark.sql.window import Window
 from ..datagen import SESSION_GAP_SECONDS
 from ..operators.fill import forward_fill
 from ..operators.sessionize import sessionize
+from ..operators.skew import DEFAULT_CHUNK, profile_entity_sizes
 from ..operators.stats import corpus_stats
+from .hints import maybe_broadcast
+
+_FEATURE_COLS = [
+    "prev_role",
+    "next_role",
+    "prev_text_len",
+    "dt_prev_sec",
+    "roll_len_mean",
+    "roll_len_min",
+    "roll_len_max",
+    "session_id",
+    "turn_in_session",
+    "last_tool",
+]
 
 
-def turn_features(
-    transcripts: DataFrame,
-    gap_seconds: float = SESSION_GAP_SECONDS,
-    rolling: int = 5,
-    frozen_stats: dict | None = None,
+def _base_features(
+    transcripts: DataFrame, gap_seconds: float, rolling: int
 ) -> DataFrame:
-    """The flagship per-turn feature DataFrame (see module docstring)."""
+    """Plain-window flagship body (see module docstring)."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     lo, hi = -(rolling // 2), rolling - 1 - rolling // 2
     w_roll = w.rowsBetween(lo, hi)
@@ -81,24 +104,154 @@ def turn_features(
         F.last("tool", ignorenulls=True).over(w_run).alias("last_tool"),
     )
     d = (
-        d.withColumn("turn_in_session", F.col("_rn") - F.col("_sess_start"))
+        d.withColumn("turn_in_session", (F.col("_rn") - F.col("_sess_start")).cast("int"))
         .drop("_rn", "_new", "_sess_start")
     )
     # canonical column order (schema contract of entry()/golden snapshot)
     base = [c for c in transcripts.columns] + ["text_len"]
-    d = d.select(
-        *base,
-        "prev_role",
-        "next_role",
-        "prev_text_len",
-        "dt_prev_sec",
-        "roll_len_mean",
-        "roll_len_min",
-        "roll_len_max",
-        "session_id",
-        "turn_in_session",
-        "last_tool",
+    return d.select(*base, *_FEATURE_COLS)
+
+
+def _base_features_salted(
+    transcripts: DataFrame,
+    gap_seconds: float,
+    rolling: int,
+    chunk_rows: int = DEFAULT_CHUNK,
+) -> DataFrame:
+    """Salted flagship body — frame-identical to :func:`_base_features`.
+
+    Requires the transcripts invariant (contiguous integer ``turn_idx``
+    per conversation — datagen and the reference's frame indexing both
+    guarantee it). Two exact-equality mechanisms, fused:
+
+    - bounded features (lag/lead, Δts, rolling frame): carry-row chunk
+      windows — each row exploded into its own chunk plus, within
+      ``margin`` of a boundary, the neighbor chunk; core rows keep the
+      exact frame (``operators/skew.py:salted_rolling``'s proof).
+    - run-frame features (session cumsum, session-start carry, tool
+      fill): chunk-local partials in the SAME (conv_id, _chunk) sort,
+      then ONE per-chunk summary groupBy (reuses the window partitioning,
+      no exchange) + a tiny conv-keyed prefix window + one gated-
+      broadcast join hands the state across chunks
+      (``salted_cumsum``/``salted_forward_fill``'s two-phase shape, all
+      three carries in one pass).
+
+    ``turn_in_session`` uses ``turn_idx`` itself as the conv-position —
+    a constant shift vs the plain path's 1-based row_number, which
+    cancels in the difference, so values match exactly.
+    """
+    lo, hi = -(rolling // 2), rolling - 1 - rolling // 2
+    margin = max(abs(lo), hi, 1)  # offsets reach 1; the rolling frame, max(|lo|,hi)
+    assert chunk_rows >= margin, (
+        f"chunk_rows={chunk_rows} must be >= window margin={margin}"
     )
+    d = transcripts.withColumn("text_len", F.length("text").cast("double"))
+    own = F.floor(F.col("turn_idx") / F.lit(chunk_rows)).cast("long")
+    offset_in = F.col("turn_idx") % chunk_rows
+    prev_extra = F.when((offset_in < margin) & (own > 0), own - 1)
+    next_extra = F.when(offset_in >= chunk_rows - margin, own + 1)
+    d = d.withColumn(
+        "_chunks", F.array_compact(F.array(own, prev_extra, next_extra))
+    ).select("*", F.explode("_chunks").alias("_chunk")).drop("_chunks")
+
+    w_c = Window.partitionBy("conv_id", "_chunk").orderBy("turn_idx")
+    w_roll_c = w_c.rowsBetween(lo, hi)
+    d = d.select(
+        "*",
+        F.lag("role").over(w_c).alias("prev_role"),
+        F.lead("role").over(w_c).alias("next_role"),
+        F.lag("text_len").over(w_c).alias("prev_text_len"),
+        (
+            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w_c)
+        ).alias("dt_prev_sec"),
+        F.avg("text_len").over(w_roll_c).alias("roll_len_mean"),
+        F.min("text_len").over(w_roll_c).alias("roll_len_min"),
+        F.max("text_len").over(w_roll_c).alias("roll_len_max"),
+    )
+    # core rows only; carried rows have served their frame duty. The
+    # filter preserves the (conv_id, _chunk) partitioning + turn_idx
+    # ordering, so the run-frame pass below reuses the same exchange+sort.
+    d = d.where(own == F.col("_chunk"))
+    # NULL Δts must mean "first turn of the conversation" (it opens
+    # session 0); for chunks > 0 the lag came from a carry row, so a null
+    # there can only be a genuinely-null ts gap — same as the plain path.
+    d = d.withColumn(
+        "_new", F.when(F.col("dt_prev_sec") > gap_seconds, 1).otherwise(0)
+    ).withColumn("_rn", F.col("turn_idx").cast("long"))
+
+    w_run_c = w_c.rowsBetween(Window.unboundedPreceding, 0)
+    d = d.select(
+        "*",
+        F.sum("_new").over(w_run_c).alias("_loc_sess"),
+        F.last(
+            F.when(
+                (F.col("_new") == 1) | F.col("dt_prev_sec").isNull(), F.col("_rn")
+            ),
+            ignorenulls=True,
+        ).over(w_run_c).alias("_loc_start"),
+        F.last("tool", ignorenulls=True).over(w_run_c).alias("_loc_tool"),
+    )
+    # ONE per-chunk summary: totals + the running state at each chunk's
+    # LAST row by order (max_by, not encounter-order last()).
+    summ = d.groupBy("conv_id", "_chunk").agg(
+        F.sum("_new").alias("_tot_new"),
+        F.max_by("_loc_start", F.col("_rn")).alias("_chunk_last_start"),
+        F.max_by("_loc_tool", F.col("_rn")).alias("_chunk_last_tool"),
+    )
+    w_off = (
+        Window.partitionBy("conv_id").orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = summ.select(
+        "conv_id",
+        "_chunk",
+        F.coalesce(F.sum("_tot_new").over(w_off), F.lit(0)).alias("_sess_off"),
+        F.last("_chunk_last_start", ignorenulls=True).over(w_off).alias("_start_carry"),
+        F.last("_chunk_last_tool", ignorenulls=True).over(w_off).alias("_tool_carry"),
+    )
+    # offs is per-(conv, chunk) — small for the mega slice, but
+    # fact-scaled in principle: estimate-gated hint, AQE past the cap.
+    d = d.join(maybe_broadcast(offs), ["conv_id", "_chunk"])
+    d = (
+        d.withColumn("session_id", (F.col("_loc_sess") + F.col("_sess_off")).cast("int"))
+        .withColumn("_sess_start", F.coalesce(F.col("_loc_start"), F.col("_start_carry")))
+        .withColumn("last_tool", F.coalesce(F.col("_loc_tool"), F.col("_tool_carry")))
+        .withColumn("turn_in_session", (F.col("_rn") - F.col("_sess_start")).cast("int"))
+    )
+    base = [c for c in transcripts.columns] + ["text_len"]
+    return d.select(*base, *_FEATURE_COLS)
+
+
+def turn_features(
+    transcripts: DataFrame,
+    gap_seconds: float = SESSION_GAP_SECONDS,
+    rolling: int = 5,
+    frozen_stats: dict | None = None,
+    salt_above: int | None = None,
+    chunk_rows: int = DEFAULT_CHUNK,
+) -> DataFrame:
+    """The flagship per-turn feature DataFrame (see module docstring).
+
+    ``salt_above``: conversations with more than that many turns take the
+    fused salted plan (straggler bound = ``chunk_rows``-sized tasks
+    instead of one task per mega-conversation); ``None`` = plain windows
+    everywhere (the right call when the key histogram is tame).
+    """
+    if salt_above is not None:
+        big_keys = (
+            profile_entity_sizes(transcripts, key="conv_id")
+            .where(F.col("n_rows") > salt_above)
+            .select("conv_id")
+        )
+        # mega-conversations are rare by construction — the key list is
+        # tiny (estimate-gated broadcast; AQE if the estimate is absent)
+        small = transcripts.join(maybe_broadcast(big_keys), "conv_id", "left_anti")
+        big = transcripts.join(maybe_broadcast(big_keys), "conv_id", "left_semi")
+        d = _base_features(small, gap_seconds, rolling).unionByName(
+            _base_features_salted(big, gap_seconds, rolling, chunk_rows)
+        )
+    else:
+        d = _base_features(transcripts, gap_seconds, rolling)
 
     if frozen_stats is not None:
         # stats pinned by the caller (resumable bucketed runs: every bucket

@@ -86,6 +86,25 @@ def main() -> None:
     timings["transcripts_turn_features"] = round(flagship_sec, 3)
     medians["transcripts_turn_features"] = round(_median(runs), 3)
     turns_per_sec = n_turns / flagship_sec
+
+    # straggler-bound lane: mega-conversations (2000 turns each here;
+    # 10^7 at web scale) routed through the fused salted plan. At bench
+    # scale the skew is mild so this mostly measures the routing + salted
+    # machinery overhead; the point it evidences is that the flagship has
+    # a bounded-task-size mode whose output is frame-identical
+    # (tests/test_golden.py pins equality).
+    force(turn_features(t, salt_above=1000, chunk_rows=512))  # warmup
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(turn_features(t, salt_above=1000, chunk_rows=512))
+        runs.append(time.perf_counter() - t0)
+    if max(runs) > 1.4 * min(runs):
+        t0 = time.perf_counter()
+        force(turn_features(t, salt_above=1000, chunk_rows=512))
+        runs.append(time.perf_counter() - t0)
+    timings["transcripts_turn_features_salted"] = round(min(runs), 3)
+    medians["transcripts_turn_features_salted"] = round(_median(runs), 3)
     t.unpersist()
 
     qs = entry_mod.queries()

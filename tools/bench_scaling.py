@@ -46,12 +46,15 @@ def run_once():
     return time.perf_counter() - t0
 
 run_once()  # warmup (codegen/JIT)
-best = min(run_once() for _ in range(3))
+runs = sorted(run_once() for _ in range(3))
+best, med = runs[0], runs[1]
 print(json.dumps({
     "cores": cores,
     "n_turns": n_turns,
-    "sec": round(best, 3),
-    "turns_per_sec": round(n_turns / best, 1),
+    "sec": round(med, 3),
+    "sec_best": round(best, 3),
+    "turns_per_sec": round(n_turns / med, 1),
+    "turns_per_sec_best": round(n_turns / best, 1),
 }))
 """
 
@@ -80,6 +83,7 @@ def main() -> None:
         r32["turns_per_sec"],
     )
     eff = (thr16 / thr4) / 4.0
+    eff_best = (r16["turns_per_sec_best"] / r4["turns_per_sec_best"]) / 4.0
 
     # full per-query suite at 32 cores for the judge's BENCH comparison
     bench = subprocess.run(
@@ -93,20 +97,41 @@ def main() -> None:
     bline = [l for l in bench.stdout.strip().splitlines() if l.startswith("{")][-1]
     bjson = json.loads(bline)
 
-    # per-query FLOORS: merge this run with the mins already recorded in
-    # BASELINE.md — the sandbox host has noisy neighbors (2-4× swings
-    # between runs), so the min-over-history is the reproducible
-    # steady-state signal, and one fresh run must never degrade it
+    # per-query numbers, two columns per query (ADVICE r2):
+    #   floor  = min over every recorded full bench.py run — the
+    #            reproducible steady-state signal on a noisy shared host
+    #   latest = THIS run — a floor alone can never show a regression,
+    #            so the fresh number is published next to it and queries
+    #            whose fresh time exceeds floor by >50% are flagged
+    # floors for queries no longer in the suite are dropped.
     import re
 
     baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    floors = dict(bjson["queries"])
+    latest = dict(bjson["queries"])
+    floors = dict(latest)
     if os.path.exists(baseline_path):
         m = re.search(r"```json\n(\{.*?\})\n```", open(baseline_path).read(), re.S)
         if m:
-            for q, v in json.loads(m.group(1)).items():
-                floors[q] = min(v, floors[q]) if q in floors else v
-    bjson["queries"] = {q: round(v, 3) for q, v in sorted(floors.items())}
+            hist = json.loads(m.group(1))
+            for q, v in hist.items():
+                # historical entries may be {floor, latest} dicts (this
+                # format) or bare floats (the pre-r3 floor-only format)
+                hv = v["floor"] if isinstance(v, dict) else v
+                if q in floors:  # stale queries drop out
+                    floors[q] = min(hv, floors[q])
+    table = {
+        q: {
+            "floor": round(floors[q], 3),
+            "latest": round(latest[q], 3),
+            **(
+                {"regression_flag": True}
+                if latest[q] > 1.5 * floors[q] and latest[q] - floors[q] > 0.3
+                else {}
+            ),
+        }
+        for q in sorted(floors)
+    }
+    bjson["queries"] = table
 
     md = f"""# BENCH — measured baseline (local sandbox)
 
@@ -116,17 +141,20 @@ sessionization + forward-fill + two-phase corpus stats), same input
 skew), two parallelism levels — the north_rule's two-cluster-size
 criterion evidenced as local[4] (N) vs local[16] (4N) since no real
 cluster exists in the sandbox; local[32] reported as an extra point.
-Steady-state timing: one warmup run per JVM, best of 3 timed runs.
+Steady-state timing: one warmup run per JVM, 3 timed runs; the table
+shows the MEDIAN run (the representative number on a shared host), with
+the best-of-3 as a footnote.
 
-| parallelism | flagship pipeline sec | turns/sec |
-| --- | --- | --- |
-| local[4]  (N)  | {r4['sec']} | {thr4:,.0f} |
-| local[16] (4N) | {r16['sec']} | {thr16:,.0f} |
-| local[32] (extra) | {r32['sec']} | {thr32:,.0f} |
+| parallelism | flagship pipeline sec (median) | turns/sec (median) | sec (best) |
+| --- | --- | --- | --- |
+| local[4]  (N)  | {r4['sec']} | {thr4:,.0f} | {r4['sec_best']} |
+| local[16] (4N) | {r16['sec']} | {thr16:,.0f} | {r16['sec_best']} |
+| local[32] (extra) | {r32['sec']} | {thr32:,.0f} | {r32['sec_best']} |
 
-**Scaling efficiency** = (thr@4N / thr@N) / 4 = **{eff:.3f}**
+**Scaling efficiency** = (thr@4N / thr@N) / 4 = **{eff:.3f}** on median
+runs ({eff_best:.3f} on best-of-3)
 (north_rule target ≥ 0.8 between N and 4N executors; repeated runs of
-this benchmark measured 0.80–1.05 — single-JVM timing noise on a noisy
+this benchmark measured 0.76–1.05 — single-JVM timing noise on a noisy
 shared host moves the ratio, values at or above 1.0 are noise, not true
 superlinearity). The 16→32 step
 gives {thr32 / thr16:.2f}× on this single-socket 32-core box: all
@@ -146,10 +174,13 @@ compute — dominated by the single conv_id exchange; the salted-window /
 salted-as-of operators keep mega-conversation stragglers bounded at
 chunk granularity, and AQE handles residual shuffle skew.
 
-Full per-query timings at local[32], sf0.1 driver tables (per-query
-FLOOR: minimum over every recorded full bench.py run — consecutive runs
-on this shared host differ by up to 2× from noisy neighbors, so the
-floor is the reproducible steady-state signal):
+Full per-query timings at local[32], sf0.1 driver tables. Two columns
+per query: `floor` = minimum over every recorded full bench.py run
+(consecutive runs on this shared host differ by up to 2× from noisy
+neighbors, so the floor is the reproducible steady-state signal) and
+`latest` = THIS run's best-of-2, so a genuine regression is visible
+(`regression_flag` when latest > 1.5× floor and the gap exceeds 0.3 s);
+floors of queries no longer in the suite are dropped:
 
 ```json
 {json.dumps(bjson['queries'], indent=2)}
