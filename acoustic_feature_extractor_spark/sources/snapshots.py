@@ -33,6 +33,17 @@ directories that make up the table at that version:
 Each snapshot records row count (via ``Observation`` on the write itself —
 no re-read), schema DDL, wall-clock, parent id, and a caller lineage dict —
 the per-partition lineage + metrics contract jobs build on.
+
+**Writer concurrency contract**: one writer per table at a time. Every
+log mutation (commit / merge / compact / rollback / expire) takes an
+``O_CREAT|O_EXCL`` lock file for its whole duration — a second writer
+fails fast with :class:`ConcurrentWriterError` instead of silently
+discarding the first writer's snapshot (the read-modify-write race) or
+clobbering its same-numbered ``snap-<id>`` data dir. The lock is
+same-host scope (this module is a local-FS log, like the tests and jobs
+that use it); a crashed writer's stale lock is reclaimed when its pid is
+gone or the lock is older than an hour. Readers never lock — the
+``os.replace`` publish keeps reads torn-free.
 """
 
 from __future__ import annotations
@@ -41,12 +52,75 @@ import json
 import os
 import shutil
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 _LOG = "metadata/snapshots.json"
+_LOCK = "metadata/commit.lock"
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer attempted a log mutation while one was in flight."""
+
+
+def _pid_alive(pid: int) -> bool:
+    if pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+@contextmanager
+def _writer_lock(table_path: str, stale_after: float = 3600.0):
+    """Single-writer enforcement: O_EXCL lock held for the whole mutation
+    (sid choice → data write → log publish), so concurrent writers can
+    neither lose a snapshot to the read-modify-write race nor overwrite
+    each other's same-sid data dir. Stale locks (dead pid, or older than
+    ``stale_after``) are reclaimed once."""
+    path = os.path.join(table_path, _LOCK)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd = None
+    for attempt in (0, 1):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            holder: dict = {}
+            try:
+                with open(path) as f:
+                    holder = json.load(f)
+            except (OSError, ValueError):
+                holder = {}
+            alive = _pid_alive(int(holder.get("pid", -1)))
+            stale = time.time() - float(holder.get("ts", 0.0)) > stale_after
+            if attempt == 0 and (not alive or stale):
+                try:
+                    os.unlink(path)  # reclaim and retry once
+                except FileNotFoundError:
+                    pass
+                continue
+            raise ConcurrentWriterError(
+                f"another writer holds {path} "
+                f"(pid={holder.get('pid')}, since ts={holder.get('ts')}); "
+                "snapshot tables are single-writer — serialize the jobs"
+            ) from None
+    try:
+        os.write(fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
 
 
 @dataclass
@@ -105,31 +179,32 @@ def commit(
     """
     if operation not in ("append", "overwrite"):
         raise ValueError(f"operation must be append|overwrite, got {operation}")
-    snaps = _load_log(table_path)
-    parent = snaps[-1] if snaps else None
-    if operation == "append" and parent is not None and parent.schema != df.schema.simpleString():
-        raise ValueError(
-            f"append schema mismatch: table has {parent.schema}, "
-            f"commit has {df.schema.simpleString()} — use overwrite to evolve"
+    with _writer_lock(table_path):
+        snaps = _load_log(table_path)
+        parent = snaps[-1] if snaps else None
+        if operation == "append" and parent is not None and parent.schema != df.schema.simpleString():
+            raise ValueError(
+                f"append schema mismatch: table has {parent.schema}, "
+                f"commit has {df.schema.simpleString()} — use overwrite to evolve"
+            )
+        sid = (parent.snapshot_id + 1) if parent else 1
+        rel = f"data/snap-{sid}"
+        obs = Observation(f"snap_rows_{sid}")
+        df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite").parquet(
+            os.path.join(table_path, rel)
         )
-    sid = (parent.snapshot_id + 1) if parent else 1
-    rel = f"data/snap-{sid}"
-    obs = Observation(f"snap_rows_{sid}")
-    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite").parquet(
-        os.path.join(table_path, rel)
-    )
-    dirs = ([*parent.dirs, rel] if (operation == "append" and parent) else [rel])
-    snap = Snapshot(
-        snapshot_id=sid,
-        parent_id=parent.snapshot_id if parent else None,
-        operation=operation,
-        dirs=dirs,
-        rows=int(obs.get["rows"]),
-        schema=df.schema.simpleString(),
-        wall_ts=round(time.time(), 3),
-        lineage=lineage or {},
-    )
-    _publish_log(table_path, snaps + [snap])
+        dirs = ([*parent.dirs, rel] if (operation == "append" and parent) else [rel])
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_id=parent.snapshot_id if parent else None,
+            operation=operation,
+            dirs=dirs,
+            rows=int(obs.get["rows"]),
+            schema=df.schema.simpleString(),
+            wall_ts=round(time.time(), 3),
+            lineage=lineage or {},
+        )
+        _publish_log(table_path, snaps + [snap])
     return snap
 
 
@@ -156,22 +231,23 @@ def read(
 def rollback(table_path: str, snapshot_id: int) -> Snapshot:
     """Metadata-only rollback: append a new snapshot re-pointing at an old
     file set. History (and the rolled-back data dirs) stay intact."""
-    snaps = _load_log(table_path)
-    by_id = {s.snapshot_id: s for s in snaps}
-    if snapshot_id not in by_id:
-        raise KeyError(f"snapshot {snapshot_id} not in log")
-    src, head = by_id[snapshot_id], snaps[-1]
-    snap = Snapshot(
-        snapshot_id=head.snapshot_id + 1,
-        parent_id=head.snapshot_id,
-        operation="rollback",
-        dirs=list(src.dirs),
-        rows=src.rows,
-        schema=src.schema,
-        wall_ts=round(time.time(), 3),
-        lineage={"rolled_back_to": snapshot_id},
-    )
-    _publish_log(table_path, snaps + [snap])
+    with _writer_lock(table_path):
+        snaps = _load_log(table_path)
+        by_id = {s.snapshot_id: s for s in snaps}
+        if snapshot_id not in by_id:
+            raise KeyError(f"snapshot {snapshot_id} not in log")
+        src, head = by_id[snapshot_id], snaps[-1]
+        snap = Snapshot(
+            snapshot_id=head.snapshot_id + 1,
+            parent_id=head.snapshot_id,
+            operation="rollback",
+            dirs=list(src.dirs),
+            rows=src.rows,
+            schema=src.schema,
+            wall_ts=round(time.time(), 3),
+            lineage={"rolled_back_to": snapshot_id},
+        )
+        _publish_log(table_path, snaps + [snap])
     return snap
 
 
@@ -179,19 +255,20 @@ def expire(table_path: str, keep_last: int = 1) -> list[str]:
     """Drop all but the last ``keep_last`` snapshots from the log and
     delete data dirs no surviving snapshot references (including orphan
     dirs from crashed commits). Returns the deleted dirs."""
-    snaps = _load_log(table_path)
-    if not snaps:
-        return []
-    kept = snaps[-max(keep_last, 1):]
-    live = {d for s in kept for d in s.dirs}
-    _publish_log(table_path, kept)
-    deleted = []
-    data_root = os.path.join(table_path, "data")
-    for name in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
-        rel = f"data/{name}"
-        if rel not in live:
-            shutil.rmtree(os.path.join(table_path, rel), ignore_errors=True)
-            deleted.append(rel)
+    with _writer_lock(table_path):
+        snaps = _load_log(table_path)
+        if not snaps:
+            return []
+        kept = snaps[-max(keep_last, 1):]
+        live = {d for s in kept for d in s.dirs}
+        _publish_log(table_path, kept)
+        deleted = []
+        data_root = os.path.join(table_path, "data")
+        for name in sorted(os.listdir(data_root)) if os.path.isdir(data_root) else []:
+            rel = f"data/{name}"
+            if rel not in live:
+                shutil.rmtree(os.path.join(table_path, rel), ignore_errors=True)
+                deleted.append(rel)
     return deleted
 
 
@@ -215,6 +292,20 @@ def merge_upsert(
     travel to the pre-merge snapshot still works.
     """
     key_cols = [key] if isinstance(key, str) else list(key)
+    with _writer_lock(table_path):
+        return _merge_upsert_locked(
+            spark, updates, table_path, key_cols, lineage, assert_unique_keys
+        )
+
+
+def _merge_upsert_locked(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    lineage: dict | None,
+    assert_unique_keys: bool,
+) -> Snapshot:
     snaps = _load_log(table_path)
     if not snaps:
         raise FileNotFoundError(f"no snapshots at {table_path}")
@@ -317,6 +408,16 @@ def compact(
     straight back emits files of about that size. Pass ``partitions`` to
     force a specific output file count (adds one exchange).
     """
+    with _writer_lock(table_path):
+        return _compact_locked(spark, table_path, partitions, lineage)
+
+
+def _compact_locked(
+    spark: SparkSession,
+    table_path: str,
+    partitions: int | None,
+    lineage: dict | None,
+) -> Snapshot:
     snaps = _load_log(table_path)
     if not snaps:
         raise FileNotFoundError(f"no snapshots at {table_path}")

@@ -254,3 +254,49 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
     # a third drain with nothing new commits nothing
     drain()
     assert snap.current_snapshot_id(table) == before
+
+
+def test_writer_lock_blocks_second_writer(spark, tmp_path):
+    """ADVICE r2: a concurrent log mutation must fail fast, not silently
+    discard the in-flight writer's snapshot."""
+    import json
+    import time as _time
+
+    t = str(tmp_path / "tbl")
+    snap.commit(_df(spark, range(3)), t)
+    lock = os.path.join(t, "metadata", "commit.lock")
+    # simulate a LIVE concurrent writer (our own pid, fresh timestamp)
+    with open(lock, "w") as f:
+        json.dump({"pid": os.getpid(), "ts": _time.time()}, f)
+    try:
+        with pytest.raises(snap.ConcurrentWriterError, match="single-writer"):
+            snap.commit(_df(spark, range(3, 6)), t)
+        with pytest.raises(snap.ConcurrentWriterError):
+            snap.rollback(t, 1)
+        with pytest.raises(snap.ConcurrentWriterError):
+            snap.expire(t)
+        with pytest.raises(snap.ConcurrentWriterError):
+            snap.compact(spark, t, partitions=1)
+        with pytest.raises(snap.ConcurrentWriterError):
+            snap.merge_upsert(spark, _df(spark, range(2)), t, key="id")
+    finally:
+        os.unlink(lock)
+    # lock gone -> writes proceed, and the lock self-cleans afterward
+    snap.commit(_df(spark, range(3, 6)), t)
+    assert snap.read(spark, t).count() == 6
+    assert not os.path.exists(lock)
+
+
+def test_writer_lock_reclaims_stale(spark, tmp_path):
+    """A crashed writer (dead pid / ancient ts) must not wedge the table."""
+    import json
+
+    t = str(tmp_path / "tbl")
+    snap.commit(_df(spark, range(3)), t)
+    lock = os.path.join(t, "metadata", "commit.lock")
+    # dead pid and ancient timestamp: both staleness conditions at once
+    with open(lock, "w") as f:
+        json.dump({"pid": 2**22 + 12345, "ts": 0.0}, f)
+    s = snap.commit(_df(spark, range(3, 6)), t)  # reclaims, proceeds
+    assert s.snapshot_id == 2
+    assert not os.path.exists(lock)

@@ -1,0 +1,216 @@
+"""Order-of-magnitude scale point (VERDICT r2 #6): the flagship and the
+five heaviest registry queries timed at 1× and 10× input, so the
+100 TB extrapolation rests on a measured growth curve, not one point.
+
+10× inputs are DERIVED deterministically from the driver's sf0.1 tables
+(never regenerated, never random): each table is the union of 10
+id-shifted replicas, with per-replica content transforms chosen so the
+WORKLOAD scales linearly instead of degenerating:
+
+- ``documents``: text passed through a per-replica character rotation
+  (``translate`` over an 11-letter alphabet) — duplicate/near-dup
+  structure inside each replica is exactly sf0.1's, while cross-replica
+  shingle collisions vanish (verbatim replication would instead turn
+  every doc into a 10-clique of near-dups and grow pair counts ~45×, a
+  different workload). ``doc_id`` shifts by k·10^9 (divisible by 20, so
+  the decontaminate benchmark split is preserved per replica).
+- ``embeddings``: per-replica circular dimension rotation — replicas of
+  one vector are ~orthogonal to each other (near-orthogonal random
+  vectors stay near-orthogonal under coordinate rotation), so the
+  near-dup graph scales linearly; per-replica cluster structure is
+  identical.
+- ``lineitem``: ``l_extendedprice`` + k·0.001 — 10× distinct values so
+  the weighted-percentile / range-refine distinct-value axis grows with
+  the data (verbatim replication would only grow the pre-aggregation).
+
+The flagship runs on generate_transcripts at 50k and 500k conversations
+(~2.4M vs ~24M turns). Writes BENCH/SCALE10.md and prints one JSON line.
+
+Usage: python tools/bench_scale10.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF1_DIR = "/root/testdata/sf0.1"
+DATA10 = os.path.join(REPO, "BENCH", "scale10_data")
+HEAVY = ["range_refine", "dedup_clusters", "semantic_clusters", "doc_quality", "decontaminate"]
+ALPHA = "aeiounrstlc"  # 11 letters -> 11 distinct rotations
+SHIFT = 10**9
+
+
+def _rot(s: str, k: int) -> str:
+    k %= len(s)
+    return s[k:] + s[:k]
+
+
+def build_10x(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(DATA10, exist_ok=True)
+    marker = os.path.join(DATA10, "_BUILT")
+    if os.path.exists(marker):
+        return
+    docs = spark.read.parquet(f"{SF1_DIR}/documents.parquet")
+    reps = []
+    for k in range(10):
+        r = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * SHIFT))
+        if k:
+            r = r.withColumn("text", F.translate("text", ALPHA, _rot(ALPHA, k)))
+        reps.append(r)
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.write.mode("overwrite").parquet(f"{DATA10}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF1_DIR}/embeddings.parquet")
+    reps = []
+    for k in range(10):
+        r = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * SHIFT))
+        if k:
+            # circular dimension rotation: slice+concat, pure Catalyst
+            r = r.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {k + 1}, size(embedding) - {k}), "
+                    f"slice(embedding, 1, {k}))"
+                ),
+            )
+        reps.append(r)
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.write.mode("overwrite").parquet(f"{DATA10}/embeddings.parquet")
+
+    li = spark.read.parquet(f"{SF1_DIR}/lineitem.parquet")
+    reps = []
+    for k in range(10):
+        r = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * SHIFT))
+        if k:
+            r = r.withColumn(
+                "l_extendedprice", F.col("l_extendedprice") + F.lit(k * 0.001)
+            )
+        reps.append(r)
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    out.write.mode("overwrite").parquet(f"{DATA10}/lineitem.parquet")
+    open(marker, "w").write("ok\n")
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _time_best2(fn) -> float:
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    if max(runs) > 1.4 * min(runs):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return min(runs)
+
+
+def main() -> None:
+    from acoustic_feature_extractor_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="afe_scale10", cores=cpus)
+    import __spark_entry__ as entry_mod
+    from acoustic_feature_extractor_spark.datagen import generate_transcripts
+    from acoustic_feature_extractor_spark.plans.pipeline import turn_features
+
+    build_10x(spark)
+    qs = entry_mod.queries()
+    rows = {}
+    for name in HEAVY:
+        q = qs[name]
+        _force(q(spark, SF1_DIR))  # warmup (codegen, centroid memo)
+        t1 = _time_best2(lambda: _force(q(spark, SF1_DIR)))
+        spark.catalog.clearCache()
+        _force(q(spark, DATA10))
+        spark.catalog.clearCache()
+        t10 = _time_best2(lambda: _force(q(spark, DATA10)))
+        spark.catalog.clearCache()
+        rows[name] = {
+            "sec_1x": round(t1, 3),
+            "sec_10x": round(t10, 3),
+            "growth": round(t10 / t1, 2),
+        }
+
+    flag = {}
+    for label, n_convs in (("1x", 50_000), ("10x", 500_000)):
+        t = generate_transcripts(spark, n_convs=n_convs).persist()
+        n_turns = t.count()
+        _force(turn_features(t))  # warmup
+        sec = _time_best2(lambda: _force(turn_features(t)))
+        flag[label] = {
+            "n_turns": n_turns,
+            "sec": round(sec, 3),
+            "turns_per_sec": round(n_turns / sec, 1),
+        }
+        t.unpersist()
+
+    growth = flag["10x"]["sec"] / flag["1x"]["sec"]
+    turn_ratio = flag["10x"]["n_turns"] / flag["1x"]["n_turns"]
+    record = {
+        "flagship": flag,
+        "flagship_time_growth": round(growth, 2),
+        "flagship_input_growth": round(turn_ratio, 2),
+        "queries": rows,
+        "cores": cpus,
+    }
+    line = json.dumps(record)
+
+    qtable = "\n".join(
+        f"| {n} | {v['sec_1x']} | {v['sec_10x']} | {v['growth']}× |"
+        for n, v in rows.items()
+    )
+    md = f"""# BENCH — 10× scale point
+
+Growth-curve evidence for the 100 TB extrapolation: the flagship and the
+five heaviest registry queries timed at 1× and 10× input on local[{cpus}]
+(steady-state: warmup + best-of-2; see module docstring of
+`tools/bench_scale10.py` for how the 10× inputs are derived
+deterministically from the driver's sf0.1 tables without distorting the
+workload). Ideal linear growth is 10× wall time at fixed cores; sublinear
+values mean fixed overheads still amortizing at this scale.
+
+## Flagship (generate_transcripts, same plan as bench.py)
+
+| input | turns | sec | turns/sec |
+| --- | --- | --- | --- |
+| 1×  | {flag['1x']['n_turns']:,} | {flag['1x']['sec']} | {flag['1x']['turns_per_sec']:,.0f} |
+| 10× | {flag['10x']['n_turns']:,} | {flag['10x']['sec']} | {flag['10x']['turns_per_sec']:,.0f} |
+
+Time growth **{growth:.2f}×** for {turn_ratio:.1f}× the input.
+
+## Heaviest queries (driver sf0.1 vs derived 10×)
+
+| query | sec @1× | sec @10× | time growth |
+| --- | --- | --- | --- |
+{qtable}
+
+```json
+{line}
+```
+"""
+    with open(os.path.join(REPO, "BENCH", "SCALE10.md"), "w") as f:
+        f.write(md)
+    print(line)
+
+
+if __name__ == "__main__":
+    main()
