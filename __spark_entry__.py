@@ -41,6 +41,7 @@ from acoustic_feature_extractor_spark.operators import (
     pack as pack_ops,
     sample as sample_ops,
     sessionize as sess_ops,
+    sketches as sk_ops,
     similarity as sim_ops,
     skew as skew_ops,
     stats as stats_ops,
@@ -1509,6 +1510,146 @@ SELECT 'ivf_p2' AS method, CAST(5 AS BIGINT) AS k, CAST(0.30 AS DOUBLE) AS floor
 UNION ALL SELECT 'ivf_p4', 5, CAST(0.55 AS DOUBLE), TRUE
 UNION ALL SELECT 'lsh_h1', 5, CAST(0.30 AS DOUBLE), TRUE
 UNION ALL SELECT 'lsh_h2', 5, CAST(0.40 AS DOUBLE), TRUE
+"""
+
+
+def _sketch_export(est: DataFrame, exact: DataFrame) -> DataFrame:
+    """Join the sketch rollup to the exact distinct and emit the contract
+    row: exact values pass through (hash-comparable), the HLL estimate
+    becomes an ``est_ok`` bound check (within max(1, 5%) of exact — ~6
+    sigma for lgk=14's ~0.8% relative error, so a stable data property
+    that a sketch/merge regression would flip)."""
+    j = est.join(exact, ["event_type", "bucket"])
+    return j.select(
+        "event_type",
+        F.round(F.col("bucket").cast("double"), 6).alias("bucket_sec"),
+        F.col("n").cast("long").alias("n"),
+        F.col("d_exact").cast("long").alias("d_exact"),
+        (
+            F.abs(F.col("distinct_est") - F.col("d_exact"))
+            <= F.greatest(F.lit(1.0), F.col("d_exact") * F.lit(0.05))
+        ).alias("est_ok"),
+    )
+
+
+def _exact_distinct(ev: DataFrame, width: float) -> DataFrame:
+    return (
+        ev.withColumn("bucket", rollup_ops.time_bucket("ts", width))
+        .groupBy("event_type", "bucket")
+        .agg(F.countDistinct("user_id").alias("d_exact"))
+    )
+
+
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count rollup (sketches.distinct_rollup):
+    per-(event_type, hour) distinct users as an at-rest binary sketch —
+    the COUNT(DISTINCT) answer that cascades at 100 TB where exact counts
+    can't. One partial/final groupBy; the contract asserts the estimate
+    against the exact distinct computed independently."""
+    ev = _t(spark, sf_dir, "events")
+    fine = sk_ops.with_estimate(
+        sk_ops.distinct_rollup(ev, 3600.0, by="event_type", value_col="user_id")
+    )
+    return _sketch_export(fine, _exact_distinct(ev, 3600.0))
+
+
+def q_sketch_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch CASCADE: day-grain distinct users per event_type merged
+    from the HOUR sketches via hll_union_agg — the fact table is scanned
+    once; set semantics make overlapping fine buckets collapse correctly
+    (summing hourly distincts would overcount). Oracle computes the day
+    distinct DIRECTLY from raw events, proving the merge path."""
+    ev = _t(spark, sf_dir, "events")
+    fine = sk_ops.distinct_rollup(ev, 3600.0, by="event_type", value_col="user_id")
+    daily = sk_ops.with_estimate(
+        sk_ops.distinct_coarser(fine, 86400.0, by="event_type", fine_seconds=3600.0)
+    )
+    return _sketch_export(daily, _exact_distinct(ev, 86400.0))
+
+
+def _sql_sketch(width: int) -> str:
+    return f"""
+SELECT event_type,
+       CAST(floor(epoch_us(ts) / 1000000.0 / {width}) * {width} AS DOUBLE) AS bucket_sec,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS d_exact,
+       TRUE AS est_ok
+FROM events GROUP BY 1, 2
+"""
+
+
+_SQL_SKETCH_DISTINCT = _sql_sketch(3600)
+_SQL_SKETCH_CASCADE = _sql_sketch(86400)
+
+
+def q_salted_join_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-split salted equi-join (skew.salted_join): keys at/above the
+    hot threshold are scattered across n_salts replica partitions (one
+    hot key becomes 8 tasks, not one straggler), the cold majority takes
+    the plain join, halves union. Oracle is the plain LEFT JOIN — the
+    salting is proven semantics-free."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    hot = skew_ops.hot_entity_keys(orders, "custkey", threshold=12)
+    j = skew_ops.salted_join(
+        orders, cust, on="custkey", how="left", n_salts=8, hot_keys=hot
+    )
+    return j.select(
+        F.col("custkey").cast("long").alias("custkey"),
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        "c_name",
+    )
+
+
+_SQL_SALTED_JOIN = """
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       ROUND(o_totalprice, 4) AS o_totalprice,
+       c_name
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC scan contract (snapshots.read_changes): build a
+    snapshot table from events (keys with event_id%4!=0), MERGE an update
+    batch (%4<=1, value+1000 — half new keys, half updates of existing
+    ones), then diff the two snapshots. Only touched dirs are read; the
+    oracle derives the expected net changes in pure SQL: every merge row
+    is an insert, updated keys also emit the delete of their old version.
+    Carried-dir rows and rewritten-but-unchanged survivors never appear."""
+    import tempfile
+
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    t = tempfile.mkdtemp(prefix="cdc_query_")
+    s1 = snap.commit(ev.where(F.col("event_id") % 4 != 0), t)
+    upd = ev.where(F.col("event_id") % 4 <= 1).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    s2 = snap.merge_upsert(spark, upd, t, key="event_id")
+    ch = snap.read_changes(spark, t, s1.snapshot_id, s2.snapshot_id)
+    return ch.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round("value", 6).alias("value"),
+        "_change_type",
+    )
+
+
+_SQL_SNAPSHOT_CHANGES = """
+SELECT CAST(event_id AS BIGINT) AS event_id, CAST(user_id AS BIGINT) AS user_id,
+       ROUND(value + 1000.0, 6) AS value, 'insert' AS _change_type
+FROM events WHERE event_id % 4 <= 1
+UNION ALL
+SELECT CAST(event_id AS BIGINT), CAST(user_id AS BIGINT), ROUND(value, 6), 'delete'
+FROM events WHERE event_id % 4 = 1
 """
 
 
@@ -3244,6 +3385,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 3: round-3 additions ------------------------------------
         "onehot_accent": q_onehot_accent,
         "ann_recall": q_ann_recall,
+        "sketch_distinct": q_sketch_distinct,
+        "sketch_cascade": q_sketch_cascade,
+        "salted_join_hot": q_salted_join_hot,
+        "snapshot_changes": q_snapshot_changes,
         # -- block 4: r1/r2 queries already driver-green (replay-covered) --
         "lag_lead_context": q_lag_lead_context,
         "rolling_hop": q_rolling_hop,
@@ -3348,6 +3493,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _SQL_ANN_BRUTEFORCE,
         "ann_ivf": _SQL_ANN_BRUTEFORCE,
         "ann_recall": _SQL_ANN_RECALL,
+        "sketch_distinct": _SQL_SKETCH_DISTINCT,
+        "sketch_cascade": _SQL_SKETCH_CASCADE,
+        "salted_join_hot": _SQL_SALTED_JOIN,
+        "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         # portable polynomial token hash -> DuckDB recomputes identical
         # fingerprints and checks the banded pair search against all-pairs
         "dedup_simhash": _simhash_sql(),

@@ -162,3 +162,63 @@ def salted_forward_fill(
         .withColumn(out_col, F.coalesce(F.col("_local"), F.col("_carry")))
         .drop("_chunk", "_local", "_carry")
     )
+
+
+def hot_entity_keys(df: DataFrame, key: str | list[str], threshold: int) -> DataFrame:
+    """Keys whose row count reaches ``threshold`` — the hot side of a
+    skewed-join split. Output is one row per hot key (by construction far
+    smaller than the fact table: at most n_rows/threshold keys)."""
+    key_cols = [key] if isinstance(key, str) else list(key)
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("n_rows"))
+        .where(F.col("n_rows") >= F.lit(int(threshold)))
+        .select(*key_cols)
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    n_salts: int = 16,
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Skew-resilient equi-join: replicate the RIGHT side ``n_salts``× and
+    scatter the LEFT side across the replicas, so one hot key becomes
+    ``n_salts`` shuffle partitions instead of one straggler task.
+
+    Exact: every left row carries ONE salt and meets exactly the replica
+    set with that salt, so inner/left semantics are untouched (``right``/
+    ``full`` would see unmatched right rows once per replica — rejected).
+    AQE's skew-join split handles moderate skew after the fact; explicit
+    salting is for the 10^7-rows-per-key regime where even one key's
+    sorted run must not land in one task (north_star: explicit salting +
+    two-phase aggregation).
+
+    With ``hot_keys`` (e.g. :func:`hot_entity_keys` output, bounded by
+    construction), only hot-key rows pay the replication — the cold
+    majority takes the plain join — and the two halves union. Without it,
+    the whole join is salted (right side must be dim-sized).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got {how}")
+    on_cols = [on] if isinstance(on, str) else list(on)
+
+    def _salted(lf: DataFrame, rt: DataFrame) -> DataFrame:
+        rep = rt.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(int(n_salts) - 1)))
+        )
+        lf = lf.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(int(n_salts))).cast("int"),
+        )
+        return lf.join(rep, [*on_cols, "_salt"], how).drop("_salt")
+
+    if hot_keys is None:
+        return _salted(left, right)
+    hk = F.broadcast(hot_keys.select(*on_cols))
+    out_hot = _salted(left.join(hk, on_cols, "semi"), right.join(hk, on_cols, "semi"))
+    out_cold = left.join(hk, on_cols, "anti").join(right, on_cols, how)
+    return out_hot.unionByName(out_cold)

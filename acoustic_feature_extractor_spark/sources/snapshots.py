@@ -507,3 +507,60 @@ def snapshot_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """Incremental (CDC) scan: the NET row-level changes between two
+    snapshots, tagged ``_change_type`` ∈ {insert, delete} — Iceberg's
+    changelog-scan shape for a copy-on-write table. An updated row appears
+    as its old version (delete) plus its new version (insert).
+
+    Plan: diff the two snapshots' DIRECTORY lists first — dirs carried by
+    reference between the versions are provably unchanged and are never
+    read (the incremental-backfill property: IO scales with touched data,
+    not table size). Rows of removed dirs and added dirs then net out via
+    multiset difference (``exceptAll`` both ways), so a compaction or
+    rollback-and-forward that only reshuffles bytes yields ZERO changes,
+    and merge_upsert's rewritten survivors cancel against themselves.
+
+    The shuffle carries only touched-dir rows; at 100 TB with 1%-touched
+    merges this reads ~1% of the table. Empty result keeps the table
+    schema plus ``_change_type``.
+    """
+    snaps = _load_log(table_path)
+    by_id = {s.snapshot_id: s for s in snaps}
+    if from_snapshot not in by_id:
+        raise KeyError(f"snapshot {from_snapshot} not in log (have {sorted(by_id)})")
+    to_id = to_snapshot if to_snapshot is not None else snaps[-1].snapshot_id
+    if to_id not in by_id:
+        raise KeyError(f"snapshot {to_id} not in log (have {sorted(by_id)})")
+    dirs_from, dirs_to = set(by_id[from_snapshot].dirs), set(by_id[to_id].dirs)
+    removed = sorted(dirs_from - dirs_to)
+    added = sorted(dirs_to - dirs_from)
+
+    def _rows(rels: list[str]) -> DataFrame | None:
+        if not rels:
+            return None
+        return spark.read.parquet(*[os.path.join(table_path, d) for d in rels])
+
+    old, new = _rows(removed), _rows(added)
+    # schema anchor for the all-carried / empty-diff cases (reads no rows)
+    anchor = read(spark, table_path, to_id).limit(0)
+    ins = new.exceptAll(old) if (new is not None and old is not None) else new
+    dels = old.exceptAll(new) if (new is not None and old is not None) else old
+    parts = []
+    if ins is not None:
+        parts.append(ins.withColumn("_change_type", F.lit("insert")))
+    if dels is not None:
+        parts.append(dels.withColumn("_change_type", F.lit("delete")))
+    if not parts:
+        return anchor.withColumn("_change_type", F.lit(""))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -79,3 +79,58 @@ def test_profile_detects_mega(spark):
     df = _skewed(spark)
     sizes = {r["conv_id"]: r["n_rows"] for r in profile_entity_sizes(df).collect()}
     assert sizes["mega"] == 500 and sizes["small1"] == 7
+
+
+def _skew_join_inputs(spark, seed=7):
+    rng = np.random.RandomState(seed)
+    fact = []
+    for key, n in [(1, 400), (2, 9), (3, 17), (4, 0), (5, 3)]:
+        for i in range(n):
+            fact.append((key, float(rng.rand() * 10)))
+    dim = [(1, "hot"), (2, "c2"), (3, "c3"), (5, "c5"), (9, "orphan")]
+    return (
+        spark.createDataFrame(fact, "k bigint, v double"),
+        spark.createDataFrame(dim, "k bigint, name string"),
+    )
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_inner_equals_plain(spark):
+    from acoustic_feature_extractor_spark.operators.skew import salted_join
+
+    fact, dim = _skew_join_inputs(spark)
+    got = salted_join(fact, dim, "k", n_salts=8)
+    exp = fact.join(dim, "k")
+    assert _sorted_rows(got.select("k", "v", "name")) == _sorted_rows(
+        exp.select("k", "v", "name")
+    )
+
+
+def test_salted_join_left_and_hot_split(spark):
+    from acoustic_feature_extractor_spark.operators.skew import (
+        hot_entity_keys,
+        salted_join,
+    )
+
+    fact, dim = _skew_join_inputs(spark)
+    hot = hot_entity_keys(fact, "k", threshold=100)
+    assert [r["k"] for r in hot.collect()] == [1]
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, "k", how=how, n_salts=8, hot_keys=hot)
+        exp = fact.join(dim, "k", how)
+        assert _sorted_rows(got.select("k", "v", "name")) == _sorted_rows(
+            exp.select("k", "v", "name")
+        ), how
+
+
+def test_salted_join_rejects_right_full(spark):
+    import pytest
+
+    from acoustic_feature_extractor_spark.operators.skew import salted_join
+
+    fact, dim = _skew_join_inputs(spark)
+    with pytest.raises(ValueError, match="inner|left"):
+        salted_join(fact, dim, "k", how="full")

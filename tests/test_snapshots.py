@@ -300,3 +300,51 @@ def test_writer_lock_reclaims_stale(spark, tmp_path):
     s = snap.commit(_df(spark, range(3, 6)), t)  # reclaims, proceeds
     assert s.snapshot_id == 2
     assert not os.path.exists(lock)
+
+
+def test_read_changes_append_merge_compact(spark, tmp_path):
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "cdc")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id bigint, val string"
+    )
+    s1 = snap.commit(base, t)
+    s2 = snap.commit(
+        spark.createDataFrame([(10, "v10"), (11, "v11")], "id bigint, val string"), t
+    )
+    # pure append: inserts only, and the s1 dir is never part of the diff
+    ch = snap.read_changes(spark, t, s1.snapshot_id, s2.snapshot_id)
+    rows = sorted((r["id"], r["val"], r["_change_type"]) for r in ch.collect())
+    assert rows == [(10, "v10", "insert"), (11, "v11", "insert")]
+
+    # merge: updated key -> delete(old)+insert(new); new key -> insert;
+    # rewritten-but-unchanged survivors cancel out
+    upd = spark.createDataFrame([(3, "V3"), (12, "v12")], "id bigint, val string")
+    s3 = snap.merge_upsert(spark, upd, t, key="id")
+    ch = snap.read_changes(spark, t, s2.snapshot_id, s3.snapshot_id)
+    rows = sorted((r["id"], r["val"], r["_change_type"]) for r in ch.collect())
+    assert rows == [
+        (3, "V3", "insert"),
+        (3, "v3", "delete"),
+        (12, "v12", "insert"),
+    ]
+
+    # compaction reshuffles bytes, zero logical changes
+    s4 = snap.compact(spark, t)
+    ch = snap.read_changes(spark, t, s3.snapshot_id, s4.snapshot_id)
+    assert ch.count() == 0
+    assert ch.columns[-1] == "_change_type"
+
+    # default to_snapshot = current head; span s1 -> head nets everything
+    ch = snap.read_changes(spark, t, s1.snapshot_id)
+    rows = sorted((r["id"], r["val"], r["_change_type"]) for r in ch.collect())
+    assert (3, "v3", "delete") in rows and (3, "V3", "insert") in rows
+    assert (10, "v10", "insert") in rows and (12, "v12", "insert") in rows
+    assert len([r for r in rows if r[2] == "delete"]) == 1
+
+    # unknown ids refused
+    import pytest
+
+    with pytest.raises(KeyError):
+        snap.read_changes(spark, t, 99)
