@@ -1653,6 +1653,114 @@ FROM events WHERE event_id % 4 = 1
 """
 
 
+def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping (snapshots.plan_scan / read_where): events
+    committed range-clustered on ts (repartitionByRange → disjoint
+    per-file ts ranges, stats harvested from footers into the snapshot
+    log at commit), then a 20%-of-span time-range read opens ONLY the
+    files whose [min,max] intersect it — driver-side metadata pruning,
+    no footer reads at query time. ``pruned_ok`` pins the evidence: the
+    plan must keep strictly fewer files than the table has. The oracle
+    is the plain full-scan filter, proving pruning semantics-free."""
+    import datetime
+    import tempfile
+
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    t = tempfile.mkdtemp(prefix="prune_query_")
+    snap.commit(ev.repartitionByRange(8, "ts"), t)
+    mn_us, mx_us = ev.select(
+        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
+    ).collect()[0]
+    span = mx_us - mn_us
+    epoch = datetime.datetime(1970, 1, 1)  # session tz = UTC
+    lo = epoch + datetime.timedelta(microseconds=mn_us + int(0.3 * span))
+    hi = epoch + datetime.timedelta(microseconds=mn_us + int(0.5 * span))
+    kept, total = snap.plan_scan(t, "ts", lo=lo, hi=hi)
+    df = snap.read_where(spark, t, "ts", lo=lo, hi=hi)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_v"),
+        F.lit(bool(total == 8 and 0 < len(kept) < total)).alias("pruned_ok"),
+    )
+
+
+_SQL_PRUNED_SCAN = """
+WITH b AS (
+  SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) - epoch_us(min(ts)) AS span
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(value), 6) AS sum_v,
+       TRUE AS pruned_ok
+FROM events, b
+WHERE epoch_us(ts) >= mn + CAST(floor(0.3 * span) AS BIGINT)
+  AND epoch_us(ts) <= mn + CAST(floor(0.5 * span) AS BIGINT)
+GROUP BY 1
+"""
+
+
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (rollup_ops.rollup_apply_changes): the hourly rollup of snapshot v1 is
+    folded forward with the CDC change set of a MERGE (read_changes v1→v2)
+    instead of recomputed — untouched groups pass through an anti-join,
+    insert-only groups merge arithmetically, delete-touched groups
+    re-aggregate from the current fact restricted by a dirty-key
+    semi-join. IO ∝ touched data, not table size. The oracle recomputes
+    the rollup of the FINAL table state directly, proving the fold exact."""
+    import tempfile
+
+    from acoustic_feature_extractor_spark.operators import rollup as r_ops
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    t = tempfile.mkdtemp(prefix="ivm_query_")
+    s1 = snap.commit(ev.where(F.col("event_id") % 4 != 0), t)
+    upd = ev.where(F.col("event_id") % 4 <= 1).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    s2 = snap.merge_upsert(spark, upd, t, key="event_id")
+    old = r_ops.rollup(
+        snap.read(spark, t, s1.snapshot_id), 3600.0, by="user_id", value_col="value"
+    )
+    ch = snap.read_changes(spark, t, s1.snapshot_id, s2.snapshot_id)
+    out = r_ops.rollup_apply_changes(
+        old,
+        ch,
+        3600.0,
+        by="user_id",
+        value_col="value",
+        fact=snap.read(spark, t, s2.snapshot_id),
+    )
+    return _rollup_export(out, "user_id")
+
+
+# final state after the merge: keys %4 in {2,3} keep the original value,
+# keys %4 in {0,1} carry value+1000 (inserted / updated by the merge)
+_SQL_ROLLUP_INCREMENTAL = """
+WITH final AS (
+  SELECT user_id, ts,
+         CASE WHEN event_id % 4 <= 1 THEN value + 1000.0 ELSE value END AS value
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(floor(epoch_us(ts) / 1000000.0 / 3600) * 3600 AS DOUBLE) AS bucket_sec,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(value), 6) AS sum_v,
+       ROUND(min(value), 6) AS min_v,
+       ROUND(max(value), 6) AS max_v,
+       ROUND(epoch_us(min(ts)) / 1000000.0, 6) AS first_ts_sec,
+       ROUND(epoch_us(max(ts)) / 1000000.0, 6) AS last_ts_sec,
+       ROUND(sum(value) / count(*), 6) AS avg_v
+FROM final GROUP BY 1, 2
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — EXACT all-pairs via the
     distributed block-matrix self-join (one BLAS matmul per block pair,
@@ -3389,6 +3497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cascade": q_sketch_cascade,
         "salted_join_hot": q_salted_join_hot,
         "snapshot_changes": q_snapshot_changes,
+        "rollup_incremental": q_rollup_incremental,
+        "pruned_scan": q_pruned_scan,
         # -- block 4: r1/r2 queries already driver-green (replay-covered) --
         "lag_lead_context": q_lag_lead_context,
         "rolling_hop": q_rolling_hop,
@@ -3497,6 +3607,8 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cascade": _SQL_SKETCH_CASCADE,
         "salted_join_hot": _SQL_SALTED_JOIN,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
+        "rollup_incremental": _SQL_ROLLUP_INCREMENTAL,
+        "pruned_scan": _SQL_PRUNED_SCAN,
         # portable polynomial token hash -> DuckDB recomputes identical
         # fingerprints and checks the banded pair search against all-pairs
         "dedup_simhash": _simhash_sql(),

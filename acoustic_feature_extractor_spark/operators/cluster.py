@@ -137,33 +137,41 @@ def _cc_long(sym: DataFrame, max_iter: int) -> DataFrame:
     converged = False
     # tracked_persist registers sym so a raise below (no fixpoint)
     # still lets the driver reclaim it via release_persisted()
+    # NO maybe_broadcast inside the loop: the label frames are node-scaled
+    # (a static hint would be wrong at corpus scale — AQE's runtime shuffle
+    # sizes decide instead), and a Catalyst stats probe per round is a
+    # driver hazard — each round references `labels` three times, so on an
+    # un-truncated plan the size estimate SQUARES per round and the py4j
+    # BigInt→string conversion of sizeInBytes wedges the driver for
+    # minutes (observed 750+ s). Same reason the checkpoint below must be
+    # EAGER: only an eager localCheckpoint rebases the logical plan on the
+    # materialized RDD; eager=False keeps full lineage and re-plans an
+    # exponentially growing tree every round.
     for _ in range(max_iter):
         # hash-min step: comp'(n) = min(comp(n), min over neighbours m of comp(m))
         nbmin = (
             sym.join(
-                maybe_broadcast(
-                    labels.select(F.col("node").alias("m"), F.col("comp").alias("mcomp"))
-                ),
+                labels.select(F.col("node").alias("m"), F.col("comp").alias("mcomp")),
                 "m",
             )
             .groupBy("n")
             .agg(F.min("mcomp").alias("nbmin"))
             .select(F.col("n").alias("node"), "nbmin")
         )
-        stepped = labels.join(maybe_broadcast(nbmin), "node", "left").select(
+        stepped = labels.join(nbmin, "node", "left").select(
             "node", F.least(F.col("comp"), F.coalesce(F.col("nbmin"), F.col("comp"))).alias("comp")
         )
         # pointer jump: comp''(n) = min(comp'(n), comp(comp'(n)))
         jump = labels.select(F.col("node").alias("jnode"), F.col("comp").alias("jcomp"))
         new = (
-            stepped.join(maybe_broadcast(jump), stepped["comp"] == jump["jnode"], "left")
+            stepped.join(jump, stepped["comp"] == jump["jnode"], "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("jcomp"), F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)  # truncate lineage NOW (see above)
         )
-        cur = tuple(new.agg(*_check_cols()).first())  # materializes the checkpoint
+        cur = tuple(new.agg(*_check_cols()).first())
         labels = new
         if cur == prev:
             converged = True

@@ -60,6 +60,120 @@ def rollup(
     )
 
 
+def rollup_apply_changes(
+    old_rollup: DataFrame,
+    changes: DataFrame,
+    bucket_seconds: float,
+    by: str | list[str],
+    value_col: str,
+    ts: str = "ts",
+    bucket_col: str = "bucket",
+    fact: DataFrame | None = None,
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """Incremental materialized-view maintenance: fold a CDC change set
+    (``snapshots.read_changes`` output — rows tagged insert/delete) into an
+    existing :func:`rollup` WITHOUT recomputing it from the fact table.
+
+    Three disjoint group classes, cheapest treatment each:
+
+    - **untouched** groups (no change row lands in them) pass through by
+      anti-join against the (change-sized) touched-key set — never read,
+      never shuffled beyond the join;
+    - **insert-only** groups merge arithmetically — count/sum add, min/max/
+      first/last fold via least/greatest (the rollup row is a monoid
+      element, inserts append losslessly);
+    - **delete-touched** groups are the one class where min/max/first/last
+      are not retractable, so exactly those groups re-aggregate from
+      ``fact`` (the table's CURRENT state, e.g. ``snapshots.read(...)``),
+      pre-filtered by a semi-join on the dirty keys — with a bucketed or
+      range-partitioned fact layout that filter prunes at the scan.
+
+    At 100 TB with 0.1 %-touched merges the work is: one groupBy over the
+    change set, two joins against key sets the size of the touched groups
+    (size-gated broadcast), and a fact scan restricted to dirty groups —
+    IO ∝ touched data, not table size. ``fact`` may be omitted when the
+    change set contains no deletes (pure append); passing deletes without
+    ``fact`` raises.
+    """
+    from acoustic_feature_extractor_spark.plans.cache import tracked_persist
+    from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
+
+    by_cols = [by] if isinstance(by, str) else list(by)
+    keys = [*by_cols, bucket_col]
+    is_ins = F.col(change_type_col) == F.lit("insert")
+    v = F.col(value_col)
+
+    delta = (
+        changes.withColumn(bucket_col, time_bucket(ts, bucket_seconds))
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.when(is_ins, 1).otherwise(-1)).alias("_dn"),
+            F.sum(F.when(is_ins, v).otherwise(-v)).alias("_dsum"),
+            F.min(F.when(is_ins, v)).alias("_ins_min"),
+            F.max(F.when(is_ins, v)).alias("_ins_max"),
+            F.min(F.when(is_ins, F.col(ts))).alias("_ins_first"),
+            F.max(F.when(is_ins, F.col(ts))).alias("_ins_last"),
+            F.max(F.when(~is_ins, 1).otherwise(0)).alias("_has_del"),
+        )
+    )
+    has_deletes = not changes.where(~is_ins).isEmpty()
+    if has_deletes and fact is None:
+        raise ValueError(
+            "change set contains deletes: min/max/first/last are not "
+            "retractable, pass fact= (the table's current state) so the "
+            "delete-touched groups can re-aggregate"
+        )
+    # shared by the touched/clean/dirty splits; change-sized, released by
+    # plans.cache.release_persisted at the caller's stage boundary
+    delta = tracked_persist(delta)
+    touched = maybe_broadcast(delta.select(*keys))
+    untouched = old_rollup.join(touched, keys, "anti")
+
+    clean = delta.where(F.col("_has_del") == 0)
+    merged = (
+        clean.join(old_rollup, keys, "left")
+        .select(
+            *keys,
+            (F.coalesce(F.col("n"), F.lit(0)) + F.col("_dn")).alias("n"),
+            (F.coalesce(F.col("sum_v"), F.lit(0.0)) + F.col("_dsum")).alias("sum_v"),
+            F.least(F.col("min_v"), F.col("_ins_min")).alias("min_v"),
+            F.greatest(F.col("max_v"), F.col("_ins_max")).alias("max_v"),
+            F.least(F.col("first_ts"), F.col("_ins_first")).alias("first_ts"),
+            F.greatest(F.col("last_ts"), F.col("_ins_last")).alias("last_ts"),
+        )
+        .withColumn("avg_v", F.col("sum_v") / F.col("n"))
+    )
+
+    parts = [untouched, merged]
+    if has_deletes:
+        dirty_keys = maybe_broadcast(
+            delta.where(F.col("_has_del") == 1).select(*keys)
+        )
+        dirty_fact = (
+            fact.withColumn(bucket_col, time_bucket(ts, bucket_seconds))
+            .join(dirty_keys, keys, "semi")
+        )
+        # re-aggregate exactly the dirty groups from current fact rows;
+        # groups whose rows were all deleted simply produce no row
+        parts.append(
+            dirty_fact.groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(v).alias("sum_v"),
+                F.min(v).alias("min_v"),
+                F.max(v).alias("max_v"),
+                F.min(ts).alias("first_ts"),
+                F.max(ts).alias("last_ts"),
+            )
+            .withColumn("avg_v", F.col("sum_v") / F.col("n"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def rollup_coarser(
     fine: DataFrame,
     bucket_seconds: float,

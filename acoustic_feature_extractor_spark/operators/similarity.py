@@ -529,19 +529,92 @@ def embedding_neardup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = 1,
+    max_block: int = 4096,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucketing + verify."""
+    """Embedding-cosine near-duplicate pairs via multi-band LSH bucketing
+    + vectorized verify.
+
+    Candidate generation: ``bands`` independent random-hyperplane codes
+    (band b reuses :func:`lsh_bucket` with seed ``seed + 1000·b``) — a
+    pair is verified if it collides in ANY band, so recall is
+    ``1 - (1 - p^planes)^bands`` with ``p = 1 - θ/π``; pick few planes +
+    more bands for low thresholds, more planes for tight near-dup
+    thresholds. Verify: one ``applyInPandas`` per (band, bucket) group —
+    L2-normalize the bucket's matrix once and take the blocked
+    upper-triangle matmul (BLAS), ~100× the throughput of per-pair
+    interpreted array expressions; ``max_block`` caps the in-memory score
+    block so a hot bucket degrades to more blocks, not more memory.
+    Cross-band duplicate pairs collapse in a final groupBy. Zero-norm
+    vectors never pass a positive threshold (same contract as
+    :func:`cosine`'s NULL).
+
+    Scale shape: bucket count grows with the corpus (callers scale
+    ``n_planes`` ~ log2(n / target_bucket)), so per-bucket work is
+    constant and total candidate pairs grow linearly — the O(n²) of the
+    exact path never materializes.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
     v = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).withColumn("_bkt", lsh_bucket("_v", dim, n_planes, seed))
-    a = v.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bkt")
-    b = v.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bkt")
-    return (
-        a.join(b, "_bkt")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
-        .where(F.col("cos_sim") >= threshold)
-        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    parts = [
+        v.withColumn("_band", F.lit(b)).withColumn(
+            "_bkt", lsh_bucket("_v", dim, n_planes, seed + 1000 * b)
+        )
+        for b in range(int(bands))
+    ]
+    bucketed = parts[0]
+    for p in parts[1:]:
+        bucketed = bucketed.unionByName(p)
+
+    id_dt = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("id_a", id_dt),
+            StructField("id_b", id_dt),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["_id"].to_numpy()
+        g = np.array([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+        norms = np.sqrt((g * g).sum(axis=1))
+        g = g / np.where(norms == 0.0, 1.0, norms)[:, None]
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, n, max_block):
+            gi = g[i0 : i0 + max_block]
+            for j0 in range(i0, n, max_block):
+                s = gi @ g[j0 : j0 + max_block].T
+                ii, jj = np.nonzero(s >= threshold)
+                keep = (ii + i0) < (jj + j0)  # strict upper triangle
+                if not keep.any():
+                    continue
+                out_a.append(ids[ii[keep] + i0])
+                out_b.append(ids[jj[keep] + j0])
+                out_s.append(s[ii[keep], jj[keep]])
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        sim = np.concatenate(out_s)
+        # canonical orientation: id_a < id_b regardless of bucket order
+        flip = a > b
+        a2 = np.where(flip, b, a)
+        b2 = np.where(flip, a, b)
+        return pd.DataFrame({"id_a": a2, "id_b": b2, "cos_sim": sim})
+
+    pairs = bucketed.groupBy("_band", "_bkt").applyInPandas(_verify, out_schema)
+    return pairs.groupBy("id_a", "id_b").agg(
+        F.round(F.min("cos_sim"), 6).alias("cos_sim")
     )
 
 

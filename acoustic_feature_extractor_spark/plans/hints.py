@@ -28,9 +28,17 @@ DEFAULT_BROADCAST_CAP = 64 << 20
 
 def estimated_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's optimizer size estimate for the plan's output, in bytes
-    (driver-side, no job). None when the bridge/estimate is unavailable."""
+    (driver-side, no job). None when the bridge/estimate is unavailable.
+
+    The estimate is a BigInt whose magnitude MULTIPLIES through join
+    stacks — on iterative plans (connected components' hash-min loop) it
+    reaches millions of DIGITS, and stringifying it costs minutes of
+    driver CPU (BigInteger.toString is super-linear; observed 700+ s
+    wedging the py4j thread). Probe ``bitLength()`` first — O(1) — and
+    bail out for anything that can't fit a long: such a plan is
+    definitionally not broadcastable, the exact digits are irrelevant."""
     try:
-        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return None
 

@@ -133,6 +133,98 @@ class Snapshot:
     schema: str
     wall_ts: float
     lineage: dict = field(default_factory=dict)
+    # per-FILE column min/max for the dirs THIS snapshot wrote (Iceberg's
+    # manifest column stats): {file_rel: {col: [min, max, nulls, rows]}}.
+    # Harvested from parquet FOOTERS at commit time (no data scan) so a
+    # pruned read never opens footers — at 100 TB the stats live in the
+    # log, not in a million S3 footer round-trips per query.
+    stats: dict = field(default_factory=dict)
+
+
+def _enc_stat(v):
+    """JSON-encodable, ORDER-PRESERVING encoding of a parquet stat value.
+    Naive timestamps map through a fixed UTC offset (monotonic — a local
+    DST-aware conversion would not be); bytes/unencodable → None (column
+    dropped, file kept conservatively)."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return {"ts": v.timestamp()}
+    if isinstance(v, _dt.date):
+        return {"ts": _dt.datetime(v.year, v.month, v.day, tzinfo=_dt.timezone.utc).timestamp()}
+    return None
+
+
+def _stat_key(v):
+    """Comparable form of an ENCODED stat value (dict = timestamp)."""
+    return v["ts"] if isinstance(v, dict) else v
+
+
+def _collect_file_stats(table_path: str, rel_dir: str) -> dict:
+    """Per-file [min, max, null_count, num_rows] for every top-level
+    primitive column of every parquet file in ``rel_dir`` — read from the
+    footers only (pyarrow metadata; zero data pages touched). A column
+    missing min/max in ANY row group of a file is dropped for that file
+    (pruning then keeps the file: conservative in the safe direction)."""
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    d = os.path.join(table_path, rel_dir)
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(d, name)).metadata
+        rows = md.num_rows
+        # per column: [min, max, nulls, every_rg_covered] — a row group
+        # COVERS the column iff it has min/max or is provably all-null in
+        # it; one uncovered row group disqualifies the file's column
+        acc: dict = {}
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                path = c.path_in_schema
+                if "." in path:  # nested leaves (arrays/structs): skip
+                    continue
+                st = c.statistics
+                a = acc.setdefault(path, [None, None, 0, True])
+                nulls = (
+                    st.null_count
+                    if (st is not None and st.null_count is not None)
+                    else None
+                )
+                if nulls is None:
+                    a[2] = -(10**18)  # unknown nulls: poison the all-null test
+                elif a[2] >= 0:
+                    a[2] += nulls
+                if st is not None and st.has_min_max:
+                    mn, mx = _enc_stat(st.min), _enc_stat(st.max)
+                    if mn is None or mx is None:  # unencodable type
+                        a[3] = False
+                        continue
+                    if a[0] is None or _stat_key(mn) < _stat_key(a[0]):
+                        a[0] = mn
+                    if a[1] is None or _stat_key(mx) > _stat_key(a[1]):
+                        a[1] = mx
+                elif nulls is None or nulls != rg.num_rows:
+                    a[3] = False  # values exist (or might), bounds unknown
+        cols: dict = {}
+        for path, (mn, mx, nulls, covered) in acc.items():
+            if not covered:
+                continue
+            if 0 <= nulls == rows:
+                # all-null column: no min/max exists, but the file is
+                # provably dead to any range predicate
+                cols[path] = [None, None, rows, rows]
+            elif mn is not None:
+                cols[path] = [mn, mx, max(nulls, 0), rows]
+        if cols:
+            out[f"{rel_dir}/{name}"] = cols
+    return out
 
 
 def _log_path(table_path: str) -> str:
@@ -203,6 +295,7 @@ def commit(
             schema=df.schema.simpleString(),
             wall_ts=round(time.time(), 3),
             lineage=lineage or {},
+            stats=_collect_file_stats(table_path, rel),
         )
         _publish_log(table_path, snaps + [snap])
     return snap
@@ -226,6 +319,93 @@ def read(
             )
         snap = by_id[snapshot_id]
     return spark.read.parquet(*[os.path.join(table_path, d) for d in snap.dirs])
+
+
+def plan_scan(
+    table_path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    snapshot_id: int | None = None,
+) -> tuple[list[str], int]:
+    """File-level min/max pruning plan for ``lo <= col <= hi`` (either
+    bound optional): the kept file list (relative paths) and the total
+    file count at that snapshot. Driver-side metadata only — no job, no
+    footer reads (stats come from the log; each data dir is written by
+    exactly one snapshot, whose entry carries its files' stats).
+
+    Conservative by construction: a file is skipped only when its recorded
+    [min, max] provably cannot intersect the range, or when the column is
+    all-null in it (a range predicate never matches NULL). Files or
+    columns without stats are kept. The residual filter must still be
+    applied to kept files (:func:`read_where` does)."""
+    if lo is None and hi is None:
+        raise ValueError("plan_scan needs at least one bound")
+    snaps = _load_log(table_path)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    if snapshot_id is None:
+        target = snaps[-1]
+    else:
+        by_id = {s.snapshot_id: s for s in snaps}
+        if snapshot_id not in by_id:
+            raise KeyError(f"snapshot {snapshot_id} not in log")
+        target = by_id[snapshot_id]
+    stats: dict = {}
+    for s in snaps:
+        stats.update(s.stats or {})
+    klo = _stat_key(_enc_stat(lo)) if lo is not None else None
+    khi = _stat_key(_enc_stat(hi)) if hi is not None else None
+    kept: list[str] = []
+    total = 0
+    for d in target.dirs:
+        abs_d = os.path.join(table_path, d)
+        names = sorted(n for n in os.listdir(abs_d) if n.endswith(".parquet"))
+        for name in names:
+            rel = f"{d}/{name}"
+            total += 1
+            cs = stats.get(rel, {}).get(col)
+            if cs is None:
+                kept.append(rel)  # unknown: keep
+                continue
+            mn, mx, nulls, rows = cs
+            if rows == 0 or (nulls >= 0 and nulls == rows):
+                continue  # empty or all-null file: range can't match
+            if khi is not None and _stat_key(mn) > khi:
+                continue
+            if klo is not None and _stat_key(mx) < klo:
+                continue
+            kept.append(rel)
+    return kept, total
+
+
+def read_where(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo=None,
+    hi=None,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Range-predicate read with file-level data skipping: open ONLY the
+    files :func:`plan_scan` keeps, then apply the residual filter (pruning
+    is file-granular; kept files still carry out-of-range rows). With a
+    range-clustered layout (``df.repartitionByRange(n, col)`` before
+    commit) a narrow range reads a constant number of files regardless of
+    table size — the Iceberg metadata-pruning property this format exists
+    to reproduce. Empty keep-set returns an empty frame with the table
+    schema."""
+    kept, _ = plan_scan(table_path, col, lo=lo, hi=hi, snapshot_id=snapshot_id)
+    if not kept:
+        df = read(spark, table_path, snapshot_id).limit(0)
+    else:
+        df = spark.read.parquet(*[os.path.join(table_path, f) for f in kept])
+    c = F.col(col)
+    if lo is not None:
+        df = df.where(c >= F.lit(lo))
+    if hi is not None:
+        df = df.where(c <= F.lit(hi))
+    return df
 
 
 def rollback(table_path: str, snapshot_id: int) -> Snapshot:
@@ -386,6 +566,7 @@ def _merge_upsert_locked(
         schema=head.schema,
         wall_ts=round(time.time(), 3),
         lineage={**(lineage or {}), "rewritten_dirs": hit},
+        stats=_collect_file_stats(table_path, rel),
     )
     _publish_log(table_path, snaps + [snap])
     return snap
@@ -453,6 +634,7 @@ def _compact_locked(
         schema=head.schema,
         wall_ts=round(time.time(), 3),
         lineage={**(lineage or {}), "compacted_dirs": list(head.dirs)},
+        stats=_collect_file_stats(table_path, rel),
     )
     _publish_log(table_path, snaps + [snap])
     return snap

@@ -110,6 +110,9 @@ def test_no_unconditional_broadcast_of_fact_scaled_relations():
         # n_chunks offsets + <=max_entities picks + 1-row mixture total
         "operators/sample.py": 3,
         "functions/text.py": 1,   # 1-row vocab-size aggregate (bigram LM)
+        # hot-key set: <= total_rows/threshold keys by construction
+        # (hot_entity_keys output), key columns only
+        "operators/skew.py": 1,
     }
     for f in pkg.rglob("*.py"):
         if f.name == "hints.py":

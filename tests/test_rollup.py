@@ -110,3 +110,141 @@ def test_cascade_rejects_non_nested_widths(spark):
     hourly = rollup(df, 3600.0, "user_id", "value")
     with pytest.raises(ValueError, match="not a multiple"):
         rollup_coarser(hourly, 5000.0, "user_id", fine_seconds=3600.0)
+
+
+# ---------------------------------------------------------------------------
+# incremental maintenance: rollup_apply_changes ≡ full recompute
+# ---------------------------------------------------------------------------
+
+
+def _canon(df):
+    pdf = df.toPandas().sort_values(["user_id", "bucket"]).reset_index(drop=True)
+    pdf["sum_v"] = pdf["sum_v"].round(9)
+    pdf["avg_v"] = pdf["avg_v"].round(9)
+    return pdf
+
+
+def _changes_case(spark):
+    """Base events -> (old_rollup, changes, final_fact): updates (delete+
+    insert) in some groups, pure inserts into existing + brand-new groups,
+    and one group fully deleted."""
+    from acoustic_feature_extractor_spark.operators.rollup import time_bucket
+
+    base = _events(spark).cache()
+    old = rollup(base, 3600.0, by="user_id", value_col="value").cache()
+
+    # deletes: user 0's rows in its 2nd hour (update-like: half reinserted
+    # shifted), user 1's entire first hour (group vanishes)
+    with_b = base.withColumn("bucket", time_bucket("ts", 3600.0))
+    bkts = sorted(
+        r["bucket"]
+        for r in with_b.where("user_id = 0").select("bucket").distinct().collect()
+    )
+    b0 = bkts[1]
+    del_u0 = with_b.where((F.col("user_id") == 0) & (F.col("bucket") == b0))
+    b1 = sorted(
+        r["bucket"]
+        for r in with_b.where("user_id = 1").select("bucket").distinct().collect()
+    )[0]
+    del_u1 = with_b.where((F.col("user_id") == 1) & (F.col("bucket") == b1))
+    reins = del_u0.where(F.col("value") % 2 == 0).withColumn(
+        "value", F.col("value") + 0.5
+    )
+    # pure inserts: new rows for user 2 (existing groups) + user 7 (new)
+    import pandas as pd
+
+    t0 = pd.Timestamp("2024-03-01")
+    ins_new = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (2, t0 + pd.Timedelta(seconds=5), -50.0),
+                (7, t0 + pd.Timedelta(hours=30), 9.0),
+                (7, t0 + pd.Timedelta(hours=30, minutes=5), 11.0),
+            ],
+            columns=["user_id", "ts", "value"],
+        )
+    )
+    cols = ["user_id", "ts", "value"]
+    deletes = del_u0.select(*cols).unionByName(del_u1.select(*cols))
+    inserts = reins.select(*cols).unionByName(ins_new)
+    changes = deletes.withColumn("_change_type", F.lit("delete")).unionByName(
+        inserts.withColumn("_change_type", F.lit("insert"))
+    )
+    final = base.exceptAll(deletes).unionByName(inserts)
+    return old, changes, final
+
+
+def test_apply_changes_equals_recompute(spark):
+    from acoustic_feature_extractor_spark.operators.rollup import (
+        rollup_apply_changes,
+    )
+
+    old, changes, final = _changes_case(spark)
+    got = rollup_apply_changes(
+        old, changes, 3600.0, by="user_id", value_col="value", fact=final
+    )
+    exp = rollup(final, 3600.0, by="user_id", value_col="value")
+    pd_got, pd_exp = _canon(got), _canon(exp)
+    assert pd_got.shape == pd_exp.shape
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(
+        pd_got[pd_exp.columns], pd_exp, check_dtype=False, rtol=1e-9
+    )
+
+
+def test_apply_changes_insert_only_no_fact(spark):
+    """Pure appends never need the fact table — and the merged result is
+    exact (monoid append), including brand-new groups."""
+    from acoustic_feature_extractor_spark.operators.rollup import (
+        rollup_apply_changes,
+    )
+
+    base = _events(spark)
+    old = rollup(base, 3600.0, by="user_id", value_col="value")
+    _, changes, final = _changes_case(spark)
+    ins = changes.where("_change_type = 'insert'")
+    got = rollup_apply_changes(old, ins, 3600.0, by="user_id", value_col="value")
+    exp = rollup(
+        base.unionByName(ins.drop("_change_type")),
+        3600.0,
+        by="user_id",
+        value_col="value",
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(
+        _canon(got)[_canon(exp).columns], _canon(exp), check_dtype=False, rtol=1e-9
+    )
+
+
+def test_apply_changes_deletes_require_fact(spark):
+    from acoustic_feature_extractor_spark.operators.rollup import (
+        rollup_apply_changes,
+    )
+
+    old, changes, _ = _changes_case(spark)
+    with pytest.raises(ValueError, match="retractable"):
+        rollup_apply_changes(old, changes, 3600.0, by="user_id", value_col="value")
+
+
+def test_apply_changes_empty_group_vanishes(spark):
+    """A group whose rows are all deleted produces no output row."""
+    from acoustic_feature_extractor_spark.operators.rollup import (
+        rollup_apply_changes,
+    )
+
+    old, changes, final = _changes_case(spark)
+    got = rollup_apply_changes(
+        old, changes, 3600.0, by="user_id", value_col="value", fact=final
+    )
+    exp_groups = {
+        (r["user_id"], r["bucket"])
+        for r in rollup(final, 3600.0, by="user_id", value_col="value")
+        .select("user_id", "bucket")
+        .collect()
+    }
+    got_groups = {(r["user_id"], r["bucket"]) for r in got.select("user_id", "bucket").collect()}
+    assert got_groups == exp_groups
+    old_groups = {(r["user_id"], r["bucket"]) for r in old.select("user_id", "bucket").collect()}
+    assert len(old_groups - got_groups) == 1  # exactly the fully-deleted hour

@@ -8,6 +8,7 @@ import os
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from acoustic_feature_extractor_spark.sources import snapshots as snap
 
@@ -348,3 +349,131 @@ def test_read_changes_append_merge_compact(spark, tmp_path):
 
     with pytest.raises(KeyError):
         snap.read_changes(spark, t, 99)
+
+
+# ---------------------------------------------------------------------------
+# file-level column stats + data skipping
+# ---------------------------------------------------------------------------
+
+
+def test_commit_collects_file_stats(spark, tmp_path):
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "stats")
+    df = spark.createDataFrame(
+        [(i, float(i) * 2.0, f"k{i:03d}") for i in range(100)],
+        "id bigint, v double, name string",
+    ).repartitionByRange(4, "id")
+    s = snap.commit(df, t)
+    assert len(s.stats) == 4
+    # every file's recorded [min,max] brackets its actual rows, and the
+    # per-file ranges are disjoint (range-clustered write)
+    ranges = []
+    for rel, cols in s.stats.items():
+        got = spark.read.parquet(f"{t}/{rel}").agg(
+            F.min("id"), F.max("id"), F.min("name"), F.max("name")
+        ).collect()[0]
+        assert cols["id"][0] == got[0] and cols["id"][1] == got[1]
+        assert cols["name"][0] == got[2] and cols["name"][1] == got[3]
+        assert cols["id"][2] == 0  # null count
+        ranges.append((cols["id"][0], cols["id"][1]))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo
+
+
+def test_plan_scan_prunes_read_where_exact(spark, tmp_path):
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "prune")
+    df = spark.createDataFrame(
+        [(i, float(i % 7), f"g{i % 3}") for i in range(1000)],
+        "id bigint, v double, grp string",
+    ).repartitionByRange(8, "id")
+    snap.commit(df, t)
+    kept, total = snap.plan_scan(t, "id", lo=100, hi=220)
+    assert total == 8 and 1 <= len(kept) <= 3
+    got = snap.read_where(spark, t, "id", lo=100, hi=220)
+    exp = df.where((F.col("id") >= 100) & (F.col("id") <= 220))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    # string pruning
+    kept_s, total_s = snap.plan_scan(t, "grp", lo="g2", hi="g2")
+    assert total_s == 8 and len(kept_s) == 8  # every file holds g0..g2
+    # one-sided bounds
+    kept_lo, _ = snap.plan_scan(t, "id", lo=900)
+    assert 1 <= len(kept_lo) <= 2
+    # out-of-range: nothing kept, empty frame with table schema
+    kept0, _ = snap.plan_scan(t, "id", lo=10_000)
+    assert kept0 == []
+    empty = snap.read_where(spark, t, "id", lo=10_000)
+    assert empty.count() == 0 and empty.columns == ["id", "v", "grp"]
+
+
+def test_plan_scan_null_and_unknown_columns(spark, tmp_path):
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "nulls")
+    # one file all-null in v, one with values; array col has no stats
+    a = spark.createDataFrame(
+        [(i, None, [1.0, 2.0]) for i in range(10)],
+        "id bigint, v double, emb array<double>",
+    ).coalesce(1)
+    b = spark.createDataFrame(
+        [(i, float(i), [3.0]) for i in range(10, 20)],
+        "id bigint, v double, emb array<double>",
+    ).coalesce(1)
+    snap.commit(a, t)
+    s = snap.commit(b, t)
+    kept, total = snap.plan_scan(t, "v", lo=0.0, hi=100.0)
+    assert total == 2 and len(kept) == 1  # all-null file pruned
+    got = snap.read_where(spark, t, "v", lo=0.0, hi=100.0)
+    assert got.count() == 10
+    # column without stats (nested/list): conservative keep-everything
+    kept_u, total_u = snap.plan_scan(t, "emb", lo=0.0)
+    assert len(kept_u) == total_u == 2
+    # stats survive the JSON log round-trip
+    reloaded = snap.history(t)[-1]
+    assert reloaded.snapshot_id == s.snapshot_id and reloaded.stats
+
+
+def test_read_where_timestamps_and_merge(spark, tmp_path):
+    import datetime as dt
+
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "tsprune")
+    base = dt.datetime(2024, 5, 1)
+    df = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=i), float(i)) for i in range(600)],
+        "id bigint, ts timestamp, v double",
+    ).repartitionByRange(6, "ts")
+    snap.commit(df, t)
+    lo, hi = base + dt.timedelta(minutes=100), base + dt.timedelta(minutes=199)
+    kept, total = snap.plan_scan(t, "ts", lo=lo, hi=hi)
+    assert total == 6 and 1 <= len(kept) <= 2
+    got = snap.read_where(spark, t, "ts", lo=lo, hi=hi)
+    assert got.count() == 100
+    # after a merge the rewritten dir gets fresh stats; pruning stays exact
+    upd = spark.createDataFrame(
+        [(5, base + dt.timedelta(minutes=5), 99.0)], "id bigint, ts timestamp, v double"
+    )
+    snap.merge_upsert(spark, upd, t, key="id")
+    got2 = snap.read_where(spark, t, "ts", lo=lo, hi=hi)
+    assert got2.count() == 100
+    kept2, total2 = snap.plan_scan(t, "ts", lo=lo, hi=hi)
+    assert len(kept2) < total2
+    # time travel: pruning at the pre-merge snapshot still works
+    sid1 = snap.history(t)[0].snapshot_id
+    kept_tt, _ = snap.plan_scan(t, "ts", lo=lo, hi=hi, snapshot_id=sid1)
+    assert kept_tt == kept
+
+
+def test_plan_scan_requires_bound(spark, tmp_path):
+    import pytest as _pytest
+
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "nob")
+    snap.commit(spark.range(5), t)
+    with _pytest.raises(ValueError, match="bound"):
+        snap.plan_scan(t, "id")
