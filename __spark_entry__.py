@@ -1761,6 +1761,147 @@ FROM final GROUP BY 1, 2
 """
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned semi join (plans/bloom.py): lineitem against a
+    selective order-key set. The key side folds into a fixed-size bitmap
+    (bounded driver collect — n_bits/64 words regardless of key count);
+    the fact side tests k bits map-side so the shuffle into the exact
+    join carries only matches + false positives, never the whole fact
+    table. Result rows are EXACTLY the plain semi join (the oracle);
+    ``bloom_ok`` pins the pruning evidence — the prefilter must pass
+    strictly fewer rows than the fact table holds."""
+    from acoustic_feature_extractor_spark.plans.bloom import (
+        bloom_prefilter,
+        bloom_semi_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 400000.0)
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    n_fact = li.count()
+    n_pre = bloom_prefilter(li, keys, "l_orderkey").count()
+    return bloom_semi_join(li, keys, "l_orderkey").groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        F.lit(bool(0 < n_pre < n_fact)).alias("bloom_ok"),
+    )
+
+
+_SQL_BLOOM_SEMI_JOIN = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(l_extendedprice), 6) AS sum_price,
+       TRUE AS bloom_ok
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000.0)
+GROUP BY 1
+"""
+
+
+def q_pruned_scan_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column data skipping over a z-ordered layout
+    (sources/layout.py + snapshots.plan_scan_multi): events committed
+    clustered along the (user_id, value) Morton curve, then a conjunctive
+    box predicate prunes files on BOTH columns from the snapshot log's
+    per-file stats — the property no single-column range layout has
+    (``pruned_scan`` prunes on its one sort column only). ``pruned_ok``
+    pins the evidence: at most half the files survive the plan. The
+    oracle is the plain full-scan filter, proving skipping semantics-free."""
+    import tempfile
+
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+    from acoustic_feature_extractor_spark.sources.layout import zorder_layout
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    t = tempfile.mkdtemp(prefix="zorder_query_")
+    snap.commit(zorder_layout(ev, ["user_id", "value"], 32), t)
+    preds = {"user_id": (30, 79), "value": (100.0, 249.0)}
+    kept, total = snap.plan_scan_multi(t, preds)
+    df = snap.read_where_multi(spark, t, preds)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_v"),
+        F.lit(bool(total == 32 and 2 * len(kept) <= total)).alias("pruned_ok"),
+    )
+
+
+_SQL_PRUNED_SCAN_ZORDER = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(value), 6) AS sum_v,
+       TRUE AS pruned_ok
+FROM events
+WHERE user_id BETWEEN 30 AND 79 AND value BETWEEN 100.0 AND 249.0
+GROUP BY 1
+"""
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches in the rollup cascade
+    (sketches.hist_rollup/hist_coarser/hist_quantiles): hourly fixed-range
+    histograms (64 bins over [0, 512), w = 8 — exact in binary, so both
+    engines bin identically) merge element-wise to days, and p50/p90/p99
+    finalize from the merged counts with the grouped-data estimator. The
+    fact table is scanned ONCE at the finest grain; the oracle recomputes
+    the day histograms and the identical estimator from raw events,
+    proving the cascade lossless."""
+    from acoustic_feature_extractor_spark.operators import sketches as sk_ops
+
+    ev = _t(spark, sf_dir, "events")
+    fine = sk_ops.hist_rollup(
+        ev, 3600.0, "event_type", "value", lo=0.0, hi=512.0, bins=64
+    )
+    day = sk_ops.hist_coarser(fine, 86400.0, "event_type", fine_seconds=3600.0)
+    est = sk_ops.hist_quantiles(day, [0.5, 0.9, 0.99], lo=0.0, hi=512.0, bins=64)
+    return est.select(
+        "event_type",
+        F.round(F.col("bucket").cast("double"), 6).alias("bucket_sec"),
+        F.col("n").cast("long").alias("n"),
+        F.round("q5", 6).alias("p50_est"),
+        F.round("q9", 6).alias("p90_est"),
+        F.round("q99", 6).alias("p99_est"),
+    )
+
+
+# same binning (floor((v-0)/8) clamped to [0,63]) and the same grouped-data
+# estimator: at the crossing bin (cum >= t, cum-c < t, t = q*n),
+# est = 8*(bin + (t - prev)/c)
+_SQL_SKETCH_QUANTILES = """
+WITH binned AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 1000000.0 / 86400) * 86400 AS DOUBLE) AS bucket_sec,
+         CAST(least(greatest(floor((value - 0.0) / 8.0), 0), 63) AS BIGINT) AS bin
+  FROM events
+), counts AS (
+  SELECT event_type, bucket_sec, bin, count(*) AS c
+  FROM binned GROUP BY 1, 2, 3
+), cum AS (
+  SELECT event_type, bucket_sec, bin, c,
+         sum(c) OVER (PARTITION BY event_type, bucket_sec ORDER BY bin) AS cum,
+         sum(c) OVER (PARTITION BY event_type, bucket_sec) AS n
+  FROM counts
+)
+SELECT event_type, bucket_sec, CAST(n AS BIGINT) AS n,
+  ROUND(max(CASE WHEN cum >= 0.5*n AND cum - c < 0.5*n
+                 THEN 0.0 + 8.0 * (bin + (0.5*n - (cum - c)) / c) END), 6) AS p50_est,
+  ROUND(max(CASE WHEN cum >= 0.9*n AND cum - c < 0.9*n
+                 THEN 0.0 + 8.0 * (bin + (0.9*n - (cum - c)) / c) END), 6) AS p90_est,
+  ROUND(max(CASE WHEN cum >= 0.99*n AND cum - c < 0.99*n
+                 THEN 0.0 + 8.0 * (bin + (0.99*n - (cum - c)) / c) END), 6) AS p99_est
+FROM cum GROUP BY 1, 2, 3
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — EXACT all-pairs via the
     distributed block-matrix self-join (one BLAS matmul per block pair,
@@ -3499,6 +3640,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_changes": q_snapshot_changes,
         "rollup_incremental": q_rollup_incremental,
         "pruned_scan": q_pruned_scan,
+        "bloom_semi_join": q_bloom_semi_join,
+        "pruned_scan_zorder": q_pruned_scan_zorder,
+        "sketch_quantiles": q_sketch_quantiles,
         # -- block 4: r1/r2 queries already driver-green (replay-covered) --
         "lag_lead_context": q_lag_lead_context,
         "rolling_hop": q_rolling_hop,
@@ -3609,6 +3753,9 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "rollup_incremental": _SQL_ROLLUP_INCREMENTAL,
         "pruned_scan": _SQL_PRUNED_SCAN,
+        "bloom_semi_join": _SQL_BLOOM_SEMI_JOIN,
+        "pruned_scan_zorder": _SQL_PRUNED_SCAN_ZORDER,
+        "sketch_quantiles": _SQL_SKETCH_QUANTILES,
         # portable polynomial token hash -> DuckDB recomputes identical
         # fingerprints and checks the banded pair search against all-pairs
         "dedup_simhash": _simhash_sql(),

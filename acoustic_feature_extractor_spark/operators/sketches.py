@@ -92,3 +92,152 @@ def with_estimate(
 ) -> DataFrame:
     """Finalize: append the distinct estimate (long) from the sketch."""
     return df.withColumn(out_col, F.hll_sketch_estimate(F.col(sketch_col)))
+
+
+# ---------------------------------------------------------------------------
+# fixed-range histogram sketches: mergeable quantiles for the rollup cascade
+# ---------------------------------------------------------------------------
+#
+# Percentiles are the second non-decomposable aggregate class after
+# DISTINCT: a day's p99 is not any function of its hours' p99s. The
+# mergeable carrier here is a fixed-range equi-width histogram
+# (array<bigint> of `bins` counts over a pinned [lo, hi) domain): bucket
+# histograms sum element-wise upward losslessly, and any grain answers
+# any quantile from the merged counts with at most one bin-width of
+# error ((hi-lo)/bins — caller picks the resolution/size trade, 256 bins
+# of a bounded signal ≈ 2 KB per group). Same at-rest contract as the HLL
+# sketches above: the domain (lo, hi, bins) is pinned at write time and
+# every later merge must use the same parameters.
+#
+# Binning is `floor((v - lo) / w)` with w = (hi - lo)/bins computed ONCE
+# driver-side and embedded as a literal — bit-identical IEEE semantics in
+# any engine that evaluates the same expression (the DuckDB oracle
+# recomputes the histogram and the estimator from the raw facts), unlike
+# width_bucket whose internal rounding is implementation-defined.
+
+
+def hist_rollup(
+    df: DataFrame,
+    bucket_seconds: float,
+    by: str | list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    ts: str = "ts",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-(entity, bucket) histogram sketch of ``value_col``:
+    (by…, bucket, n, hist). Out-of-domain values clamp into the edge bins
+    (they still count; their position saturates). One shuffle — the
+    ``bins`` partial sums ride map-side combine as plain long buffers, so
+    the shuffle carries one array per group per task, not rows."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    w = (float(hi) - float(lo)) / int(bins)
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(w)), F.lit(0)
+        ),
+        F.lit(int(bins) - 1),
+    )
+    grouped = (
+        df.withColumn(bucket_col, time_bucket(ts, bucket_seconds))
+        .withColumn("_bin", bin_)
+        .groupBy(*by_cols, bucket_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((F.col("_bin") == i).cast("long")).alias(f"_h{i}")
+                for i in range(int(bins))
+            ],
+        )
+    )
+    return grouped.select(
+        *by_cols,
+        bucket_col,
+        "n",
+        F.array(*[f"_h{i}" for i in range(int(bins))]).alias("hist"),
+    )
+
+
+def hist_coarser(
+    fine: DataFrame,
+    bucket_seconds: float,
+    by: str | list[str],
+    bucket_col: str = "bucket",
+    fine_seconds: float | None = None,
+) -> DataFrame:
+    """Merge a finer histogram rollup to a coarser grain without touching
+    the fact table: counts sum, histograms sum element-wise. The merge
+    goes through posexplode + re-assembly (rollup rows × bins is tiny next
+    to the fact table; partial aggregation still combines map-side)."""
+    if fine_seconds is not None:
+        ratio = float(bucket_seconds) / float(fine_seconds)
+        if abs(ratio - round(ratio)) > 1e-9 or round(ratio) < 1:
+            raise ValueError(
+                f"coarse width {bucket_seconds}s is not a multiple of the fine "
+                f"width {fine_seconds}s — fine buckets would straddle coarse ones"
+            )
+    by_cols = [by] if isinstance(by, str) else list(by)
+    return (
+        fine.withColumn("_cb", time_bucket(bucket_col, bucket_seconds))
+        .select(*by_cols, "_cb", "n", F.posexplode("hist").alias("_i", "_c"))
+        .groupBy(*by_cols, "_cb", "_i")
+        .agg(F.sum("_c").alias("_c"))
+        .groupBy(*by_cols, "_cb")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_i", "_c"))),
+                lambda s: s["_c"],
+            ).alias("hist")
+        )
+        # n re-derives from the merged histogram (clamping preserved every
+        # row's count, so the bin sum IS the row count)
+        .withColumn(
+            "n", F.aggregate("hist", F.lit(0).cast("long"), lambda a, c: a + c)
+        )
+        .withColumnRenamed("_cb", bucket_col)
+    )
+
+
+def hist_quantiles(
+    df: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    hist_col: str = "hist",
+    n_col: str = "n",
+) -> DataFrame:
+    """Finalize: append one estimate column ``q<pct>`` per requested
+    quantile, interpolated uniformly inside the crossing bin — the
+    textbook grouped-data estimator: with cumulative counts c and target
+    t = q·n, the first bin i where c_i ≥ t yields
+    ``lo + w·(i + (t − c_{i−1}) / hist_i)``. Error ≤ one bin width.
+    Pure Column algebra over the array (O(bins²) slice-sums per row —
+    rollup rows, not fact rows)."""
+    w = (float(hi) - float(lo)) / int(bins)
+    cum = F.expr(
+        f"transform({hist_col}, (x, i) -> "
+        f"aggregate(slice({hist_col}, 1, i + 1), 0L, (a, b) -> a + b))"
+    )
+    out = df.withColumn("_cum", cum)
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile {q} outside (0, 1]")
+        t = F.col(n_col).cast("double") * F.lit(float(q))
+        idx = F.array_position(
+            F.transform(F.col("_cum"), lambda c: c.cast("double") >= t), F.lit(True)
+        ).cast("int")
+        prev = F.when(idx > 1, F.element_at("_cum", idx - 1)).otherwise(
+            F.lit(0)
+        ).cast("double")
+        cnt = F.element_at(hist_col, idx).cast("double")
+        est = F.lit(float(lo)) + F.lit(w) * (
+            (idx - 1).cast("double") + (t - prev) / cnt
+        )
+        name = f"q{str(q).replace('0.', '').replace('.', '_')}"
+        out = out.withColumn(name, F.when(F.col(n_col) > 0, est))
+    return out.drop("_cum")

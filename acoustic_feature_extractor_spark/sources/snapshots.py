@@ -339,8 +339,26 @@ def plan_scan(
     all-null in it (a range predicate never matches NULL). Files or
     columns without stats are kept. The residual filter must still be
     applied to kept files (:func:`read_where` does)."""
-    if lo is None and hi is None:
-        raise ValueError("plan_scan needs at least one bound")
+    return plan_scan_multi(table_path, {col: (lo, hi)}, snapshot_id=snapshot_id)
+
+
+def plan_scan_multi(
+    table_path: str,
+    preds: dict,
+    snapshot_id: int | None = None,
+) -> tuple[list[str], int]:
+    """Conjunctive multi-column pruning plan: ``preds`` maps column name →
+    ``(lo, hi)`` (either bound may be None, not both). A file is skipped
+    when ANY predicate provably cannot match it — with a multi-dimensional
+    clustering (:func:`~acoustic_feature_extractor_spark.sources.layout.zorder_layout`)
+    every predicate contributes skipping, which no single-column range
+    layout can offer. Same conservatism as :func:`plan_scan`: unknown
+    stats keep the file."""
+    if not preds:
+        raise ValueError("plan_scan_multi needs at least one predicate")
+    for c, (lo, hi) in preds.items():
+        if lo is None and hi is None:
+            raise ValueError(f"predicate on {c!r} needs at least one bound")
     snaps = _load_log(table_path)
     if not snaps:
         raise FileNotFoundError(f"no snapshots at {table_path}")
@@ -354,8 +372,13 @@ def plan_scan(
     stats: dict = {}
     for s in snaps:
         stats.update(s.stats or {})
-    klo = _stat_key(_enc_stat(lo)) if lo is not None else None
-    khi = _stat_key(_enc_stat(hi)) if hi is not None else None
+    keys = {
+        c: (
+            _stat_key(_enc_stat(lo)) if lo is not None else None,
+            _stat_key(_enc_stat(hi)) if hi is not None else None,
+        )
+        for c, (lo, hi) in preds.items()
+    }
     kept: list[str] = []
     total = 0
     for d in target.dirs:
@@ -364,18 +387,24 @@ def plan_scan(
         for name in names:
             rel = f"{d}/{name}"
             total += 1
-            cs = stats.get(rel, {}).get(col)
-            if cs is None:
-                kept.append(rel)  # unknown: keep
-                continue
-            mn, mx, nulls, rows = cs
-            if rows == 0 or (nulls >= 0 and nulls == rows):
-                continue  # empty or all-null file: range can't match
-            if khi is not None and _stat_key(mn) > khi:
-                continue
-            if klo is not None and _stat_key(mx) < klo:
-                continue
-            kept.append(rel)
+            fstats = stats.get(rel, {})
+            skip = False
+            for c, (klo, khi) in keys.items():
+                cs = fstats.get(c)
+                if cs is None:
+                    continue  # unknown column: this predicate can't prune
+                mn, mx, nulls, rows = cs
+                if rows == 0 or (nulls >= 0 and nulls == rows):
+                    skip = True  # empty or all-null: range can't match
+                    break
+                if khi is not None and _stat_key(mn) > khi:
+                    skip = True
+                    break
+                if klo is not None and _stat_key(mx) < klo:
+                    skip = True
+                    break
+            if not skip:
+                kept.append(rel)
     return kept, total
 
 
@@ -395,16 +424,33 @@ def read_where(
     table size — the Iceberg metadata-pruning property this format exists
     to reproduce. Empty keep-set returns an empty frame with the table
     schema."""
-    kept, _ = plan_scan(table_path, col, lo=lo, hi=hi, snapshot_id=snapshot_id)
+    return read_where_multi(
+        spark, table_path, {col: (lo, hi)}, snapshot_id=snapshot_id
+    )
+
+
+def read_where_multi(
+    spark: SparkSession,
+    table_path: str,
+    preds: dict,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Conjunctive-range read with multi-column file skipping: open only
+    the :func:`plan_scan_multi` keep-set, then apply every residual
+    filter. Pair with :func:`~acoustic_feature_extractor_spark.sources.layout.zorder_layout`
+    so that EVERY predicate column prunes, not just the one the files were
+    range-partitioned on."""
+    kept, _ = plan_scan_multi(table_path, preds, snapshot_id=snapshot_id)
     if not kept:
         df = read(spark, table_path, snapshot_id).limit(0)
     else:
         df = spark.read.parquet(*[os.path.join(table_path, f) for f in kept])
-    c = F.col(col)
-    if lo is not None:
-        df = df.where(c >= F.lit(lo))
-    if hi is not None:
-        df = df.where(c <= F.lit(hi))
+    for col, (lo, hi) in preds.items():
+        c = F.col(col)
+        if lo is not None:
+            df = df.where(c >= F.lit(lo))
+        if hi is not None:
+            df = df.where(c <= F.lit(hi))
     return df
 
 

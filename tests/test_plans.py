@@ -113,6 +113,8 @@ def test_no_unconditional_broadcast_of_fact_scaled_relations():
         # hot-key set: <= total_rows/threshold keys by construction
         # (hot_entity_keys output), key columns only
         "operators/skew.py": 1,
+        # ONE-row bloom bitmap (n_bits/8 bytes whatever the key count)
+        "plans/bloom.py": 1,
     }
     for f in pkg.rglob("*.py"):
         if f.name == "hints.py":

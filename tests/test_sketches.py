@@ -78,3 +78,104 @@ def test_width_guard(spark, events):
     fine = distinct_rollup(events, 3600.0, "g", "user_id")
     with pytest.raises(ValueError, match="multiple"):
         distinct_coarser(fine, 5000.0, "g", fine_seconds=3600.0)
+
+
+# ---------------------------------------------------------------------------
+# fixed-range histogram sketches: mergeable quantiles
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # 4 entities x 48 hours, value in [0, 100) with entity-specific shape
+    return spark.range(40_000).selectExpr(
+        "id % 4 AS g",
+        "timestamp_micros(CAST(1704067200000000 + id * 4000000 AS BIGINT)) AS ts",
+        "CAST(pmod(xxhash64(id, CAST(id % 4 AS INT)), 10000) AS DOUBLE) / 100.0 AS value",
+    ).cache()
+
+
+def _hist_ops():
+    from acoustic_feature_extractor_spark.operators.sketches import (
+        hist_coarser,
+        hist_quantiles,
+        hist_rollup,
+    )
+
+    return hist_rollup, hist_coarser, hist_quantiles
+
+
+def test_hist_cascade_equals_direct(spark, values):
+    """Merged hourly histograms are BIT-IDENTICAL to sketching the day
+    directly — the lossless-merge property that lets quantiles cascade
+    without the fact table."""
+    hist_rollup, hist_coarser, _ = _hist_ops()
+    fine = hist_rollup(values, 3600.0, "g", "value", lo=0.0, hi=100.0, bins=64)
+    day_m = hist_coarser(fine, 86400.0, "g", fine_seconds=3600.0)
+    day_d = hist_rollup(values, 86400.0, "g", "value", lo=0.0, hi=100.0, bins=64)
+    merged = {(r["g"], r["bucket"]): (r["n"], tuple(r["hist"])) for r in day_m.collect()}
+    direct = {(r["g"], r["bucket"]): (r["n"], tuple(r["hist"])) for r in day_d.collect()}
+    assert merged == direct
+
+
+def test_hist_quantile_error_bound(spark, values):
+    """Every estimated quantile sits within one bin width of the exact
+    percentile, for every group x day x q — the sketch's contract."""
+    hist_rollup, hist_coarser, hist_quantiles = _hist_ops()
+    fine = hist_rollup(values, 3600.0, "g", "value", lo=0.0, hi=100.0, bins=64)
+    day = hist_coarser(fine, 86400.0, "g", fine_seconds=3600.0)
+    est = hist_quantiles(day, [0.5, 0.9, 0.99], lo=0.0, hi=100.0, bins=64)
+    from acoustic_feature_extractor_spark.operators.rollup import time_bucket
+
+    exact = (
+        values.withColumn("bucket", time_bucket("ts", 86400.0))
+        .groupBy("g", "bucket")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("e5"),
+            F.expr("percentile(value, 0.9)").alias("e9"),
+            F.expr("percentile(value, 0.99)").alias("e99"),
+        )
+    )
+    w = 100.0 / 64
+    rows = est.join(exact, ["g", "bucket"]).collect()
+    assert len(rows) >= 8
+    for r in rows:
+        assert abs(r["q5"] - r["e5"]) <= w + 1e-9
+        assert abs(r["q9"] - r["e9"]) <= w + 1e-9
+        assert abs(r["q99"] - r["e99"]) <= w + 1e-9
+
+
+def test_hist_clamps_out_of_domain(spark):
+    hist_rollup, _, hist_quantiles = _hist_ops()
+    df = spark.createDataFrame(
+        [(1, -50.0), (1, 5.0), (1, 5.0), (1, 250.0)], "g bigint, value double"
+    ).withColumn("ts", F.expr("timestamp '2024-01-01'"))
+    h = hist_rollup(df, 3600.0, "g", "value", lo=0.0, hi=10.0, bins=10)
+    row = h.collect()[0]
+    assert row["n"] == 4
+    assert row["hist"][0] == 1 and row["hist"][5] == 2 and row["hist"][9] == 1
+    # clamped mass still counts toward ranks
+    q = hist_quantiles(h, [0.5], lo=0.0, hi=10.0, bins=10).collect()[0]
+    assert 5.0 <= q["q5"] <= 6.0
+
+
+def test_hist_survives_parquet(spark, values, tmp_path):
+    hist_rollup, hist_coarser, _ = _hist_ops()
+    p = str(tmp_path / "hist")
+    hist_rollup(values, 3600.0, "g", "value", lo=0.0, hi=100.0, bins=32).write.parquet(p)
+    day = hist_coarser(spark.read.parquet(p), 86400.0, "g", fine_seconds=3600.0)
+    direct = hist_rollup(values, 86400.0, "g", "value", lo=0.0, hi=100.0, bins=32)
+    a = {(r["g"], r["bucket"]): tuple(r["hist"]) for r in day.collect()}
+    b = {(r["g"], r["bucket"]): tuple(r["hist"]) for r in direct.collect()}
+    assert a == b
+
+
+def test_hist_validation(spark, values):
+    hist_rollup, hist_coarser, hist_quantiles = _hist_ops()
+    with pytest.raises(ValueError, match="hi > lo"):
+        hist_rollup(values, 3600.0, "g", "value", lo=5.0, hi=5.0)
+    fine = hist_rollup(values, 3600.0, "g", "value", lo=0.0, hi=100.0, bins=8)
+    with pytest.raises(ValueError, match="multiple"):
+        hist_coarser(fine, 5000.0, "g", fine_seconds=3600.0)
+    with pytest.raises(ValueError, match="outside"):
+        hist_quantiles(fine, [1.5], lo=0.0, hi=100.0, bins=8)
