@@ -84,6 +84,86 @@ def streaming_rollup(
     )
 
 
+def streaming_distinct_rollup(
+    stream: DataFrame,
+    bucket_seconds: float,
+    by: str = "user_id",
+    value_col: str = "value",
+    ts: str = "ts",
+    watermark: str = "10 minutes",
+    lgk: int = 14,
+) -> DataFrame:
+    """Streaming twin of ``operators/sketches.distinct_rollup``: per-
+    (entity, bucket) HLL sketches over a live feed. The emitted schema is
+    the batch rollup's (bucket = window start), so a ``snapshot_sink`` of
+    this stream is a sketches-at-rest table the batch
+    ``sketches.distinct_coarser`` merges upward WITHOUT ever seeing the
+    raw feed — the stream is the only component that touches raw events.
+    Sketch state is bounded: one ~lgk-sized buffer per open (entity,
+    bucket), evicted at the watermark."""
+    w = F.window(
+        F.col(ts), f"{int(round(float(bucket_seconds) * 1e6))} microseconds"
+    )
+    return (
+        stream.withWatermark(ts, watermark)
+        .groupBy(F.col(by), w.alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.hll_sketch_agg(F.col(value_col), F.lit(int(lgk))).alias("sketch"),
+        )
+        .select(by, F.col("_w.start").alias("bucket"), "n", "sketch")
+    )
+
+
+def streaming_hist_rollup(
+    stream: DataFrame,
+    bucket_seconds: float,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    by: str = "user_id",
+    value_col: str = "value",
+    ts: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of ``operators/sketches.hist_rollup``: per-(entity,
+    bucket) fixed-range histogram sketches (same pinned [lo, hi)/bins
+    domain and the same binning arithmetic, so stream-landed histograms
+    merge losslessly with batch ones in ``sketches.hist_coarser`` and
+    finalize in ``sketches.hist_quantiles``). State per open group is the
+    ``bins`` long counters — constant, watermark-evicted."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    w_bin = (float(hi) - float(lo)) / int(bins)
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(w_bin)), F.lit(0)
+        ),
+        F.lit(int(bins) - 1),
+    )
+    w = F.window(
+        F.col(ts), f"{int(round(float(bucket_seconds) * 1e6))} microseconds"
+    )
+    return (
+        stream.withColumn("_bin", bin_)
+        .withWatermark(ts, watermark)
+        .groupBy(F.col(by), w.alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((F.col("_bin") == i).cast("long")).alias(f"_h{i}")
+                for i in range(int(bins))
+            ],
+        )
+        .select(
+            by,
+            F.col("_w.start").alias("bucket"),
+            "n",
+            F.array(*[f"_h{i}" for i in range(int(bins))]).alias("hist"),
+        )
+    )
+
+
 def streaming_state_fill(
     stream: DataFrame,
     value_col: str = "tool",

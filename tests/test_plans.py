@@ -300,3 +300,57 @@ def test_quantile_bin_no_global_sort(spark, entry_mod):
     plan = _plan(entry_mod.queries()["quantile_bin"](spark, SF))
     assert "Exchange rangepartitioning" not in plan, plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_prefilter_map_side(spark):
+    """The bloom probe costs the fact side ZERO shuffles: the bitmap
+    arrives as a one-row broadcast, the k bit tests evaluate in the scan
+    stage (pure JVM), and no Exchange appears anywhere in the plan."""
+    import re
+
+    from acoustic_feature_extractor_spark.plans.bloom import bloom_prefilter
+
+    fact = spark.range(10_000).selectExpr("id", "id % 97 AS key")
+    keys = spark.range(10).selectExpr("id * 9 AS key")
+    plan = _plan(bloom_prefilter(fact, keys, "key"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert not re.findall(r"\(\d+\) Exchange\b", plan), plan[:2000]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_zorder_layout_single_range_exchange(spark):
+    """The whole multi-dim clustering is ONE range shuffle on the z-value;
+    the curve itself is codegen Column algebra, not Python."""
+    import re
+
+    from acoustic_feature_extractor_spark.sources.layout import zorder_layout
+
+    df = spark.range(20_000).selectExpr(
+        "id",
+        "CAST(pmod(xxhash64(id), 100) AS DOUBLE) AS x",
+        "CAST(pmod(xxhash64(id, 3), 100) AS DOUBLE) AS y",
+    )
+    plan = _plan(zorder_layout(df, ["x", "y"], 8))
+    ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert ex == 1, f"expected 1 range exchange, saw {ex}\n{plan[:2000]}"
+    assert "rangepartitioning" in plan.lower()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_hist_rollup_single_exchange_partial_agg(spark):
+    """Histogram sketching is one partial/final aggregate: the shuffle
+    carries per-group bin counts (map-side combined), never raw rows."""
+    import re
+
+    from acoustic_feature_extractor_spark.operators.sketches import hist_rollup
+
+    df = spark.range(20_000).selectExpr(
+        "id % 5 AS g",
+        "timestamp_micros(CAST(1704067200000000 + id * 1000000 AS BIGINT)) AS ts",
+        "CAST(pmod(id, 100) AS DOUBLE) AS value",
+    )
+    plan = _plan(hist_rollup(df, 3600.0, "g", "value", lo=0.0, hi=100.0, bins=16))
+    ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert ex == 1, f"expected 1 exchange, saw {ex}\n{plan[:2000]}"
+    assert "HashAggregate" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -316,3 +316,98 @@ def test_streaming_asof_enrich_matches_batch_asof(spark, transcripts):
         finally:
             q.stop()
     assert got == want
+
+
+def test_streaming_sketch_rollups_merge_with_batch(spark):
+    """Stream-landed sketch rollups must be BIT-IDENTICAL inputs to the
+    batch cascade: hist_coarser/distinct_coarser over the streamed hourly
+    table equals computing the day sketch directly over the raw events —
+    the lambda-architecture closure (only the stream touches raw data)."""
+    import pyspark.sql.functions as F
+
+    from acoustic_feature_extractor_spark.operators.sketches import (
+        hist_coarser,
+        hist_rollup,
+        with_estimate,
+    )
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_distinct_rollup,
+        streaming_hist_rollup,
+    )
+
+    events = spark.range(20_000).selectExpr(
+        "id % 3 AS user_id",
+        "timestamp_micros(CAST(1704067200000000 + id * 8000000 AS BIGINT)) AS ts",
+        "CAST(pmod(xxhash64(id), 1000) AS DOUBLE) / 10.0 AS value",
+        "pmod(xxhash64(id, 3), 500) AS visitor",  # HLL input (int/long/str only)
+    ).cache()
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        events.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        hq = (
+            streaming_hist_rollup(stream, 3600.0, lo=0.0, hi=100.0, bins=32)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("hist_stream")
+            .start()
+        )
+        stream2 = spark.readStream.schema(schema).parquet(src)
+        dq = (
+            streaming_distinct_rollup(stream2, 3600.0, value_col="visitor", lgk=12)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("hll_stream")
+            .start()
+        )
+        try:
+            hq.processAllAvailable()
+            dq.processAllAvailable()
+            landed_h = spark.table("hist_stream").cache()
+            landed_d = spark.table("hll_stream").cache()
+            landed_h.count(), landed_d.count()
+        finally:
+            hq.stop()
+            dq.stop()
+
+        # histogram: batch cascade over the stream's table == direct day sketch
+        day_m = hist_coarser(landed_h, 86400.0, "user_id", fine_seconds=3600.0)
+        day_d = hist_rollup(
+            events, 86400.0, "user_id", "value", lo=0.0, hi=100.0, bins=32
+        )
+        a = {
+            (r["user_id"], r["bucket"]): (r["n"], tuple(r["hist"]))
+            for r in day_m.collect()
+        }
+        b = {
+            (r["user_id"], r["bucket"]): (r["n"], tuple(r["hist"]))
+            for r in day_d.collect()
+        }
+        # streaming buckets are timestamps; batch time_bucket emits
+        # timestamps too — keys must line up exactly
+        assert a == b and len(a) >= 3
+
+        # HLL: union of streamed hourly sketches lands within the sketch's
+        # accuracy bound of the EXACT day distinct (bit-equality with a
+        # direct day sketch is not guaranteed once sketches leave sparse
+        # mode — hourly unions and one-shot builds may transition modes
+        # at different points; the estimate contract is what holds)
+        from acoustic_feature_extractor_spark.operators.rollup import time_bucket
+        from acoustic_feature_extractor_spark.operators.sketches import (
+            distinct_coarser,
+        )
+
+        est_m = with_estimate(
+            distinct_coarser(landed_d, 86400.0, "user_id", fine_seconds=3600.0)
+        )
+        exact = (
+            events.withColumn("bucket", time_bucket("ts", 86400.0))
+            .groupBy("user_id", "bucket")
+            .agg(F.count_distinct("visitor").alias("exact"))
+        )
+        rows = est_m.join(exact, ["user_id", "bucket"]).collect()
+        assert len(rows) >= 3
+        for r in rows:
+            assert abs(r["distinct_est"] - r["exact"]) <= max(2, 0.03 * r["exact"])
