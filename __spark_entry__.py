@@ -1902,6 +1902,57 @@ FROM cum GROUP BY 1, 2, 3
 """
 
 
+def q_snapshot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-scan table profiling (snapshots.table_profile): per-column
+    rows/nulls/min/max aggregated purely from the snapshot log's per-file
+    stats — no data pages, no footers, O(files) driver work (the
+    schema-drift / freshness-monitor primitive priced at metadata). The
+    oracle recomputes the same profile from the RAW rows, proving the
+    commit-time stats harvest truthful."""
+    import tempfile
+
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    t = tempfile.mkdtemp(prefix="profile_query_")
+    snap.commit(ev.repartition(8), t)
+    prof = snap.table_profile(t)
+    rows = [
+        (c, int(v[3]), int(v[2]), float(v[0]), float(v[1]))
+        for c, v in sorted(prof.items())
+    ]
+    return spark.createDataFrame(
+        rows, "col_name string, n_rows bigint, n_nulls bigint, min_v double, max_v double"
+    ).select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+    )
+
+
+_SQL_SNAPSHOT_PROFILE = """
+SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+       ROUND(CAST(min(event_id) AS DOUBLE), 6) AS min_v,
+       ROUND(CAST(max(event_id) AS DOUBLE), 6) AS max_v
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(user_id) AS BIGINT),
+       ROUND(CAST(min(user_id) AS DOUBLE), 6),
+       ROUND(CAST(max(user_id) AS DOUBLE), 6)
+FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) AS BIGINT),
+       CAST(count(*) - count(value) AS BIGINT),
+       ROUND(CAST(min(value) AS DOUBLE), 6),
+       ROUND(CAST(max(value) AS DOUBLE), 6)
+FROM events
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — EXACT all-pairs via the
     distributed block-matrix self-join (one BLAS matmul per block pair,
@@ -3600,7 +3651,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "rolling_stats": q_rolling_stats,
         "multi_align": q_multi_align,
-        "tpch_q1": q_tpch_q1,
         # -- block 2: r2 queries not yet seen by the driver gate ----------
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -3643,7 +3693,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "pruned_scan_zorder": q_pruned_scan_zorder,
         "sketch_quantiles": q_sketch_quantiles,
+        "snapshot_profile": q_snapshot_profile,
         # -- block 4: r1/r2 queries already driver-green (replay-covered) --
+        # (tpch_q1 demoted from the sentinel block in r3 — driver-green in
+        # BOTH r1 and r2, giving its window slot to snapshot_profile)
+        "tpch_q1": q_tpch_q1,
         "lag_lead_context": q_lag_lead_context,
         "rolling_hop": q_rolling_hop,
         "session_bounds": q_session_bounds,
@@ -3756,6 +3810,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": _SQL_BLOOM_SEMI_JOIN,
         "pruned_scan_zorder": _SQL_PRUNED_SCAN_ZORDER,
         "sketch_quantiles": _SQL_SKETCH_QUANTILES,
+        "snapshot_profile": _SQL_SNAPSHOT_PROFILE,
         # portable polynomial token hash -> DuckDB recomputes identical
         # fingerprints and checks the banded pair search against all-pairs
         "dedup_simhash": _simhash_sql(),

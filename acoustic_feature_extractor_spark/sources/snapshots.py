@@ -213,6 +213,19 @@ def _collect_file_stats(table_path: str, rel_dir: str) -> dict:
                 elif nulls is None or nulls != rg.num_rows:
                     a[3] = False  # values exist (or might), bounds unknown
         cols: dict = {}
+        if rows == 0:
+            # EMPTY file (possible after merges/repartitions): record every
+            # top-level primitive column as 0-row so pruning can skip the
+            # file outright and table_profile keeps full coverage — an
+            # absent entry would read as "stats unknown" instead
+            sch = pq.ParquetFile(os.path.join(d, name)).schema_arrow
+            for f in sch:
+                if not (
+                    str(f.type).startswith("list")
+                    or str(f.type).startswith("struct")
+                    or str(f.type).startswith("map")
+                ):
+                    cols[f.name] = [None, None, 0, 0]
         for path, (mn, mx, nulls, covered) in acc.items():
             if not covered:
                 continue
@@ -452,6 +465,59 @@ def read_where_multi(
         if hi is not None:
             df = df.where(c <= F.lit(hi))
     return df
+
+
+def table_profile(table_path: str, snapshot_id: int | None = None) -> dict:
+    """Table-level column profile — ``{col: [min, max, n_nulls, n_rows]}``
+    — aggregated ENTIRELY from the snapshot log's per-file stats: zero
+    data scan, zero footer reads, O(files) driver work. The
+    warehouse-monitoring primitive (schema-drift checks, freshness/nullity
+    alarms, CBO inputs) priced at metadata.
+
+    A column appears only when EVERY live file carries its stats (a
+    partial aggregate would silently lie); all-null files contribute
+    nulls/rows but no bounds. Timestamp bounds come back as the log's
+    order-preserving encoding (`{"ts": epoch_seconds}` dicts)."""
+    snaps = _load_log(table_path)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    if snapshot_id is None:
+        target = snaps[-1]
+    else:
+        by_id = {s.snapshot_id: s for s in snaps}
+        if snapshot_id not in by_id:
+            raise KeyError(f"snapshot {snapshot_id} not in log")
+        target = by_id[snapshot_id]
+    stats: dict = {}
+    for s in snaps:
+        stats.update(s.stats or {})
+    acc: dict = {}
+    n_files = 0
+    for d in target.dirs:
+        abs_d = os.path.join(table_path, d)
+        for name in sorted(n for n in os.listdir(abs_d) if n.endswith(".parquet")):
+            n_files += 1
+            fstats = stats.get(f"{d}/{name}")
+            if fstats is None:
+                return {}  # a file without stats: no trustworthy profile
+            for c, (mn, mx, nulls, rows) in fstats.items():
+                a = acc.setdefault(c, [None, None, 0, 0, 0])
+                a[2] += max(int(nulls), 0)
+                a[3] += int(rows)
+                a[4] += 1  # files covering this column
+                if mn is not None and (
+                    a[0] is None or _stat_key(mn) < _stat_key(a[0])
+                ):
+                    a[0] = mn
+                if mx is not None and (
+                    a[1] is None or _stat_key(mx) > _stat_key(a[1])
+                ):
+                    a[1] = mx
+    return {
+        c: [mn, mx, nulls, rows]
+        for c, (mn, mx, nulls, rows, cover) in acc.items()
+        if cover == n_files
+    }
 
 
 def rollback(table_path: str, snapshot_id: int) -> Snapshot:

@@ -477,3 +477,41 @@ def test_plan_scan_requires_bound(spark, tmp_path):
     snap.commit(spark.range(5), t)
     with _pytest.raises(ValueError, match="bound"):
         snap.plan_scan(t, "id")
+
+
+def test_table_profile_zero_scan(spark, tmp_path):
+    """table_profile aggregates the log's per-file stats into per-column
+    (min, max, nulls, rows) matching the real data — including nulls,
+    timestamps, and post-merge snapshots."""
+    import datetime as dt
+
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "profile")
+    base = dt.datetime(2024, 7, 1)
+    df = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(minutes=i), float(i) if i % 4 else None)
+            for i in range(200)
+        ],
+        "id bigint, ts timestamp, v double",
+    ).repartition(4)
+    snap.commit(df, t)
+    prof = snap.table_profile(t)
+    assert prof["id"][:2] == [0, 199]
+    assert prof["id"][2] == 0 and prof["id"][3] == 200
+    assert prof["v"][2] == 50 and prof["v"][3] == 200  # i % 4 == 0 nulls
+    assert prof["v"][:2] == [1.0, 199.0]  # 0 is null, so min is 1.0
+    # timestamps come back in the log's order-preserving encoding
+    assert prof["ts"][0] == {"ts": base.replace(tzinfo=dt.timezone.utc).timestamp()}
+    # a merge refreshes the profile (new max)
+    upd = spark.createDataFrame(
+        [(500, base + dt.timedelta(days=2), 999.0)], "id bigint, ts timestamp, v double"
+    )
+    snap.merge_upsert(spark, upd, t, key="id")
+    prof2 = snap.table_profile(t)
+    assert prof2["id"][1] == 500 and prof2["v"][1] == 999.0
+    assert prof2["id"][3] == 201
+    # historical snapshot still profiles the old state
+    sid1 = snap.history(t)[0].snapshot_id
+    assert snap.table_profile(t, snapshot_id=sid1)["id"][1] == 199
