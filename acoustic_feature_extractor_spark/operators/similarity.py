@@ -745,3 +745,261 @@ def embedding_label_outliers(
         sim.alias("cos_centroid"),
         F.coalesce(sim < F.lit(float(threshold)), F.lit(True)).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ): ANN over compressed codes
+# ---------------------------------------------------------------------------
+#
+# At 10^9+ vectors the IVF partition pruning above still reads FULL vectors
+# (dim doubles per candidate). Product quantization (Jégou et al. 2011, the
+# Faiss IVF-PQ design) stores each vector as m small codes instead: the
+# dimension splits into m subspaces, each subspace gets its own k-entry
+# codebook (L2 Lloyd over sub-vectors), and a vector is the tuple of its m
+# nearest sub-centroid ids. A query precomputes ONE lookup table of
+# (sub-query · sub-centroid) partial products — m·k numbers — and scoring a
+# candidate is m table lookups + adds instead of a dim-length dot product,
+# over an at-rest representation dim/m·(64/ceil(log2 k)) × smaller.
+#
+# Everything is Column algebra: codebooks ride the plan as parsed SQL
+# literals (same single-F.expr trick as _nearest_centroid_cols — one parse,
+# no per-literal py4j round trips), encoding/LUT/scoring are HOF
+# expressions, and the optional exact re-rank joins the shortlist back to
+# the full vectors so the returned cos_sim is TRUE cosine.
+
+
+def _dot_sql(a: str, b_vals: list[float]) -> str:
+    vals = ", ".join(f"{x!r}d" for x in b_vals)
+    return f"aggregate(zip_with({a}, array({vals}), (x, y) -> x * y), 0d, (a, v) -> a + v)"
+
+
+def _unit_vec(vec: str) -> Column:
+    """Unit-normalized copy of an array<double> column (zero vectors pass
+    through unchanged — they score 0 everywhere, same contract as
+    :func:`cosine`'s NULL)."""
+    nrm = f"sqrt(aggregate({vec}, 0d, (a, v) -> a + v * v))"
+    return F.expr(
+        f"CASE WHEN {nrm} = 0d THEN {vec} "
+        f"ELSE transform({vec}, x -> x / {nrm}) END"
+    )
+
+
+def _pq_code_sql(vec: str, codebook: list[list[float]], off: int, ln: int) -> str:
+    """SQL for the L2-nearest sub-centroid id of slice(vec, off, ln):
+    argmin |x-c|^2 = argmax (2 c·x - |c|^2) — the |x|^2 term is constant
+    across candidates."""
+    sub = f"slice({vec}, {off}, {ln})"
+    structs = ", ".join(
+        "named_struct('s', 2d * {dot} - {nrm!r}d, 'cid', {i})".format(
+            dot=_dot_sql(sub, c), nrm=sum(x * x for x in c), i=i
+        )
+        for i, c in enumerate(codebook)
+    )
+    return f"element_at(reverse(array_sort(array({structs}))), 1).cid"
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    pq_k: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks (m × pq_k × dim/m): deterministic
+    hash-pick init, then ``n_iter`` L2 Lloyd rounds per subspace. Each
+    round is one partial/final aggregate whose shuffle carries pq_k ×
+    sublen partial sums per task — never corpus rows; the driver only
+    holds the codebook matrices. ``normalize`` trains on unit vectors
+    (cosine convention — encode with the same flag)."""
+    dim = len(
+        corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .limit(1)
+        .collect()[0]["_v"]
+    )
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    ln = dim // m
+    base = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    if normalize:
+        base = base.withColumn("_v", _unit_vec("_v"))
+    base = base.persist()
+    try:
+        books: list[list[list[float]]] = []
+        for j in range(int(m)):
+            off = j * ln + 1
+            sub = base.select(
+                "_id", F.expr(f"slice(_v, {off}, {ln})").alias("_s")
+            )
+            cents = [
+                list(r["_s"])
+                for r in sub.orderBy(
+                    F.xxhash64(F.col("_id").cast("string"), F.lit(j)), F.col("_id")
+                )
+                .limit(int(pq_k))
+                .collect()
+            ]
+            for _ in range(max(int(n_iter), 0)):
+                rows = (
+                    sub.withColumn(
+                        "_c", F.expr(_pq_code_sql("_s", cents, 1, ln))
+                    )
+                    .select("_c", F.posexplode("_s").alias("_dim", "_x"))
+                    .groupBy("_c", "_dim")
+                    .agg(F.avg("_x").alias("_mu"))
+                    .collect()  # pq_k × sublen rows
+                )
+                means: dict[int, list[float]] = {}
+                for r in rows:
+                    means.setdefault(r["_c"], [0.0] * ln)[r["_dim"]] = r["_mu"]
+                cents = [means.get(i, old) for i, old in enumerate(cents)]
+            books.append(cents)
+        return books
+    finally:
+        base.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    normalize: bool = True,
+) -> DataFrame:
+    """(id, codes) — each vector compressed to its m sub-centroid ids
+    (array<int>). This is the at-rest ANN representation: for dim=64
+    doubles → 8 ints, a 16× shrink before bit-packing. One map-only
+    projection, no shuffle."""
+    ln = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    out = df.select(F.col(id_col), v.alias("_v"))
+    if normalize:
+        out = out.withColumn("_v", _unit_vec("_v"))
+    code_exprs = ", ".join(
+        _pq_code_sql("_v", cb, j * ln + 1, ln) for j, cb in enumerate(codebooks)
+    )
+    return out.select(id_col, F.expr(f"array({code_exprs})").alias(codes_col))
+
+
+def _pq_lut_sql(vec: str, codebooks: list[list[list[float]]]) -> str:
+    """SQL for the query-side lookup table: flat array<double> of
+    (sub-query · sub-centroid) for every (subspace j, code c), indexed
+    j·pq_k + c. Computed ONCE per query row; scoring a candidate is then
+    m lookups instead of a dim-length dot product."""
+    ln = len(codebooks[0][0])
+    cells = []
+    for j, cb in enumerate(codebooks):
+        sub = f"slice({vec}, {j * ln + 1}, {ln})"
+        cells.extend(_dot_sql(sub, c) for c in cb)
+    return f"array({', '.join(cells)})"
+
+
+def cosine_topk_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    pq_k: int = 16,
+    refine_factor: int | None = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF coarse lists + PQ-compressed
+    scoring: candidates come from the query's ``n_probe`` nearest inverted
+    lists (same coarse quantizer as :func:`cosine_topk_ivf`), but are
+    scored from their m-code PQ representation through the query's lookup
+    table — the corpus side of the join carries CODES, not vectors.
+    With ``refine_factor`` the approx top k·refine shortlist re-ranks
+    against the true vectors (one semi-join back to the corpus), so the
+    emitted ``cos_sim`` is exact cosine and only the CANDIDATE SET is
+    approximate; ``refine_factor=None`` skips the re-rank and emits the
+    (rounded) PQ score as ``cos_sim``.
+
+    Scale shape: at-rest candidates are m ints per vector (16×+ smaller
+    scans), per-candidate scoring is m lookups (LUT computed once per
+    query), the shortlist re-rank touches k·refine vectors per query. Pass
+    ``centroids``/``codebooks`` to reuse a trained index across calls."""
+    if centroids is None:
+        centroids = pick_centroids(corpus, n_centroids, id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_train(corpus, m=m, pq_k=pq_k, id_col=id_col, vec_col=vec_col)
+    n_probe = min(n_probe, len(centroids))
+    pq_k = len(codebooks[0])
+
+    # ONE map-only projection produces both the coarse list id and the PQ
+    # codes, then drops the vectors — no corpus-side join, no shuffle
+    ln = len(codebooks[0][0])
+    code_exprs = ", ".join(
+        _pq_code_sql("_cu", cb, j * ln + 1, ln) for j, cb in enumerate(codebooks)
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    cand = (
+        cvec.withColumn(
+            "_cid", F.element_at(_nearest_centroid_cols("_cv", centroids, 1), 1)
+        )
+        .withColumn("_cu", _unit_vec("_cv"))
+        .select("neighbor_id", "_cid", F.expr(f"array({code_exprs})").alias("codes"))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .withColumn("_qu", _unit_vec("_qv"))
+        .withColumn("_lut", F.expr(_pq_lut_sql("_qu", codebooks)))
+        .withColumn("_cid", F.explode(_nearest_centroid_cols("_qv", centroids, n_probe)))
+        .drop("_qv")
+    )
+    scored = (
+        cand.join(maybe_broadcast(q), "_cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "_approx",
+            F.expr(
+                f"aggregate(transform(codes, (c, j) -> "
+                f"element_at(_lut, j * {pq_k} + c + 1)), 0d, (a, v) -> a + v)"
+            ),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("_approx").desc(), F.col("neighbor_id").asc()
+    )
+    if refine_factor is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", F.round("_approx", 6).alias("cos_sim"))
+        )
+    short = (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= int(k) * int(refine_factor))
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    exact = (
+        short.join(cvec, "neighbor_id")
+        .join(maybe_broadcast(qv), "query_id")
+        .withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("_cos", 6).alias("cos_sim"))
+    )

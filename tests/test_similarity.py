@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from acoustic_feature_extractor_spark.operators.similarity import (
@@ -338,3 +339,116 @@ def test_embedding_label_outliers_zero_vector(spark):
     )
     assert pd.isna(got.loc[1, "cos_centroid"])
     assert bool(got.loc[1, "is_outlier"])  # null similarity flags as outlier
+
+
+# ---------------------------------------------------------------------------
+# product quantization (IVF-PQ)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_train_shapes_and_validation(spark):
+    from acoustic_feature_extractor_spark.operators.similarity import pq_train
+
+    df, _ = _emb(spark)
+    books = pq_train(df, m=4, pq_k=8, n_iter=2)
+    assert len(books) == 4
+    assert all(len(b) == 8 for b in books)
+    assert all(len(c) == DIM // 4 for b in books for c in b)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(df, m=5)
+
+
+def test_pq_encode_codes_valid_and_deterministic(spark):
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    df, _ = _emb(spark)
+    books = pq_train(df, m=4, pq_k=8, n_iter=2)
+    enc1 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    enc2 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    assert enc1 == enc2
+    for codes in enc1.values():
+        assert len(codes) == 4 and all(0 <= c < 8 for c in codes)
+    # the planted near-duplicate pair must share every code
+    assert enc1[0] == enc1[1]
+
+
+def test_pq_score_equals_reconstructed_dot(spark):
+    """The LUT-scored approx similarity must equal dot(unit(q),
+    concat(chosen sub-centroids)) — the PQ contract, checked per pair."""
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        pq_encode,
+        pq_train,
+    )
+
+    df, vecs = _emb(spark, n=40)
+    books = pq_train(df, m=4, pq_k=8, n_iter=2)
+    codes = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+    got = cosine_topk_ivfpq(
+        df.where("vec_id < 3"),
+        df,
+        k=4,
+        n_centroids=2,
+        n_probe=2,  # full probe -> every candidate scored
+        refine_factor=None,
+        codebooks=books,
+    ).collect()
+    units = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sub = DIM // 4
+    for r in got:
+        recon = np.concatenate(
+            [books[j][codes[r["neighbor_id"]][j]] for j in range(4)]
+        )
+        exp = float(units[r["query_id"]] @ recon)
+        assert abs(r["cos_sim"] - round(exp, 6)) <= 1e-6, (r, exp)
+
+
+def test_ivfpq_full_probe_big_refine_equals_bruteforce(spark):
+    """n_probe = n_centroids and a shortlist covering the corpus: the PQ
+    path degrades to EXACT brute force (the re-rank sees every candidate,
+    scored by true cosine)."""
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivfpq,
+    )
+
+    df, _ = _emb(spark)
+    q = df.where("vec_id < 5")
+    exact = cosine_topk(q, df, k=3).orderBy("query_id", "rank").collect()
+    pq = (
+        cosine_topk_ivfpq(
+            q, df, k=3, n_centroids=2, n_probe=2, m=4, pq_k=8, refine_factor=30
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in exact] == [
+        (r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in pq
+    ]
+
+
+def test_ivfpq_partial_probe_recall(spark):
+    """Partial probe + modest refine still recovers most true neighbors
+    on the driver-style embeddings (deterministic fixture)."""
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivfpq,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, e, k=5).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_ivfpq(
+            q, e, k=5, n_centroids=4, n_probe=2, m=8, pq_k=16, refine_factor=4
+        ).collect()
+    }
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.4, recall
