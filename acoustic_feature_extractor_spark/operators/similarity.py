@@ -1003,3 +1003,126 @@ def cosine_topk_ivfpq(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("_cos", 6).alias("cos_sim"))
     )
+
+
+def ivfpq_index_write(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index AT REST: (id, codes) partitioned by
+    coarse list (``_cid=<i>/`` directories) — the index holds m ints per
+    vector, NOT the vectors (at 10^9 × dim-64 that is the difference
+    between a ~60 GB index and a ~4 TB one). Queries partition-prune to
+    n_probe directories and score codes via the LUT; the exact re-rank
+    (when wanted) goes back to the CORPUS table for just the shortlist."""
+    ln = len(codebooks[0][0])
+    code_exprs = ", ".join(
+        _pq_code_sql("_cu", cb, j * ln + 1, ln) for j, cb in enumerate(codebooks)
+    )
+    c = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+        )
+        .withColumn(
+            "_cid", F.element_at(_nearest_centroid_cols("_cv", centroids, 1), 1)
+        )
+        .withColumn("_cu", _unit_vec("_cv"))
+        .select(id_col, "_cid", F.expr(f"array({code_exprs})").alias("codes"))
+    )
+    c.write.partitionBy("_cid").mode("overwrite").parquet(path)
+
+
+def cosine_topk_ivfpq_at_rest(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    refine_factor: int | None = 4,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a materialized IVF-PQ index with partition pruning: only the
+    probed ``_cid=`` directories are read, each candidate costs m code
+    bytes of IO and m LUT lookups of CPU. With ``refine_factor`` the
+    shortlist re-ranks against ``corpus`` (the full-vector table) for
+    exact cos_sim — corpus IO is shortlist-sized, k·refine rows per
+    query. Same semantics as :func:`cosine_topk_ivfpq` with the same
+    centroids/codebooks (tests pin this)."""
+    if refine_factor is not None and corpus is None:
+        raise ValueError("refine_factor needs corpus= (the full-vector table)")
+    n_probe = min(n_probe, len(centroids))
+    pq_k = len(codebooks[0])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .withColumn("_qu", _unit_vec("_qv"))
+        .withColumn("_lut", F.expr(_pq_lut_sql("_qu", codebooks)))
+        .withColumn(
+            "_cid", F.explode(_nearest_centroid_cols("_qv", centroids, n_probe))
+        )
+        .drop("_qv")
+    )
+    probed = sorted({r["_cid"] for r in q.select("_cid").distinct().collect()})
+    cand = (
+        spark.read.parquet(path)
+        .where(F.col("_cid").isin(probed))  # partition-pruned scan
+        .select("_cid", F.col(id_col).alias("neighbor_id"), "codes")
+    )
+    scored = (
+        cand.join(maybe_broadcast(q), "_cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "_approx",
+            F.expr(
+                f"aggregate(transform(codes, (c, j) -> "
+                f"element_at(_lut, j * {pq_k} + c + 1)), 0d, (a, v) -> a + v)"
+            ),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("_approx").desc(), F.col("neighbor_id").asc()
+    )
+    if refine_factor is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", "rank", F.round("_approx", 6).alias("cos_sim")
+            )
+        )
+    short = (
+        scored.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= int(k) * int(refine_factor))
+        .select("query_id", "neighbor_id")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    exact = (
+        short.join(cvec, "neighbor_id")
+        .join(maybe_broadcast(qv), "query_id")
+        .withColumn("_cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("_cos", 6).alias("cos_sim"))
+    )

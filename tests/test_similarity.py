@@ -452,3 +452,36 @@ def test_ivfpq_partial_probe_recall(spark):
     }
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.4, recall
+
+
+def test_ivfpq_at_rest_matches_in_memory(spark, tmp_path):
+    """The materialized codes-only index returns the SAME rows as the
+    in-memory IVF-PQ path with the same centroids/codebooks, and the
+    written index holds codes, not vectors."""
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        cosine_topk_ivfpq_at_rest,
+        ivfpq_index_write,
+        pick_centroids,
+        pq_train,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = pick_centroids(e, n_centroids=4)
+    books = pq_train(e, m=8, pq_k=16, n_iter=2)
+    p = str(tmp_path / "pq_index")
+    ivfpq_index_write(e, p, cents, books)
+    idx = spark.read.parquet(p)
+    assert set(idx.columns) == {"vec_id", "codes", "_cid"}
+    q = e.where(F.col("vec_id") < 6)
+    mem = cosine_topk_ivfpq(
+        q, e, k=5, n_probe=2, refine_factor=4, centroids=cents, codebooks=books
+    )
+    rest = cosine_topk_ivfpq_at_rest(
+        spark, p, q, cents, books, k=5, n_probe=2, refine_factor=4, corpus=e
+    )
+    a = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in mem.collect())
+    b = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rest.collect())
+    assert a == b and len(a) == 30
+    with pytest.raises(ValueError, match="corpus"):
+        cosine_topk_ivfpq_at_rest(spark, p, q, cents, books, refine_factor=2)
