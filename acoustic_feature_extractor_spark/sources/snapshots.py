@@ -270,28 +270,73 @@ def history(table_path: str) -> list[Snapshot]:
     return _load_log(table_path)
 
 
+def _is_additive_evolution(old_simple: str, new_schema) -> bool:
+    """True iff ``new_schema`` only ADDS columns to the simpleString
+    ``old_simple`` (every old column present with an identical type) —
+    the Iceberg add-column rule: safe because old files read the new
+    columns as NULL, and no existing value reinterprets its type."""
+    import re
+
+    m = re.match(r"struct<(.*)>$", old_simple)
+    if not m:
+        return False
+    old_cols = {}
+    depth, start, body = 0, 0, m.group(1)
+    parts = []
+    for i, ch in enumerate(body):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(body[start:i])
+            start = i + 1
+    if body[start:]:
+        parts.append(body[start:])
+    for p in parts:
+        name, _, typ = p.partition(":")
+        old_cols[name] = typ
+    new_cols = {f.name: f.dataType.simpleString() for f in new_schema.fields}
+    return all(new_cols.get(n) == t for n, t in old_cols.items())
+
+
 def commit(
     df: DataFrame,
     table_path: str,
     operation: str = "append",
     lineage: dict | None = None,
+    evolve: bool = False,
 ) -> Snapshot:
     """Write ``df`` as a new snapshot and publish it. Returns the entry.
 
     Data lands under ``data/snap-<id>/`` BEFORE the log is replaced, so a
     failure at any point leaves the table readable at its previous
     snapshot.
+
+    ``evolve=True`` permits ADDITIVE schema evolution on append (new
+    columns; every existing column must keep its exact type — the
+    Iceberg add-column rule): historical files simply read the new
+    columns as NULL (:func:`read` detects the mixed log and turns on
+    mergeSchema), no rewrite of any old byte. Renames/drops/type changes
+    stay rejected — they reinterpret existing data and need an explicit
+    overwrite.
     """
     if operation not in ("append", "overwrite"):
         raise ValueError(f"operation must be append|overwrite, got {operation}")
     with _writer_lock(table_path):
         snaps = _load_log(table_path)
         parent = snaps[-1] if snaps else None
-        if operation == "append" and parent is not None and parent.schema != df.schema.simpleString():
-            raise ValueError(
-                f"append schema mismatch: table has {parent.schema}, "
-                f"commit has {df.schema.simpleString()} — use overwrite to evolve"
-            )
+        if (
+            operation == "append"
+            and parent is not None
+            and parent.schema != df.schema.simpleString()
+        ):
+            if not (evolve and _is_additive_evolution(parent.schema, df.schema)):
+                raise ValueError(
+                    f"append schema mismatch: table has {parent.schema}, "
+                    f"commit has {df.schema.simpleString()} — pass evolve=True "
+                    "for additive column adds, or overwrite to restate"
+                )
         sid = (parent.snapshot_id + 1) if parent else 1
         rel = f"data/snap-{sid}"
         obs = Observation(f"snap_rows_{sid}")
@@ -331,7 +376,19 @@ def read(
                 f"snapshot {snapshot_id} not in log (have {sorted(by_id)}) — expired?"
             )
         snap = by_id[snapshot_id]
-    return spark.read.parquet(*[os.path.join(table_path, d) for d in snap.dirs])
+    reader = spark.read
+    # additive schema evolution: when the snapshot's dirs were written by
+    # snapshots with DIFFERENT schemas (evolve=True appends), merge the
+    # file schemas so historical files surface the newer columns as NULL.
+    # The option costs extra footer reads, so it stays off for the common
+    # homogeneous log.
+    writer_schema = {}
+    for s in snaps:
+        for d in s.dirs:
+            writer_schema.setdefault(d, s.schema)
+    if len({writer_schema.get(d, snap.schema) for d in snap.dirs}) > 1:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(table_path, d) for d in snap.dirs])
 
 
 def plan_scan(

@@ -515,3 +515,44 @@ def test_table_profile_zero_scan(spark, tmp_path):
     # historical snapshot still profiles the old state
     sid1 = snap.history(t)[0].snapshot_id
     assert snap.table_profile(t, snapshot_id=sid1)["id"][1] == 199
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    """evolve=True appends a frame with NEW columns without rewriting
+    history: old files read the new columns as NULL, time travel keeps
+    the old shape, and non-additive changes stay rejected."""
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "evolve")
+    v1 = spark.createDataFrame([(i, float(i)) for i in range(10)], "id bigint, v double")
+    s1 = snap.commit(v1, t)
+    wide = spark.createDataFrame(
+        [(100 + i, float(i), f"t{i}") for i in range(5)],
+        "id bigint, v double, tag string",
+    )
+    # without evolve: rejected
+    with pytest.raises(ValueError, match="evolve=True"):
+        snap.commit(wide, t)
+    s2 = snap.commit(wide, t, evolve=True)
+    got = snap.read(spark, t)
+    assert set(got.columns) == {"id", "v", "tag"}
+    assert got.count() == 15
+    assert got.where("tag IS NULL").count() == 10  # historical rows
+    assert got.where("tag IS NOT NULL").count() == 5
+    # time travel to the pre-evolution snapshot keeps the narrow shape
+    old = snap.read(spark, t, s1.snapshot_id)
+    assert set(old.columns) == {"id", "v"}
+    # further homogeneous appends at the NEW schema need no flag
+    snap.commit(wide.withColumn("id", F.col("id") + 1000), t)
+    assert snap.read(spark, t).count() == 20
+    # type change / drop: still rejected even with evolve
+    retyped = spark.createDataFrame([(1, 1, "x")], "id bigint, v bigint, tag string")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snap.commit(retyped, t, evolve=True)
+    dropped = spark.createDataFrame([(1,)], "id bigint")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snap.commit(dropped, t, evolve=True)
+    # pruning on the evolved column: old files have no stats for it ->
+    # conservatively kept; new files prune normally
+    kept, total = snap.plan_scan(t, "id", lo=1100)
+    assert 0 < len(kept) < total
