@@ -2009,6 +2009,77 @@ FROM events
 """
 
 
+def q_hist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental QUANTILE maintenance (sketches.hist_apply_changes):
+    the hourly histogram rollup of snapshot v1 folds forward with the CDC
+    change set of a MERGE — and because histogram counts are retractable
+    (deletes subtract from their bin), even the delete side folds
+    arithmetically with ZERO fact-table access, the step min/max rollups
+    cannot take (``rollup_incremental`` re-aggregates dirty groups).
+    p50 finalizes from the folded counts; the oracle recomputes histogram
+    + estimator from the FINAL table state, proving the fold exact.
+    Values pushed past the [0, 512) domain by the merge clamp into the
+    top bin on both engines (identical binning arithmetic)."""
+    import tempfile
+
+    from acoustic_feature_extractor_spark.operators import sketches as sk_ops
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    t = tempfile.mkdtemp(prefix="hist_ivm_query_")
+    s1 = snap.commit(ev.where(F.col("event_id") % 4 != 0), t)
+    upd = ev.where(F.col("event_id") % 4 <= 1).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    s2 = snap.merge_upsert(spark, upd, t, key="event_id")
+    old = sk_ops.hist_rollup(
+        snap.read(spark, t, s1.snapshot_id),
+        3600.0,
+        "user_id",
+        "value",
+        lo=0.0,
+        hi=512.0,
+        bins=64,
+    )
+    ch = snap.read_changes(spark, t, s1.snapshot_id, s2.snapshot_id)
+    folded = sk_ops.hist_apply_changes(
+        old, ch, 3600.0, "user_id", "value", lo=0.0, hi=512.0, bins=64
+    )
+    est = sk_ops.hist_quantiles(folded, [0.5], lo=0.0, hi=512.0, bins=64)
+    return est.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round(F.col("bucket").cast("double"), 6).alias("bucket_sec"),
+        F.col("n").cast("long").alias("n"),
+        F.round("q5", 6).alias("p50_est"),
+    )
+
+
+_SQL_HIST_INCREMENTAL = """
+WITH final AS (
+  SELECT user_id, ts,
+         CASE WHEN event_id % 4 <= 1 THEN value + 1000.0 ELSE value END AS value
+  FROM events
+), binned AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 1000000.0 / 3600) * 3600 AS DOUBLE) AS bucket_sec,
+         CAST(least(greatest(floor((value - 0.0) / 8.0), 0), 63) AS BIGINT) AS bin
+  FROM final
+), counts AS (
+  SELECT user_id, bucket_sec, bin, count(*) AS c
+  FROM binned GROUP BY 1, 2, 3
+), cum AS (
+  SELECT user_id, bucket_sec, bin, c,
+         sum(c) OVER (PARTITION BY user_id, bucket_sec ORDER BY bin) AS cum,
+         sum(c) OVER (PARTITION BY user_id, bucket_sec) AS n
+  FROM counts
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, bucket_sec, CAST(n AS BIGINT) AS n,
+  ROUND(max(CASE WHEN cum >= 0.5*n AND cum - c < 0.5*n
+                 THEN 0.0 + 8.0 * (bin + (0.5*n - (cum - c)) / c) END), 6) AS p50_est
+FROM cum GROUP BY 1, 2, 3
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs — EXACT all-pairs via the
     distributed block-matrix self-join (one BLAS matmul per block pair,
@@ -3702,7 +3773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "asof_salted": q_asof_salted,
         "sessionize": q_sessionize,
-        "forward_fill": q_forward_fill,
         "stats_normalize": q_stats_normalize,
         "dedup_minhash": q_dedup_minhash,
         "multi_align": q_multi_align,
@@ -3750,12 +3820,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pruned_scan_zorder": q_pruned_scan_zorder,
         "sketch_quantiles": q_sketch_quantiles,
         "snapshot_profile": q_snapshot_profile,
+        "hist_incremental": q_hist_incremental,
         # -- block 4: r1/r2 queries already driver-green (replay-covered) --
-        # (tpch_q1 / rolling_stats demoted from the sentinel block in r3 —
-        # driver-green in BOTH r1 and r2, giving their window slots to
-        # snapshot_profile and ann_ivfpq)
+        # (tpch_q1 / rolling_stats / forward_fill demoted from the sentinel
+        # block in r3 — driver-green in BOTH r1 and r2, giving their window
+        # slots to snapshot_profile, ann_ivfpq, and hist_incremental)
         "tpch_q1": q_tpch_q1,
         "rolling_stats": q_rolling_stats,
+        "forward_fill": q_forward_fill,
         "lag_lead_context": q_lag_lead_context,
         "rolling_hop": q_rolling_hop,
         "session_bounds": q_session_bounds,
@@ -3870,6 +3942,7 @@ def oracle_sql() -> dict[str, str]:
         "pruned_scan_zorder": _SQL_PRUNED_SCAN_ZORDER,
         "sketch_quantiles": _SQL_SKETCH_QUANTILES,
         "snapshot_profile": _SQL_SNAPSHOT_PROFILE,
+        "hist_incremental": _SQL_HIST_INCREMENTAL,
         # portable polynomial token hash -> DuckDB recomputes identical
         # fingerprints and checks the banded pair search against all-pairs
         "dedup_simhash": _simhash_sql(),

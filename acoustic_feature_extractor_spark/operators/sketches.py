@@ -202,6 +202,81 @@ def hist_coarser(
     )
 
 
+def hist_apply_changes(
+    old: DataFrame,
+    changes: DataFrame,
+    bucket_seconds: float,
+    by: str | list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    ts: str = "ts",
+    bucket_col: str = "bucket",
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """Incremental maintenance of a histogram rollup from a CDC change set
+    (``snapshots.read_changes`` output) — and unlike the min/max rollup
+    (``rollup.rollup_apply_changes``), histograms are FULLY retractable:
+    a delete just subtracts from its bin, so even delete-heavy change
+    sets fold arithmetically with ZERO fact-table access. Untouched
+    groups anti-join through; touched groups take
+    ``zip_with(old_hist, delta_hist, +)``; groups whose counts reach 0
+    vanish. IO ∝ change set, always."""
+    from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
+
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    keys = [*by_cols, bucket_col]
+    w = (float(hi) - float(lo)) / int(bins)
+    sign = F.when(F.col(change_type_col) == F.lit("insert"), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    bin_ = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(w)), F.lit(0)
+        ),
+        F.lit(int(bins) - 1),
+    )
+    delta = (
+        changes.withColumn(bucket_col, time_bucket(ts, bucket_seconds))
+        .withColumn("_bin", bin_)
+        .withColumn("_sgn", sign)
+        .groupBy(*keys)
+        .agg(
+            *[
+                F.sum(F.when(F.col("_bin") == i, F.col("_sgn")).otherwise(0)).alias(
+                    f"_d{i}"
+                )
+                for i in range(int(bins))
+            ]
+        )
+        .select(*keys, F.array(*[f"_d{i}" for i in range(int(bins))]).alias("_dh"))
+    )
+    touched = maybe_broadcast(delta.select(*keys))
+    untouched = old.join(touched, keys, "anti")
+    merged = (
+        delta.join(old, keys, "left")
+        .select(
+            *keys,
+            F.zip_with(
+                F.coalesce(
+                    F.col("hist"),
+                    F.array(*[F.lit(0).cast("long")] * int(bins)),
+                ),
+                F.col("_dh"),
+                lambda a, b: a + b,
+            ).alias("hist"),
+        )
+        .withColumn(
+            "n", F.aggregate("hist", F.lit(0).cast("long"), lambda a, c: a + c)
+        )
+        .where(F.col("n") > 0)  # fully-deleted groups vanish
+    )
+    return untouched.unionByName(merged.select(*keys, "n", "hist"))
+
+
 def hist_quantiles(
     df: DataFrame,
     qs: list[float],

@@ -179,3 +179,54 @@ def test_hist_validation(spark, values):
         hist_coarser(fine, 5000.0, "g", fine_seconds=3600.0)
     with pytest.raises(ValueError, match="outside"):
         hist_quantiles(fine, [1.5], lo=0.0, hi=100.0, bins=8)
+
+
+def test_hist_apply_changes_equals_recompute(spark):
+    """Incremental histogram maintenance ≡ full recompute — including
+    DELETES folded arithmetically (histograms are retractable; no fact
+    access), updates, inserts into new groups, and a fully-deleted group
+    vanishing."""
+    import pandas as pd
+
+    from acoustic_feature_extractor_spark.operators.sketches import (
+        hist_apply_changes,
+        hist_rollup,
+    )
+
+    base = spark.range(5_000).selectExpr(
+        "id % 3 AS g",
+        "timestamp_micros(CAST(1704067200000000 + id * 60000000 AS BIGINT)) AS ts",
+        "CAST(pmod(xxhash64(id), 100) AS DOUBLE) AS value",
+    ).cache()
+    old = hist_rollup(base, 3600.0, "g", "value", lo=0.0, hi=100.0, bins=16)
+    # deletes: all of g=0's first hour (group vanishes) + half of g=1's
+    # second hour (update-like, reinserted shifted); inserts: new group g=7
+    d1 = base.where("g = 0 AND id < 180")
+    d2 = base.where("g = 1 AND id >= 180 AND id < 300 AND id % 2 = 1")
+    reins = d2.withColumn("value", F.col("value") + 3.0)
+    t0 = pd.Timestamp("2024-01-01")
+    newg = spark.createDataFrame(
+        pd.DataFrame(
+            [(7, t0 + pd.Timedelta(hours=2), 55.0), (7, t0 + pd.Timedelta(hours=2, minutes=5), 155.0)],
+            columns=["g", "ts", "value"],
+        )
+    )
+    cols = ["g", "ts", "value"]
+    deletes = d1.select(*cols).unionByName(d2.select(*cols))
+    inserts = reins.select(*cols).unionByName(newg)
+    changes = deletes.withColumn("_change_type", F.lit("delete")).unionByName(
+        inserts.withColumn("_change_type", F.lit("insert"))
+    )
+    final = base.exceptAll(deletes).unionByName(inserts)
+    got = hist_apply_changes(
+        old, changes, 3600.0, "g", "value", lo=0.0, hi=100.0, bins=16
+    )
+    exp = hist_rollup(final, 3600.0, "g", "value", lo=0.0, hi=100.0, bins=16)
+    a = {(r["g"], r["bucket"]): (r["n"], tuple(r["hist"])) for r in got.collect()}
+    b = {(r["g"], r["bucket"]): (r["n"], tuple(r["hist"])) for r in exp.collect()}
+    assert a == b
+    # g=0's first three hours (fully deleted) vanish; the new g=7 appears
+    olds = {(r["g"], r["bucket"]) for r in old.collect()}
+    gone = olds - set(a)
+    assert len(gone) == 3 and all(g == 0 for g, _ in gone)
+    assert any(g == 7 for g, _ in a)
