@@ -254,6 +254,16 @@ def hist_apply_changes(
         )
         .select(*keys, F.array(*[f"_d{i}" for i in range(int(bins))]).alias("_dh"))
     )
+    # the change-set aggregate feeds three consumers (touched-key probe,
+    # anti-join, merge) — persist it once, change-sized, released by
+    # plans.cache.release_persisted at the caller's stage boundary
+    from acoustic_feature_extractor_spark.plans.cache import tracked_persist
+
+    delta = tracked_persist(delta)
+    # `old` also feeds two consumers (anti-join + merge) and is itself a
+    # bins-wide aggregate — persist the rollup-sized frame rather than
+    # recompute the 64-sum groupBy per consumer
+    old = tracked_persist(old)
     touched = maybe_broadcast(delta.select(*keys))
     untouched = old.join(touched, keys, "anti")
     merged = (
@@ -291,12 +301,16 @@ def hist_quantiles(
     textbook grouped-data estimator: with cumulative counts c and target
     t = q·n, the first bin i where c_i ≥ t yields
     ``lo + w·(i + (t − c_{i−1}) / hist_i)``. Error ≤ one bin width.
-    Pure Column algebra over the array (O(bins²) slice-sums per row —
-    rollup rows, not fact rows)."""
+    Pure Column algebra over the array: the cumulative is ONE O(bins)
+    array fold (append running total — JVM arraycopy per step), not the
+    naive O(bins²) per-element slice-sum, which at 64 bins × 10^4 rollup
+    rows costs ~40M interpreted HOF evaluations and dominated the whole
+    query before this shape."""
     w = (float(hi) - float(lo)) / int(bins)
     cum = F.expr(
-        f"transform({hist_col}, (x, i) -> "
-        f"aggregate(slice({hist_col}, 1, i + 1), 0L, (a, b) -> a + b))"
+        f"aggregate({hist_col}, CAST(array() AS ARRAY<BIGINT>), "
+        f"(acc, x) -> array_append(acc, "
+        f"x + if(size(acc) = 0, 0L, acc[size(acc) - 1])))"
     )
     out = df.withColumn("_cum", cum)
     for q in qs:
