@@ -216,3 +216,134 @@ def test_rollup_cascade_property(spark, seed, fine, mult):
     assert sv.keys() == sd.keys()
     for kk in sv:
         assert abs(sv[kk] - sd[kk]) < 1e-9
+
+
+@st.composite
+def _bloom_case(draw):
+    rng = np.random.RandomState(draw(st.integers(0, 10_000)))
+    n_fact = draw(st.integers(1, 300))
+    n_keys = draw(st.integers(0, 40))
+    key_space = draw(st.integers(1, 50))
+    fact = pd.DataFrame(
+        {
+            "key": [f"k{rng.randint(key_space)}" for _ in range(n_fact)],
+            "v": rng.randn(n_fact),
+        }
+    )
+    keys = pd.DataFrame(
+        {"key": [f"k{rng.randint(key_space)}" for _ in range(n_keys)]}
+    ).drop_duplicates()
+    n_bits = draw(st.sampled_from([64, 256, 4096]))
+    k = draw(st.integers(1, 6))
+    return fact, keys, n_bits, k
+
+
+@given(_bloom_case())
+@settings(**_SETTINGS)
+def test_bloom_semi_join_equals_semi_join(spark, data):
+    """For ANY bitmap geometry — including degenerate 64-bit bitmaps that
+    saturate — the bloom-pruned semi join returns exactly the plain semi
+    join (false positives scrubbed, false negatives impossible)."""
+    from acoustic_feature_extractor_spark.plans.bloom import bloom_semi_join
+
+    fact_pdf, keys_pdf, n_bits, k = data
+    fact = spark.createDataFrame(fact_pdf)
+    keys = (
+        spark.createDataFrame(keys_pdf)
+        if len(keys_pdf)
+        else spark.createDataFrame([], "key string")
+    )
+    exp = set(map(tuple, fact.join(keys, "key", "semi").collect()))
+    got = set(
+        map(tuple, bloom_semi_join(fact, keys, "key", n_bits=n_bits, k=k).collect())
+    )
+    assert got == exp
+
+
+@st.composite
+def _zorder_case(draw):
+    rng = np.random.RandomState(draw(st.integers(0, 10_000)))
+    n = draw(st.integers(20, 400))
+    pdf = pd.DataFrame(
+        {
+            "id": range(n),
+            "x": rng.uniform(-50, 50, n),
+            "y": rng.uniform(0, 1000, n),
+        }
+    )
+    lox = draw(st.floats(-60, 40))
+    loy = draw(st.floats(-10, 900))
+    box = {
+        "x": (lox, lox + draw(st.floats(1, 60))),
+        "y": (loy, loy + draw(st.floats(1, 300))),
+    }
+    n_files = draw(st.sampled_from([2, 4, 8]))
+    bits = draw(st.sampled_from([4, 8, 12]))
+    return pdf, box, n_files, bits
+
+
+@given(_zorder_case())
+@settings(**_SETTINGS)
+def test_zorder_read_where_multi_equals_filter(spark, tmp_path_factory, data):
+    """Any z-order geometry + any box: the pruned read returns exactly
+    the plain filter (pruning is always conservative)."""
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+    from acoustic_feature_extractor_spark.sources.layout import zorder_layout
+
+    pdf, box, n_files, bits = data
+    df = spark.createDataFrame(pdf)
+    t = str(tmp_path_factory.mktemp("zprop"))
+    snap.commit(zorder_layout(df, ["x", "y"], n_files, bits=bits), t)
+    got = snap.read_where_multi(spark, t, box)
+    exp = df.where(
+        (df.x >= box["x"][0]) & (df.x <= box["x"][1])
+        & (df.y >= box["y"][0]) & (df.y <= box["y"][1])
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+@st.composite
+def _hist_case(draw):
+    rng = np.random.RandomState(draw(st.integers(0, 10_000)))
+    n = draw(st.integers(1, 400))
+    lo = draw(st.floats(-100, 0))
+    hi = lo + draw(st.floats(1, 500))
+    bins = draw(st.sampled_from([2, 7, 32]))
+    fine_w = draw(st.sampled_from([600.0, 3600.0]))
+    mult = draw(st.integers(1, 24))
+    pdf = pd.DataFrame(
+        {
+            "g": rng.randint(0, 3, n),
+            "ts": [
+                pd.Timestamp("2024-01-01")
+                + pd.Timedelta(seconds=int(s))
+                for s in rng.randint(0, 200_000, n)
+            ],
+            # includes out-of-domain mass on both sides (clamping path)
+            "value": rng.uniform(lo - 50, hi + 50, n),
+        }
+    )
+    return pdf, lo, hi, bins, fine_w, mult
+
+
+@given(_hist_case())
+@settings(**_SETTINGS)
+def test_hist_cascade_equals_direct_random(spark, data):
+    """Random domain/bins/widths (incl. out-of-domain clamping): merged
+    fine histograms are bit-identical to direct coarse sketching, and n
+    always equals the true row count."""
+    from acoustic_feature_extractor_spark.operators.sketches import (
+        hist_coarser,
+        hist_rollup,
+    )
+
+    pdf, lo, hi, bins, fine_w, mult = data
+    df = spark.createDataFrame(pdf)
+    coarse_w = fine_w * mult
+    fine = hist_rollup(df, fine_w, "g", "value", lo=lo, hi=hi, bins=bins)
+    merged = hist_coarser(fine, coarse_w, "g", fine_seconds=fine_w)
+    direct = hist_rollup(df, coarse_w, "g", "value", lo=lo, hi=hi, bins=bins)
+    a = {(r["g"], r["bucket"]): (r["n"], tuple(r["hist"])) for r in merged.collect()}
+    b = {(r["g"], r["bucket"]): (r["n"], tuple(r["hist"])) for r in direct.collect()}
+    assert a == b
+    assert sum(n for n, _ in a.values()) == len(pdf)
