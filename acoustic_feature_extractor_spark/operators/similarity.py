@@ -798,6 +798,27 @@ def _pq_code_sql(vec: str, codebook: list[list[float]], off: int, ln: int) -> st
     return f"element_at(reverse(array_sort(array({structs}))), 1).cid"
 
 
+def _unit_rows(centroids: list[list[float]]) -> list[list[float]]:
+    out = []
+    for c in centroids:
+        n = sum(x * x for x in c) ** 0.5 or 1.0
+        out.append([float(x) / n for x in c])
+    return out
+
+
+def _centroid_matrix_sql(centroids: list[list[float]]) -> str:
+    """SQL literal array<array<double>> of UNIT-normalized centroids —
+    indexed by ``element_at(…, _cid + 1)`` for per-row anchor lookups."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{x!r}d" for x in c) + ")"
+            for c in _unit_rows(centroids)
+        )
+        + ")"
+    )
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 8,
@@ -806,13 +827,19 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     normalize: bool = True,
+    residual_of: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks (m × pq_k × dim/m): deterministic
     hash-pick init, then ``n_iter`` L2 Lloyd rounds per subspace. Each
     round is one partial/final aggregate whose shuffle carries pq_k ×
     sublen partial sums per task — never corpus rows; the driver only
     holds the codebook matrices. ``normalize`` trains on unit vectors
-    (cosine convention — encode with the same flag)."""
+    (cosine convention — encode with the same flag).
+
+    ``residual_of``: train on RESIDUALS ``x − c(x)`` against these coarse
+    centroids (Jégou et al.'s IVFADC): residual vectors are far more
+    concentrated than raw ones, so the same (m, pq_k) budget quantizes
+    with less error — use with ``cosine_topk_ivfpq(residual=True)``."""
     dim = len(
         corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
         .limit(1)
@@ -826,6 +853,14 @@ def pq_train(
     )
     if normalize:
         base = base.withColumn("_v", _unit_vec("_v"))
+    if residual_of is not None:
+        cm = _centroid_matrix_sql(residual_of)
+        base = base.withColumn(
+            "_rcid", F.element_at(_nearest_centroid_cols("_v", residual_of, 1), 1)
+        ).withColumn(
+            "_v",
+            F.expr(f"zip_with(_v, element_at({cm}, _rcid + 1), (a, b) -> a - b)"),
+        )
     base = base.persist()
     try:
         books: list[list[list[float]]] = []
@@ -911,6 +946,7 @@ def cosine_topk_ivfpq(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF coarse lists + PQ-compressed
     scoring: candidates come from the query's ``n_probe`` nearest inverted
@@ -923,6 +959,20 @@ def cosine_topk_ivfpq(
     approximate; ``refine_factor=None`` skips the re-rank and emits the
     (rounded) PQ score as ``cos_sim``.
 
+    ``residual=True`` is IVFADC (Jégou et al. 2011): codes quantize the
+    residual ``x_unit − c(x)`` instead of the raw direction, and scoring
+    decomposes as ``q·x ≈ q·c(list) + Σ lut[codes]`` — the anchor term
+    ``q·c`` costs one lookup per (query, probed list), the codebook LUT
+    is unchanged, and residuals concentrate so the same (m, pq_k) budget
+    quantizes with visibly less error. Codebooks must then be trained
+    with ``pq_train(residual_of=centroids)`` (done automatically when
+    ``codebooks`` is None). Measured caveat: the gain needs CLUSTERED
+    data — on this repo's near-uniform synthetic embeddings the coarse
+    centroids barely concentrate residuals and raw mode measured HIGHER
+    recall (raw p2_r8 0.40–0.44 vs residual 0.24–0.32 across SFs), so
+    the driver query ships raw mode; both modes are numpy-verified
+    exact in their scoring identity.
+
     Scale shape: at-rest candidates are m ints per vector (16×+ smaller
     scans), per-candidate scoring is m lookups (LUT computed once per
     query), the shortlist re-rank touches k·refine vectors per query. Pass
@@ -930,13 +980,21 @@ def cosine_topk_ivfpq(
     if centroids is None:
         centroids = pick_centroids(corpus, n_centroids, id_col, vec_col)
     if codebooks is None:
-        codebooks = pq_train(corpus, m=m, pq_k=pq_k, id_col=id_col, vec_col=vec_col)
+        codebooks = pq_train(
+            corpus,
+            m=m,
+            pq_k=pq_k,
+            id_col=id_col,
+            vec_col=vec_col,
+            residual_of=centroids if residual else None,
+        )
     n_probe = min(n_probe, len(centroids))
     pq_k = len(codebooks[0])
 
     # ONE map-only projection produces both the coarse list id and the PQ
     # codes, then drops the vectors — no corpus-side join, no shuffle
     ln = len(codebooks[0][0])
+    cm = _centroid_matrix_sql(centroids)
     code_exprs = ", ".join(
         _pq_code_sql("_cu", cb, j * ln + 1, ln) for j, cb in enumerate(codebooks)
     )
@@ -944,12 +1002,16 @@ def cosine_topk_ivfpq(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
-    cand = (
-        cvec.withColumn(
-            "_cid", F.element_at(_nearest_centroid_cols("_cv", centroids, 1), 1)
+    cand = cvec.withColumn(
+        "_cid", F.element_at(_nearest_centroid_cols("_cv", centroids, 1), 1)
+    ).withColumn("_cu", _unit_vec("_cv"))
+    if residual:
+        cand = cand.withColumn(
+            "_cu",
+            F.expr(f"zip_with(_cu, element_at({cm}, _cid + 1), (a, b) -> a - b)"),
         )
-        .withColumn("_cu", _unit_vec("_cv"))
-        .select("neighbor_id", "_cid", F.expr(f"array({code_exprs})").alias("codes"))
+    cand = cand.select(
+        "neighbor_id", "_cid", F.expr(f"array({code_exprs})").alias("codes")
     )
     q = (
         queries.select(
@@ -961,12 +1023,21 @@ def cosine_topk_ivfpq(
         .withColumn("_cid", F.explode(_nearest_centroid_cols("_qv", centroids, n_probe)))
         .drop("_qv")
     )
+    if residual:
+        # anchor term q·c(list): the centroid dot per (query, probed list)
+        anchors = ", ".join(_dot_sql("_qu", c) for c in _unit_rows(centroids))
+        q = q.withColumn(
+            "_anchor", F.expr(f"element_at(array({anchors}), _cid + 1)")
+        )
+    else:
+        q = q.withColumn("_anchor", F.lit(0.0))
     scored = (
         cand.join(maybe_broadcast(q), "_cid")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "_approx",
-            F.expr(
+            F.col("_anchor")
+            + F.expr(
                 f"aggregate(transform(codes, (c, j) -> "
                 f"element_at(_lut, j * {pq_k} + c + 1)), 0d, (a, v) -> a + v)"
             ),

@@ -485,3 +485,64 @@ def test_ivfpq_at_rest_matches_in_memory(spark, tmp_path):
     assert a == b and len(a) == 30
     with pytest.raises(ValueError, match="corpus"):
         cosine_topk_ivfpq_at_rest(spark, p, q, cents, books, refine_factor=2)
+
+
+def test_ivfpq_residual_full_probe_big_refine_equals_bruteforce(spark):
+    """Residual (IVFADC) mode degrades to exact brute force under full
+    probe + corpus-wide refine, same as raw mode."""
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivfpq,
+    )
+
+    df, _ = _emb(spark)
+    q = df.where("vec_id < 5")
+    exact = cosine_topk(q, df, k=3).orderBy("query_id", "rank").collect()
+    pq = (
+        cosine_topk_ivfpq(
+            q, df, k=3, n_centroids=2, n_probe=2, m=4, pq_k=8,
+            refine_factor=30, residual=True,
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [(r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in exact] == [
+        (r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in pq
+    ]
+
+
+def test_ivfpq_residual_score_decomposition(spark):
+    """Residual scoring must equal dot(unit(q), c(list) + concat(chosen
+    residual sub-centroids)) — the IVFADC anchor + LUT identity."""
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        _unit_rows,
+        cosine_topk_ivfpq,
+        pick_centroids,
+        pq_train,
+    )
+
+    df, vecs = _emb(spark, n=40)
+    cents = pick_centroids(df, n_centroids=2)
+    books = pq_train(df, m=4, pq_k=8, n_iter=2, residual_of=cents)
+    got = cosine_topk_ivfpq(
+        df.where("vec_id < 3"), df, k=4, n_probe=2, refine_factor=None,
+        centroids=cents, codebooks=books, residual=True,
+    ).collect()
+    units = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cu = np.array(_unit_rows(cents))
+    # recompute each neighbor's assignment + residual codes in numpy
+    for r in got:
+        x = units[r["neighbor_id"]]
+        cid = int(np.argmax(cu @ x))
+        resid = x - cu[cid]
+        recon = cu[cid].copy()
+        sub = len(x) // 4
+        parts = []
+        for j in range(4):
+            s = resid[j * sub : (j + 1) * sub]
+            cb = np.array(books[j])
+            code = int(np.argmin(((cb - s) ** 2).sum(axis=1)))
+            parts.append(cb[code])
+        recon = cu[cid] + np.concatenate(parts)
+        exp = float(units[r["query_id"]] @ recon)
+        assert abs(r["cos_sim"] - round(exp, 6)) <= 1e-6, (r, exp)
