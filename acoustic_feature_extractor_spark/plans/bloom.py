@@ -63,8 +63,10 @@ def key_bitmap_words(
     shuffle carries at most one row per word per task), collect the
     <= n_bits/64 non-zero words. The collect is bounded by the bitmap
     geometry, never by the key count."""
-    if n_bits % 64 != 0:
-        raise ValueError("n_bits must be a multiple of 64")
+    if n_bits % 64 != 0 or n_bits <= 0:
+        raise ValueError("n_bits must be a positive multiple of 64")
+    if int(k) < 1:
+        raise ValueError(f"need at least one probe hash, got k={k}")
     on_cols = [on] if isinstance(on, str) else list(on)
     pos = F.explode(
         F.array(*[_hash_pos(on_cols, i, seed, n_bits) for i in range(int(k))])

@@ -93,3 +93,8 @@ def test_bitmap_words_bounded(spark, keys):
 def test_n_bits_validation(spark, keys):
     with pytest.raises(ValueError, match="multiple of 64"):
         key_bitmap_words(keys, "key", n_bits=100)
+
+
+def test_k_validation(spark, fact, keys):
+    with pytest.raises(ValueError, match="probe hash"):
+        bloom_prefilter(fact, keys, "key", k=0)
