@@ -423,7 +423,21 @@ def plan_scan_multi(
     clustering (:func:`~acoustic_feature_extractor_spark.sources.layout.zorder_layout`)
     every predicate contributes skipping, which no single-column range
     layout can offer. Same conservatism as :func:`plan_scan`: unknown
-    stats keep the file."""
+    stats keep the file.
+
+    Planning is PURE LOG METADATA, two levels deep — Iceberg's
+    manifest-list → manifest hierarchy in miniature:
+
+    1. **dir level**: each dir's column envelope (min of file mins / max
+       of file maxes, folded lazily from the log) is tested first; a dir
+       whose envelope cannot intersect the predicate is skipped with its
+       files COUNTED FROM THE LOG — the filesystem is never touched;
+    2. **file level**: surviving dirs test per-file stats, again from the
+       log.
+
+    ``os.listdir`` runs only for a dir the log has no file entries for
+    (pre-stats snapshots) — on object storage that is the difference
+    between zero LIST calls per query and one per directory."""
     if not preds:
         raise ValueError("plan_scan_multi needs at least one predicate")
     for c, (lo, hi) in preds.items():
@@ -449,14 +463,65 @@ def plan_scan_multi(
         )
         for c, (lo, hi) in preds.items()
     }
+    by_dir: dict[str, list[str]] = {}
+    for rel in stats:
+        by_dir.setdefault(rel.rsplit("/", 1)[0], []).append(rel)
+
     kept: list[str] = []
     total = 0
     for d in target.dirs:
-        abs_d = os.path.join(table_path, d)
-        names = sorted(n for n in os.listdir(abs_d) if n.endswith(".parquet"))
-        for name in names:
-            rel = f"{d}/{name}"
-            total += 1
+        rels = sorted(by_dir.get(d, []))
+        if not rels:
+            # pre-stats dir: the one case that still needs a LIST call
+            abs_d = os.path.join(table_path, d)
+            rels = [
+                f"{d}/{n}"
+                for n in sorted(os.listdir(abs_d))
+                if n.endswith(".parquet")
+            ]
+            for rel in rels:
+                total += 1
+                kept.append(rel)  # no stats: conservative keep
+            continue
+        total += len(rels)
+        # dir-level envelope test: fold the files' stats per predicate
+        # column; skip the whole dir when any predicate misses the fold
+        dir_skip = False
+        for c, (klo, khi) in keys.items():
+            env_mn = env_mx = None
+            live_rows = 0
+            covered = True
+            for rel in rels:
+                cs = stats[rel].get(c)
+                if cs is None:
+                    covered = False
+                    break
+                mn, mx, nulls, rows = cs
+                if rows == 0 or (nulls >= 0 and nulls == rows):
+                    continue  # contributes no matchable rows
+                live_rows += rows
+                if mn is not None and (
+                    env_mn is None or _stat_key(mn) < _stat_key(env_mn)
+                ):
+                    env_mn = mn
+                if mx is not None and (
+                    env_mx is None or _stat_key(mx) > _stat_key(env_mx)
+                ):
+                    env_mx = mx
+            if not covered:
+                continue
+            if live_rows == 0:
+                dir_skip = True
+                break
+            if khi is not None and env_mn is not None and _stat_key(env_mn) > khi:
+                dir_skip = True
+                break
+            if klo is not None and env_mx is not None and _stat_key(env_mx) < klo:
+                dir_skip = True
+                break
+        if dir_skip:
+            continue
+        for rel in rels:
             fstats = stats.get(rel, {})
             skip = False
             for c, (klo, khi) in keys.items():

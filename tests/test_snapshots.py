@@ -556,3 +556,38 @@ def test_additive_schema_evolution(spark, tmp_path):
     # conservatively kept; new files prune normally
     kept, total = snap.plan_scan(t, "id", lo=1100)
     assert 0 < len(kept) < total
+
+
+def test_plan_scan_never_lists_filesystem(spark, tmp_path, monkeypatch):
+    """For a stats-complete table, query planning is pure log metadata:
+    zero os.listdir calls (on object storage: zero LIST requests). The
+    dir-level envelope skips whole directories before their file entries
+    are even scanned."""
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    t = str(tmp_path / "nolist")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1_000)], "id bigint, v double"
+    ).repartitionByRange(4, "id")
+    snap.commit(df, t)
+    # second snapshot: a disjoint id range in its own dir — the dir-level
+    # envelope must prune it wholesale for a low-range predicate
+    df2 = spark.createDataFrame(
+        [(i, float(i)) for i in range(50_000, 51_000)], "id bigint, v double"
+    ).repartitionByRange(4, "id")
+    snap.commit(df2, t)
+
+    calls = []
+    real_listdir = os.listdir
+
+    def spy(path):
+        calls.append(path)
+        return real_listdir(path)
+
+    monkeypatch.setattr(
+        "acoustic_feature_extractor_spark.sources.snapshots.os.listdir", spy
+    )
+    kept, total = snap.plan_scan(t, "id", lo=100, hi=220)
+    assert calls == [], f"planning touched the filesystem: {calls}"
+    assert total == 8 and 1 <= len(kept) <= 2
+    assert all("snap-1/" in f for f in kept)  # snap-2's dir fully skipped
