@@ -60,9 +60,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _sec(col) -> F.Column:
-    """NTZ-safe epoch seconds (session tz pinned to UTC)."""
+    """Timezone-INDEPENDENT epoch seconds of a wall-clock value: pure
+    TIMESTAMP_NTZ arithmetic (``timestampdiff`` against the NTZ epoch).
+    ``cast(x as timestamp)`` would interpret the wall time in the
+    DRIVER'S session timezone — an environment this repo does not
+    control (the round-3 ``pruned_scan`` failure mode); NTZ casts from
+    ntz/date/string inputs and NTZ subtraction never consult it."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast("timestamp").cast("double")
+    return (
+        F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+            c.cast("timestamp_ntz"),
+        )
+        / F.lit(1000000.0)
+    )
 
 
 def _ts_sec(col: str = "ts") -> F.Column:
@@ -1711,36 +1723,42 @@ FROM events WHERE event_id % 4 = 1
 
 def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-level data skipping (snapshots.plan_scan / read_where): events
-    committed range-clustered on ts (repartitionByRange → disjoint
-    per-file ts ranges, stats harvested from footers into the snapshot
-    log at commit), then a 20%-of-span time-range read opens ONLY the
-    files whose [min,max] intersect it — driver-side metadata pruning,
-    no footer reads at query time. ``pruned_ok`` pins the evidence: the
-    plan must keep strictly fewer files than the table has. The oracle
-    is the plain full-scan filter, proving pruning semantics-free."""
-    import datetime
+    committed range-clustered on epoch-micros (repartitionByRange →
+    disjoint per-file ranges, stats harvested from footers into the
+    snapshot log at commit), then a 20%-of-span time-range read opens
+    ONLY the files whose [min,max] intersect it — driver-side metadata
+    pruning, no footer reads at query time. Bounds are int64
+    epoch-microseconds end to end (``unix_micros`` is timezone-
+    independent; naive-datetime literals are NOT — they shift with the
+    driver's session tz, which this query does not control). The pruning
+    evidence is asserted in-code — the query RAISES unless the plan kept
+    strictly fewer files than the table has — rather than hashed, so the
+    oracle stays a plain full-scan filter, proving pruning semantics-free."""
     import tempfile
 
     from acoustic_feature_extractor_spark.sources import snapshots as snap
 
     ev = _t(spark, sf_dir, "events").select(
-        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "value"
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
     )
     t = tempfile.mkdtemp(prefix="prune_query_")
-    snap.commit(ev.repartitionByRange(8, "ts"), t)
-    mn_us, mx_us = ev.select(
-        F.unix_micros(F.min("ts")), F.unix_micros(F.max("ts"))
-    ).collect()[0]
+    snap.commit(ev.repartitionByRange(8, "ts_us"), t)
+    mn_us, mx_us = ev.select(F.min("ts_us"), F.max("ts_us")).collect()[0]
     span = mx_us - mn_us
-    epoch = datetime.datetime(1970, 1, 1)  # session tz = UTC
-    lo = epoch + datetime.timedelta(microseconds=mn_us + int(0.3 * span))
-    hi = epoch + datetime.timedelta(microseconds=mn_us + int(0.5 * span))
-    kept, total = snap.plan_scan(t, "ts", lo=lo, hi=hi)
-    df = snap.read_where(spark, t, "ts", lo=lo, hi=hi)
+    lo = mn_us + int(0.3 * span)
+    hi = mn_us + int(0.5 * span)
+    kept, total = snap.plan_scan(t, "ts_us", lo=lo, hi=hi)
+    if not (total == 8 and 0 < len(kept) < total):
+        raise RuntimeError(
+            f"data-skipping evidence failed: kept {len(kept)} of {total} files"
+        )
+    df = snap.read_where(spark, t, "ts_us", lo=lo, hi=hi)
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.sum("value"), 6).alias("sum_v"),
-        F.lit(bool(total == 8 and 0 < len(kept) < total)).alias("pruned_ok"),
     )
 
 
@@ -1751,8 +1769,7 @@ WITH b AS (
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       ROUND(sum(value), 6) AS sum_v,
-       TRUE AS pruned_ok
+       ROUND(sum(value), 6) AS sum_v
 FROM events, b
 WHERE epoch_us(ts) >= mn + CAST(floor(0.3 * span) AS BIGINT)
   AND epoch_us(ts) <= mn + CAST(floor(0.5 * span) AS BIGINT)

@@ -1076,6 +1076,13 @@ def cosine_topk_ivfpq(
     )
 
 
+def _ivfpq_meta_path(path: str) -> str:
+    import os
+
+    # underscore prefix: Spark's parquet reader ignores the sidecar
+    return os.path.join(path, "_ivfpq_meta.json")
+
+
 def ivfpq_index_write(
     corpus: DataFrame,
     path: str,
@@ -1083,14 +1090,24 @@ def ivfpq_index_write(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> None:
     """Materialize the IVF-PQ index AT REST: (id, codes) partitioned by
     coarse list (``_cid=<i>/`` directories) — the index holds m ints per
     vector, NOT the vectors (at 10^9 × dim-64 that is the difference
     between a ~60 GB index and a ~4 TB one). Queries partition-prune to
     n_probe directories and score codes via the LUT; the exact re-rank
-    (when wanted) goes back to the CORPUS table for just the shortlist."""
+    (when wanted) goes back to the CORPUS table for just the shortlist.
+
+    ``residual=True`` encodes IVFADC residuals ``x_unit − c(x)`` —
+    codebooks must then come from ``pq_train(residual_of=centroids)``.
+    The training mode is RECORDED in a ``_ivfpq_meta.json`` sidecar and
+    validated at query time: scoring residual codes through the raw LUT
+    identity (or vice versa) is silently, badly wrong, not approximate."""
+    import json
+
     ln = len(codebooks[0][0])
+    cm = _centroid_matrix_sql(centroids)
     code_exprs = ", ".join(
         _pq_code_sql("_cu", cb, j * ln + 1, ln) for j, cb in enumerate(codebooks)
     )
@@ -1102,9 +1119,24 @@ def ivfpq_index_write(
             "_cid", F.element_at(_nearest_centroid_cols("_cv", centroids, 1), 1)
         )
         .withColumn("_cu", _unit_vec("_cv"))
-        .select(id_col, "_cid", F.expr(f"array({code_exprs})").alias("codes"))
     )
+    if residual:
+        c = c.withColumn(
+            "_cu",
+            F.expr(f"zip_with(_cu, element_at({cm}, _cid + 1), (a, b) -> a - b)"),
+        )
+    c = c.select(id_col, "_cid", F.expr(f"array({code_exprs})").alias("codes"))
     c.write.partitionBy("_cid").mode("overwrite").parquet(path)
+    with open(_ivfpq_meta_path(path), "w") as f:
+        json.dump(
+            {
+                "residual": bool(residual),
+                "m": len(codebooks),
+                "pq_k": len(codebooks[0]),
+                "n_centroids": len(centroids),
+            },
+            f,
+        )
 
 
 def cosine_topk_ivfpq_at_rest(
@@ -1119,6 +1151,7 @@ def cosine_topk_ivfpq_at_rest(
     corpus: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """Query a materialized IVF-PQ index with partition pruning: only the
     probed ``_cid=`` directories are read, each candidate costs m code
@@ -1126,9 +1159,26 @@ def cosine_topk_ivfpq_at_rest(
     shortlist re-ranks against ``corpus`` (the full-vector table) for
     exact cos_sim — corpus IO is shortlist-sized, k·refine rows per
     query. Same semantics as :func:`cosine_topk_ivfpq` with the same
-    centroids/codebooks (tests pin this)."""
+    centroids/codebooks and the same ``residual`` mode (tests pin this);
+    ``residual=True`` adds the IVFADC anchor term ``q·c(list)`` to the
+    LUT sum. The flag is validated against the mode recorded at
+    :func:`ivfpq_index_write` time — a mismatch raises rather than
+    silently mis-scoring."""
+    import json
+    import os
+
     if refine_factor is not None and corpus is None:
         raise ValueError("refine_factor needs corpus= (the full-vector table)")
+    meta_p = _ivfpq_meta_path(path)
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            meta = json.load(f)
+        if bool(meta.get("residual", False)) != bool(residual):
+            raise ValueError(
+                f"index at {path} was written with residual="
+                f"{meta.get('residual')}; queried with residual={residual} — "
+                "codes and LUT identities don't mix across modes"
+            )
     n_probe = min(n_probe, len(centroids))
     pq_k = len(codebooks[0])
     q = (
@@ -1143,6 +1193,13 @@ def cosine_topk_ivfpq_at_rest(
         )
         .drop("_qv")
     )
+    if residual:
+        anchors = ", ".join(_dot_sql("_qu", c) for c in _unit_rows(centroids))
+        q = q.withColumn(
+            "_anchor", F.expr(f"element_at(array({anchors}), _cid + 1)")
+        )
+    else:
+        q = q.withColumn("_anchor", F.lit(0.0))
     probed = sorted({r["_cid"] for r in q.select("_cid").distinct().collect()})
     cand = (
         spark.read.parquet(path)
@@ -1154,7 +1211,8 @@ def cosine_topk_ivfpq_at_rest(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "_approx",
-            F.expr(
+            F.col("_anchor")
+            + F.expr(
                 f"aggregate(transform(codes, (c, j) -> "
                 f"element_at(_lut, j * {pq_k} + c + 1)), 0d, (a, v) -> a + v)"
             ),

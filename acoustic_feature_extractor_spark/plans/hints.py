@@ -26,19 +26,36 @@ from pyspark.sql import functions as F
 DEFAULT_BROADCAST_CAP = 64 << 20
 
 
+# a join stack roughly MULTIPLIES leaf size estimates, so the estimate's
+# bit length grows ~linearly with leaf count (~64 bits per leaf). Capping
+# leaves at 256 bounds the BigInt at ~16k bits (~5k digits) — microseconds
+# to serialize — while every realistic broadcast candidate sits far below.
+_MAX_PLAN_LEAVES = 256
+
+
 def estimated_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's optimizer size estimate for the plan's output, in bytes
-    (driver-side, no job). None when the bridge/estimate is unavailable.
+    (driver-side, no job). None when the bridge/estimate is unavailable
+    or the plan is too deep to ask safely.
 
     The estimate is a BigInt whose magnitude MULTIPLIES through join
     stacks — on iterative plans (connected components' hash-min loop) it
-    reaches millions of DIGITS, and stringifying it costs minutes of
-    driver CPU (BigInteger.toString is super-linear; observed 700+ s
-    wedging the py4j thread). Probe ``bitLength()`` first — O(1) — and
-    bail out for anything that can't fit a long: such a plan is
-    definitionally not broadcastable, the exact digits are irrelevant."""
+    reaches millions of DIGITS, and py4j stringifies it INSIDE the
+    ``sizeInBytes()`` call itself (BigInteger.toString is super-linear;
+    observed 700+ s wedging the py4j thread — and a Python-side
+    ``bitLength`` probe can't help, because the auto-conversion has
+    already happened by the time Python holds the value). The guard must
+    therefore fire BEFORE the call: probe ``collectLeaves().size()``
+    JVM-side — O(plan), returns a primitive — and refuse plans with more
+    leaves than any broadcastable relation would have, which bounds the
+    BigInt's digits to harmless size for every plan we do ask about.
+    A >63-bit estimate afterwards is definitionally not broadcastable."""
     try:
-        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.collectLeaves().size() > _MAX_PLAN_LEAVES:
+            return None
+        est = int(plan.stats().sizeInBytes())
+        return None if est.bit_length() > 63 else est
     except Exception:
         return None
 

@@ -235,8 +235,12 @@ def _collect_file_stats(table_path: str, rel_dir: str) -> dict:
                 cols[path] = [None, None, rows, rows]
             elif mn is not None:
                 cols[path] = [mn, mx, max(nulls, 0), rows]
-        if cols:
-            out[f"{rel_dir}/{name}"] = cols
+        # ALWAYS record an entry — even an empty cols dict. The planner
+        # rebuilds each dir's file list from these keys (zero LIST calls);
+        # a file omitted because no column yielded coverable stats (all
+        # bytes/nested columns, writer without min/max) would be silently
+        # EXCLUDED from every pruned read instead of conservatively kept.
+        out[f"{rel_dir}/{name}"] = cols
     return out
 
 
@@ -382,13 +386,21 @@ def read(
     # file schemas so historical files surface the newer columns as NULL.
     # The option costs extra footer reads, so it stays off for the common
     # homogeneous log.
+    if _spans_writer_schemas(snaps, snap.dirs, snap.schema):
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(table_path, d) for d in snap.dirs])
+
+
+def _spans_writer_schemas(snaps, dirs, fallback_schema) -> bool:
+    """True when ``dirs`` were written under more than one (additively
+    evolved) schema — the condition under which a multi-dir parquet read
+    must mergeSchema, or an arbitrary file's schema wins and newer
+    columns silently vanish."""
     writer_schema = {}
     for s in snaps:
         for d in s.dirs:
             writer_schema.setdefault(d, s.schema)
-    if len({writer_schema.get(d, snap.schema) for d in snap.dirs}) > 1:
-        reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[os.path.join(table_path, d) for d in snap.dirs])
+    return len({writer_schema.get(d, fallback_schema) for d in dirs}) > 1
 
 
 def plan_scan(
@@ -579,7 +591,19 @@ def read_where_multi(
     if not kept:
         df = read(spark, table_path, snapshot_id).limit(0)
     else:
-        df = spark.read.parquet(*[os.path.join(table_path, f) for f in kept])
+        # same evolve=True contract as read(): if the kept files span
+        # dirs written under different (additive) schemas, merge them —
+        # otherwise one file's schema wins arbitrarily and newer columns
+        # are silently absent from the pruned read.
+        snaps = _load_log(table_path)
+        tgt = snaps[-1]
+        if snapshot_id is not None:
+            tgt = {s.snapshot_id: s for s in snaps}[snapshot_id]
+        kept_dirs = sorted({f.rsplit("/", 1)[0] for f in kept})
+        reader = spark.read
+        if _spans_writer_schemas(snaps, kept_dirs, tgt.schema):
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[os.path.join(table_path, f) for f in kept])
     for col, (lo, hi) in preds.items():
         c = F.col(col)
         if lo is not None:

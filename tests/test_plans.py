@@ -93,6 +93,15 @@ def test_size_gated_broadcast(spark):
     unhinted = maybe_broadcast(big)._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in hinted
     assert "ResolvedHint" not in unhinted
+    # estimates past 63 bits (join stacks multiply them; iterative plans
+    # reach millions of DIGITS) must bail via the O(1) bitLength probe —
+    # int()-converting the BigInt would ship every digit over py4j and
+    # wedge the driver for minutes
+    huge = spark.range(1 << 40).crossJoin(spark.range(1 << 40))
+    assert estimated_size_bytes(huge) is None
+    assert "ResolvedHint" not in (
+        maybe_broadcast(huge)._jdf.queryExecution().analyzed().toString()
+    )
 
 
 def test_no_unconditional_broadcast_of_fact_scaled_relations():

@@ -546,3 +546,57 @@ def test_ivfpq_residual_score_decomposition(spark):
         recon = cu[cid] + np.concatenate(parts)
         exp = float(units[r["query_id"]] @ recon)
         assert abs(r["cos_sim"] - round(exp, 6)) <= 1e-6, (r, exp)
+
+
+def test_ivfpq_at_rest_residual_matches_in_memory_and_guards_mode(spark, tmp_path):
+    """ADVICE r3: the at-rest pair must support IVFADC residual mode with
+    the same identity as the in-memory path (anchor term at score,
+    centroid subtraction at encode), and the index must RECORD its
+    training mode so a mode-mismatched query raises instead of silently
+    mis-scoring."""
+    import pytest
+
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+        cosine_topk_ivfpq_at_rest,
+        ivfpq_index_write,
+        pick_centroids,
+        pq_train,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = pick_centroids(e, n_centroids=4)
+    books = pq_train(e, m=8, pq_k=16, n_iter=2, residual_of=cents)
+    p = str(tmp_path / "pq_res_index")
+    ivfpq_index_write(e, p, cents, books, residual=True)
+    q = e.where(F.col("vec_id") < 6)
+    mem = cosine_topk_ivfpq(
+        q, e, k=5, n_probe=2, refine_factor=None,
+        centroids=cents, codebooks=books, residual=True,
+    )
+    rest = cosine_topk_ivfpq_at_rest(
+        spark, p, q, cents, books, k=5, n_probe=2, refine_factor=None,
+        residual=True,
+    )
+    a = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in mem.collect()
+    )
+    b = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+        for r in rest.collect()
+    )
+    assert a == b and len(a) == 30
+    # mode mismatch in BOTH directions raises
+    with pytest.raises(ValueError, match="residual"):
+        cosine_topk_ivfpq_at_rest(
+            spark, p, q, cents, books, k=5, n_probe=2, refine_factor=None
+        )
+    p_raw = str(tmp_path / "pq_raw_index")
+    books_raw = pq_train(e, m=8, pq_k=16, n_iter=2)
+    ivfpq_index_write(e, p_raw, cents, books_raw)
+    with pytest.raises(ValueError, match="residual"):
+        cosine_topk_ivfpq_at_rest(
+            spark, p_raw, q, cents, books_raw, k=5, n_probe=2,
+            refine_factor=None, residual=True,
+        )

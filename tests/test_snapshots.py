@@ -591,3 +591,65 @@ def test_plan_scan_never_lists_filesystem(spark, tmp_path, monkeypatch):
     assert calls == [], f"planning touched the filesystem: {calls}"
     assert total == 8 and 1 <= len(kept) <= 2
     assert all("snap-1/" in f for f in kept)  # snap-2's dir fully skipped
+
+
+def test_statless_file_recorded_and_kept(spark, tmp_path):
+    """A file whose columns yield NO coverable stats (writer omitting
+    min/max) must still get a log entry — an EMPTY cols dict — because the
+    pure-log planner rebuilds each dir's file list from the stats keys; an
+    omitted file would be silently EXCLUDED from every pruned read instead
+    of conservatively kept."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from acoustic_feature_extractor_spark.sources.snapshots import _collect_file_stats
+
+    d = tmp_path / "data" / "snap-1"
+    d.mkdir(parents=True)
+    pq.write_table(pa.table({"id": [1, 2], "v": [1.0, 2.0]}), str(d / "a.parquet"))
+    pq.write_table(
+        pa.table({"id": [3, 4], "v": [3.0, 4.0]}),
+        str(d / "b.parquet"),
+        write_statistics=False,
+    )
+    stats = _collect_file_stats(str(tmp_path), "data/snap-1")
+    assert stats["data/snap-1/a.parquet"]  # normal file: real stats
+    assert stats["data/snap-1/b.parquet"] == {}  # recorded, nothing coverable
+
+
+def test_planner_keeps_statless_file(spark, tmp_path):
+    """plan_scan / read_where with a log entry whose cols dict is empty:
+    the file cannot be pruned by any predicate (conservative keep at both
+    dir and file level) and its rows survive the pruned read."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id bigint, v double"
+    ).repartitionByRange(4, "id")
+    snap.commit(df, t)
+    snaps = snap._load_log(t)
+    statless = sorted(snaps[-1].stats)[0]  # lowest-range file
+    snaps[-1].stats[statless] = {}  # simulate an uncoverable writer
+    snap._publish_log(t, snaps)
+    kept, total = snap.plan_scan(t, "id", lo=90)
+    assert statless in kept  # conservative keep despite being out of range
+    assert len(kept) < total  # other files still prune
+    assert snap.read_where(spark, t, "id", lo=90).count() == 10
+
+
+def test_read_where_merges_evolved_schemas(spark, tmp_path):
+    """ADVICE r3: a pruned read whose keep-set spans dirs written under
+    different (additive) schemas must mergeSchema like read() does —
+    otherwise an arbitrary file's schema wins and the evolved column is
+    silently absent."""
+    t = str(tmp_path / "evolve")
+    v1 = spark.createDataFrame([(i, float(i)) for i in range(10)], "id bigint, v double")
+    snap.commit(v1, t)
+    wide = spark.createDataFrame(
+        [(100 + i, float(i), f"t{i}") for i in range(5)],
+        "id bigint, v double, tag string",
+    )
+    snap.commit(wide, t, evolve=True)
+    got = snap.read_where(spark, t, "id", lo=5, hi=102)
+    assert set(got.columns) == {"id", "v", "tag"}
+    assert got.count() == 8  # ids 5..9 + 100..102
+    assert got.where("tag IS NULL").count() == 5  # historical rows as NULL

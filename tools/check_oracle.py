@@ -44,12 +44,21 @@ def replay(
     names: list[str] | None = None,
     sf_dir: str | None = None,
     spark=None,
+    tz: str | None = None,
 ) -> list[str]:
     """Run the driver-equivalent gate; returns the failing query names.
 
     Importable so CI can run it as a pytest (``-m oracle_replay``) and
     catch oracle drift before the driver does; the CLI below is a thin
     wrapper.
+
+    ``tz`` sets a NON-default session timezone on BOTH engines
+    (``spark.sql.session.timeZone`` + DuckDB ``TimeZone``) for the run —
+    the timezone-independence gate: the driver supplies its own Spark
+    session whose tz this repo does not control, so every registered
+    query must produce identical results under any session tz (round-3
+    post-mortem: naive-datetime literals in ``pruned_scan`` shifted with
+    session tz and broke only on the driver's box).
     """
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry_mod
@@ -60,7 +69,12 @@ def replay(
         spark = get_spark(cores=16)
     if sf_dir is None:
         sf_dir = os.environ.get("AFE_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz is not None:
+        spark.conf.set("spark.sql.session.timeZone", tz)
     con = duckdb.connect()
+    if tz is not None:
+        con.sql(f"SET TimeZone = '{tz}'")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
@@ -115,11 +129,19 @@ def replay(
         else:
             failures.append(name)
     print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if tz is not None:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
     return failures
 
 
 def main() -> int:
-    return 1 if replay(sys.argv[1:] or None) else 0
+    args = sys.argv[1:]
+    tz = None
+    if "--tz" in args:
+        i = args.index("--tz")
+        tz = args[i + 1]
+        del args[i : i + 2]
+    return 1 if replay(args or None, tz=tz) else 0
 
 
 if __name__ == "__main__":
