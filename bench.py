@@ -105,6 +105,24 @@ def main() -> None:
         runs.append(time.perf_counter() - t0)
     timings["transcripts_turn_features_salted"] = round(min(runs), 3)
     medians["transcripts_turn_features_salted"] = round(_median(runs), 3)
+
+    # adaptive routing lane: salt_above="auto" derives the threshold from
+    # the key histogram (one profile job). On this mild-skew table the
+    # derived threshold exceeds every conversation, so the cost target is
+    # plain-path + profile — the VERDICT r3 bar: ≤ 1.5× plain. (The
+    # static-threshold lane above keeps measuring the salted MACHINERY.)
+    force(turn_features(t, salt_above="auto"))  # warmup
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(turn_features(t, salt_above="auto"))
+        runs.append(time.perf_counter() - t0)
+    if max(runs) > 1.4 * min(runs):
+        t0 = time.perf_counter()
+        force(turn_features(t, salt_above="auto"))
+        runs.append(time.perf_counter() - t0)
+    timings["transcripts_turn_features_auto"] = round(min(runs), 3)
+    medians["transcripts_turn_features_auto"] = round(_median(runs), 3)
     t.unpersist()
 
     qs = entry_mod.queries()

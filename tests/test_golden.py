@@ -52,6 +52,38 @@ def test_flagship_salted_equals_plain(spark):
     assert sizes >= 1
 
 
+def test_flagship_auto_routing(spark):
+    """salt_above="auto" derives the threshold from the key histogram
+    (VERDICT r3 #3): on a skewed table the mega-conversation must take
+    the salted path (threshold lands between the bulk p99.9 and the mega
+    size), the frame stays identical to plain, and on a mild-skew table
+    the derived threshold exceeds every key — routing salts NOTHING, so
+    the machinery overhead is one profile job."""
+    from acoustic_feature_extractor_spark.datagen import generate_transcripts
+    from acoustic_feature_extractor_spark.plans.pipeline import (
+        adaptive_salt_above,
+        turn_features,
+    )
+
+    # skewed fixture: conv 97 has 2000 turns, bulk is ~10-60 → p99.9 of
+    # the bulk × 4 sits far below 2000, but 2·chunk_rows must not mask it
+    t = generate_transcripts(spark, n_convs=150)
+    thr = adaptive_salt_above(t, chunk_rows=64)
+    sizes = {r["conv_id"]: r["count"] for r in t.groupBy("conv_id").count().collect()}
+    mx = max(sizes.values())
+    assert thr is not None and thr < mx, (thr, mx)  # the mega conv routes salted
+    assert sum(1 for n in sizes.values() if n > thr) <= max(1, len(sizes) // 100)
+    assert _canon(turn_features(t, salt_above="auto", chunk_rows=64)) == _canon(
+        turn_features(t)
+    )
+
+    # mild skew: no conversation crosses the derived threshold
+    m = generate_transcripts(spark, n_convs=30)
+    thr_m = adaptive_salt_above(m, chunk_rows=64)
+    assert thr_m is not None
+    assert m.groupBy("conv_id").count().where(f"count > {thr_m}").count() == 0
+
+
 def test_flagship_salted_noop_when_no_big_keys(spark):
     """salt_above higher than every conversation: pure plain path, same
     frame (the routing join must not disturb anything)."""

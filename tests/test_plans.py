@@ -124,6 +124,8 @@ def test_no_unconditional_broadcast_of_fact_scaled_relations():
         "operators/skew.py": 1,
         # ONE-row bloom bitmap (n_bits/8 bytes whatever the key count)
         "plans/bloom.py": 1,
+        # 1-row global agg resolving the fractional hot-shingle cap
+        "operators/dedup.py": 1,
     }
     for f in pkg.rglob("*.py"):
         if f.name == "hints.py":

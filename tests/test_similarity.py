@@ -600,3 +600,86 @@ def test_ivfpq_at_rest_residual_matches_in_memory_and_guards_mode(spark, tmp_pat
             spark, p_raw, q, cents, books_raw, k=5, n_probe=2,
             refine_factor=None, residual=True,
         )
+
+
+def test_ivf_append_matches_rebuild(spark, tmp_path):
+    """Incremental IVF maintenance: write the index on a base slice,
+    append the rest with the frozen centroids — PARTIAL-probe queries
+    must equal the same queries on a from-scratch rebuild over the full
+    corpus (appended files land in the same ``_cid=`` dirs the pruned
+    scan reads)."""
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        cosine_topk_ivf_at_rest,
+        ivf_index_append,
+        ivf_index_write,
+        pick_centroids,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = pick_centroids(e, n_centroids=8)
+    incr = str(tmp_path / "ivf_incr")
+    ivf_index_write(e.where(F.col("vec_id") % 3 != 0), incr, cents)
+    ivf_index_append(e.where(F.col("vec_id") % 3 == 0), incr, cents)
+    full = str(tmp_path / "ivf_full")
+    ivf_index_write(e, full, cents)
+    q = e.where(F.col("vec_id") < 8)
+
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+            for r in df.collect()
+        )
+
+    for n_probe in (2, 4):
+        a = canon(cosine_topk_ivf_at_rest(spark, incr, q, cents, k=5, n_probe=n_probe))
+        b = canon(cosine_topk_ivf_at_rest(spark, full, q, cents, k=5, n_probe=n_probe))
+        assert a == b and len(a) == 40
+
+
+def test_ivfpq_append_matches_rebuild_and_guards_quantizer(spark, tmp_path):
+    """Codes-index maintenance: append encodes the batch with the frozen
+    quantizers (residual mode read from the sidecar) and must equal a
+    full rebuild; a quantizer-shape mismatch or a missing sidecar raises
+    instead of interleaving incomparable codes."""
+    import pytest
+
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        cosine_topk_ivfpq_at_rest,
+        ivfpq_index_append,
+        ivfpq_index_write,
+        pick_centroids,
+        pq_train,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = pick_centroids(e, n_centroids=4)
+    books = pq_train(e, m=8, pq_k=16, n_iter=2, residual_of=cents)
+    incr = str(tmp_path / "pq_incr")
+    ivfpq_index_write(e.where(F.col("vec_id") % 3 != 0), incr, cents, books, residual=True)
+    ivfpq_index_append(e.where(F.col("vec_id") % 3 == 0), incr, cents, books)
+    full = str(tmp_path / "pq_full")
+    ivfpq_index_write(e, full, cents, books, residual=True)
+    q = e.where(F.col("vec_id") < 6)
+
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"], r["cos_sim"])
+            for r in df.collect()
+        )
+
+    a = canon(cosine_topk_ivfpq_at_rest(
+        spark, incr, q, cents, books, k=5, n_probe=2, refine_factor=None,
+        residual=True,
+    ))
+    b = canon(cosine_topk_ivfpq_at_rest(
+        spark, full, q, cents, books, k=5, n_probe=2, refine_factor=None,
+        residual=True,
+    ))
+    assert a == b and len(a) == 30
+    # shape mismatch: different m
+    books_m4 = pq_train(e, m=4, pq_k=16, n_iter=2, residual_of=cents)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        ivfpq_index_append(e.limit(1), incr, cents, books_m4)
+    # missing sidecar (an index not written by ivfpq_index_write)
+    with pytest.raises(ValueError, match="sidecar"):
+        ivfpq_index_append(e.limit(1), str(tmp_path / "nowhere"), cents, books)

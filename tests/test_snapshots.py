@@ -653,3 +653,55 @@ def test_read_where_merges_evolved_schemas(spark, tmp_path):
     assert set(got.columns) == {"id", "v", "tag"}
     assert got.count() == 8  # ids 5..9 + 100..102
     assert got.where("tag IS NULL").count() == 5  # historical rows as NULL
+
+
+def test_read_where_scans_exactly_the_keep_set(spark, tmp_path):
+    """VERDICT r3 #6a: the pruned read's PHYSICAL scan opens exactly the
+    files plan_scan_multi keeps — not the whole table with a filter on
+    top. inputFiles() is the executed scan's file list."""
+    t = str(tmp_path / "exact")
+    df = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(2000)], "id bigint, v double"
+    ).repartitionByRange(8, "id")
+    snap.commit(df, t)
+    preds = {"id": (400, 700)}
+    kept, total = snap.plan_scan_multi(t, preds)
+    assert 1 <= len(kept) < total
+    got = snap.read_where_multi(spark, t, preds)
+    scanned = {os.path.relpath(f.replace("file:", ""), t) for f in got.inputFiles()}
+    assert scanned == set(kept), (sorted(scanned), sorted(kept))
+    # and the residual filter still lands on the pruned scan
+    assert got.count() == 301
+
+
+def test_zorder_read_applies_both_residual_filters(spark, tmp_path):
+    """VERDICT r3 #6c: a two-column pruned read over a z-ordered table
+    must (1) prune on BOTH columns' file stats and (2) apply BOTH
+    residual range filters — values equal the brute-force filter, and the
+    executed plan carries both predicates down to the scan."""
+    from acoustic_feature_extractor_spark.sources.layout import zorder_layout
+
+    t = str(tmp_path / "zx")
+    df = spark.createDataFrame(
+        [(i, float(i % 100), float((i * 7) % 100)) for i in range(5000)],
+        "id bigint, x double, y double",
+    )
+    snap.commit(zorder_layout(df, ["x", "y"], n_files=16), t)
+    preds = {"x": (10.0, 30.0), "y": (40.0, 60.0)}
+    kept, total = snap.plan_scan_multi(t, preds)
+    assert total == 16 and len(kept) < total  # both dims prune
+    got = snap.read_where_multi(spark, t, preds)
+    exp = df.where("x BETWEEN 10.0 AND 30.0 AND y BETWEEN 40.0 AND 60.0")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for col in ("x", "y"):
+        assert f"{col}#" in plan and "Filter" in plan
+    # all four residual bounds survive to the executed plan (the scan's
+    # PushedFilters list is truncated in toString, so assert the Filter
+    # node, plus the untruncated head of the pushed list)
+    import re
+
+    low = plan.replace(" ", "").lower()
+    for pat in (r"x#\d+>=10\.0", r"x#\d+<=30\.0", r"y#\d+>=40\.0", r"y#\d+<=60\.0"):
+        assert re.search(pat, low), (pat, low[:1500])
+    assert "greaterthanorequal(x,10.0)" in low  # pushed down to parquet
