@@ -55,8 +55,23 @@ SF0001 = "/root/testdata/sf0.001"
 _EPOCH = "epoch_us({c})/1000000.0"  # duckdb; spark: cast(ts as double)
 
 
+_T_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Session-cached table handle. ``spark.read.parquet`` launches a
+    schema-inference job on every call (footer reads — over 10^5 files
+    that is a real distributed job, per QUERY INVOCATION); a DataFrame is
+    an immutable plan, so reusing one per (session, table) makes repeat
+    builders cost zero jobs (tests/test_no_incidental_actions.py pins
+    this for every declarative builder in the registry)."""
+    key = (id(spark), sf_dir, name)
+    df = _T_CACHE.get(key)
+    if df is None:
+        df = _T_CACHE[key] = spark.read.parquet(
+            os.path.join(sf_dir, f"{name}.parquet")
+        )
+    return df
 
 
 def _sec(col) -> F.Column:

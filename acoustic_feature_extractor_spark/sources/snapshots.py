@@ -139,6 +139,13 @@ class Snapshot:
     # pruned read never opens footers — at 100 TB the stats live in the
     # log, not in a million S3 footer round-trips per query.
     stats: dict = field(default_factory=dict)
+    # {dir_rel: schema_ddl} — which (possibly evolved) schema wrote each
+    # dir. Populated by :func:`compact_log`/:func:`expire` when they fold
+    # away the historical entries that otherwise carry this information
+    # implicitly; consulted by ``_spans_writer_schemas`` so mergeSchema
+    # detection survives log compaction. Empty on ordinary commits (the
+    # full entry chain is the source of truth while it exists).
+    writer_schemas: dict = field(default_factory=dict)
 
 
 def _enc_stat(v):
@@ -398,9 +405,82 @@ def _spans_writer_schemas(snaps, dirs, fallback_schema) -> bool:
     columns silently vanish."""
     writer_schema = {}
     for s in snaps:
+        # compaction folds dropped entries' dir→schema mapping into the
+        # survivors' writer_schemas; explicit beats positional inference
+        for d, sch in (s.writer_schemas or {}).items():
+            writer_schema.setdefault(d, sch)
         for d in s.dirs:
             writer_schema.setdefault(d, s.schema)
     return len({writer_schema.get(d, fallback_schema) for d in dirs}) > 1
+
+
+# planner index cache: {table_path: ((log_mtime_ns, log_size), index)}.
+# The index is derived read-only metadata (stats fold, per-dir file lists,
+# per-dir per-column envelopes); the key changes whenever the log is
+# republished (os.replace bumps mtime), so a stale hit is impossible.
+# Bounds repeated planning at O(dirs + kept files) instead of re-parsing
+# and re-folding the whole log per query — the manifest-list cache every
+# table format keeps on the driver.
+_PLAN_CACHE: dict[str, tuple[tuple[int, int], dict]] = {}
+
+
+def _planner_index(table_path: str) -> dict:
+    """Load-once planning metadata for the CURRENT log version:
+
+    - ``snaps``: the parsed log (private copies — never handed out),
+    - ``stats``: {file_rel: {col: [min,max,nulls,rows]}} folded newest-wins,
+    - ``by_dir``: {dir_rel: sorted file_rels} from the stats keys,
+    - ``env``: {dir_rel: {col: (mn, mx, live_rows, covered)}} — the dir's
+      column envelope (min of file mins / max of file maxes over files
+      with matchable rows; ``covered`` False when any file lacks the
+      column's stats, which disables dir-level skipping for it).
+    """
+    p = _log_path(table_path)
+    try:
+        st = os.stat(p)
+    except FileNotFoundError:
+        raise FileNotFoundError(f"no snapshots at {table_path}") from None
+    key = (st.st_mtime_ns, st.st_size)
+    hit = _PLAN_CACHE.get(table_path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    snaps = _load_log(table_path)
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots at {table_path}")
+    stats: dict = {}
+    for s in snaps:
+        stats.update(s.stats or {})
+    by_dir: dict[str, list[str]] = {}
+    for rel in stats:
+        by_dir.setdefault(rel.rsplit("/", 1)[0], []).append(rel)
+    env: dict[str, dict] = {}
+    for d, rels in by_dir.items():
+        rels.sort()
+        cols = set()
+        for rel in rels:
+            cols.update(stats[rel])
+        denv = env[d] = {}
+        for c in cols:
+            mn = mx = None
+            live_rows = 0
+            covered = True
+            for rel in rels:
+                cs = stats[rel].get(c)
+                if cs is None:
+                    covered = False
+                    break
+                fmn, fmx, nulls, rows = cs
+                if rows == 0 or (nulls >= 0 and nulls == rows):
+                    continue  # contributes no matchable rows
+                live_rows += rows
+                if fmn is not None and (mn is None or _stat_key(fmn) < _stat_key(mn)):
+                    mn = fmn
+                if fmx is not None and (mx is None or _stat_key(fmx) > _stat_key(mx)):
+                    mx = fmx
+            denv[c] = (mn, mx, live_rows, covered)
+    idx = {"snaps": snaps, "stats": stats, "by_dir": by_dir, "env": env}
+    _PLAN_CACHE[table_path] = (key, idx)
+    return idx
 
 
 def plan_scan(
@@ -455,9 +535,8 @@ def plan_scan_multi(
     for c, (lo, hi) in preds.items():
         if lo is None and hi is None:
             raise ValueError(f"predicate on {c!r} needs at least one bound")
-    snaps = _load_log(table_path)
-    if not snaps:
-        raise FileNotFoundError(f"no snapshots at {table_path}")
+    idx = _planner_index(table_path)
+    snaps = idx["snaps"]
     if snapshot_id is None:
         target = snaps[-1]
     else:
@@ -465,9 +544,7 @@ def plan_scan_multi(
         if snapshot_id not in by_id:
             raise KeyError(f"snapshot {snapshot_id} not in log")
         target = by_id[snapshot_id]
-    stats: dict = {}
-    for s in snaps:
-        stats.update(s.stats or {})
+    stats = idx["stats"]
     keys = {
         c: (
             _stat_key(_enc_stat(lo)) if lo is not None else None,
@@ -475,14 +552,12 @@ def plan_scan_multi(
         )
         for c, (lo, hi) in preds.items()
     }
-    by_dir: dict[str, list[str]] = {}
-    for rel in stats:
-        by_dir.setdefault(rel.rsplit("/", 1)[0], []).append(rel)
+    by_dir = idx["by_dir"]
 
     kept: list[str] = []
     total = 0
     for d in target.dirs:
-        rels = sorted(by_dir.get(d, []))
+        rels = by_dir.get(d, [])
         if not rels:
             # pre-stats dir: the one case that still needs a LIST call
             abs_d = os.path.join(table_path, d)
@@ -496,32 +571,15 @@ def plan_scan_multi(
                 kept.append(rel)  # no stats: conservative keep
             continue
         total += len(rels)
-        # dir-level envelope test: fold the files' stats per predicate
-        # column; skip the whole dir when any predicate misses the fold
+        # dir-level envelope test (precomputed in the planner index): skip
+        # the whole dir when any predicate misses its column envelope
+        denv = idx["env"][d]
         dir_skip = False
         for c, (klo, khi) in keys.items():
-            env_mn = env_mx = None
-            live_rows = 0
-            covered = True
-            for rel in rels:
-                cs = stats[rel].get(c)
-                if cs is None:
-                    covered = False
-                    break
-                mn, mx, nulls, rows = cs
-                if rows == 0 or (nulls >= 0 and nulls == rows):
-                    continue  # contributes no matchable rows
-                live_rows += rows
-                if mn is not None and (
-                    env_mn is None or _stat_key(mn) < _stat_key(env_mn)
-                ):
-                    env_mn = mn
-                if mx is not None and (
-                    env_mx is None or _stat_key(mx) > _stat_key(env_mx)
-                ):
-                    env_mx = mx
-            if not covered:
-                continue
+            e = denv.get(c)
+            if e is None or not e[3]:
+                continue  # column unknown/uncovered in this dir: no skip
+            env_mn, env_mx, live_rows, _ = e
             if live_rows == 0:
                 dir_skip = True
                 break
@@ -623,10 +681,13 @@ def table_profile(table_path: str, snapshot_id: int | None = None) -> dict:
     A column appears only when EVERY live file carries its stats (a
     partial aggregate would silently lie); all-null files contribute
     nulls/rows but no bounds. Timestamp bounds come back as the log's
-    order-preserving encoding (`{"ts": epoch_seconds}` dicts)."""
-    snaps = _load_log(table_path)
-    if not snaps:
-        raise FileNotFoundError(f"no snapshots at {table_path}")
+    order-preserving encoding (`{"ts": epoch_seconds}` dicts).
+
+    File enumeration comes from the log via the cached planner index —
+    ``os.listdir`` runs only for a pre-stats dir the log has no entries
+    for, the same zero-LIST contract as :func:`plan_scan_multi`."""
+    idx = _planner_index(table_path)
+    snaps = idx["snaps"]
     if snapshot_id is None:
         target = snaps[-1]
     else:
@@ -634,18 +695,21 @@ def table_profile(table_path: str, snapshot_id: int | None = None) -> dict:
         if snapshot_id not in by_id:
             raise KeyError(f"snapshot {snapshot_id} not in log")
         target = by_id[snapshot_id]
-    stats: dict = {}
-    for s in snaps:
-        stats.update(s.stats or {})
+    stats = idx["stats"]
+    by_dir = idx["by_dir"]
     acc: dict = {}
     n_files = 0
     for d in target.dirs:
-        abs_d = os.path.join(table_path, d)
-        for name in sorted(n for n in os.listdir(abs_d) if n.endswith(".parquet")):
+        rels = by_dir.get(d)
+        if rels is None:
+            # pre-stats dir: files exist but the log never recorded them
+            abs_d = os.path.join(table_path, d)
+            if any(n.endswith(".parquet") for n in os.listdir(abs_d)):
+                return {}  # files without stats: no trustworthy profile
+            continue
+        for rel in rels:
             n_files += 1
-            fstats = stats.get(f"{d}/{name}")
-            if fstats is None:
-                return {}  # a file without stats: no trustworthy profile
+            fstats = stats[rel]
             for c, (mn, mx, nulls, rows) in fstats.items():
                 a = acc.setdefault(c, [None, None, 0, 0, 0])
                 a[2] += max(int(nulls), 0)
@@ -689,16 +753,69 @@ def rollback(table_path: str, snapshot_id: int) -> Snapshot:
     return snap
 
 
+def _fold_dropped_metadata(snaps: list[Snapshot], kept: list[Snapshot]) -> None:
+    """When log entries are dropped (:func:`expire` / :func:`compact_log`),
+    the survivors must inherit (a) the per-file stats and (b) the
+    dir→writer-schema mapping for every still-referenced dir — the dropped
+    entries are what carried them, and losing either silently degrades
+    pruned reads to listdir + keep-everything and blinds the mergeSchema
+    detection to evolved dirs. Everything folds onto the OLDEST survivor
+    (newest-wins order is preserved: later survivors' own stats re-apply
+    identical values)."""
+    live = {d for s in kept for d in s.dirs}
+    folded_stats: dict = {}
+    folded_ws: dict = {}
+    for s in snaps:
+        for d, sch in (s.writer_schemas or {}).items():
+            if d in live:
+                folded_ws.setdefault(d, sch)
+        for d in s.dirs:
+            if d in live:
+                folded_ws.setdefault(d, s.schema)
+        for rel, st_ in (s.stats or {}).items():
+            if rel.rsplit("/", 1)[0] in live:
+                folded_stats[rel] = st_
+    kept[0].stats = folded_stats
+    kept[0].writer_schemas = folded_ws
+
+
+def compact_log(table_path: str, keep_last: int = 1) -> int:
+    """METADATA-ONLY log compaction — Iceberg's snapshot expiry applied to
+    the manifest list without touching a data byte: keep the last
+    ``keep_last`` entries and fold the dropped entries' per-file stats and
+    writer-schema mappings for still-referenced dirs into the oldest
+    survivor. Bounds the log size (hence every ``_load_log`` parse and the
+    planner-index build) at O(live files + keep_last) no matter how many
+    commits the table has seen — without it a long-lived table's planning
+    cost grows with its HISTORY, not its size. Time travel narrows to the
+    kept window; data dirs are NOT deleted (:func:`expire` does that).
+    Returns the number of entries dropped."""
+    with _writer_lock(table_path):
+        snaps = _load_log(table_path)
+        if not snaps:
+            return 0
+        kept = snaps[-max(keep_last, 1):]
+        dropped = len(snaps) - len(kept)
+        if dropped == 0:
+            return 0  # nothing to fold — skip the republish
+        _fold_dropped_metadata(snaps, kept)
+        _publish_log(table_path, kept)
+    return dropped
+
+
 def expire(table_path: str, keep_last: int = 1) -> list[str]:
     """Drop all but the last ``keep_last`` snapshots from the log and
     delete data dirs no surviving snapshot references (including orphan
-    dirs from crashed commits). Returns the deleted dirs."""
+    dirs from crashed commits). Surviving entries inherit the dropped
+    entries' stats/writer-schema metadata for dirs still alive
+    (:func:`_fold_dropped_metadata`). Returns the deleted dirs."""
     with _writer_lock(table_path):
         snaps = _load_log(table_path)
         if not snaps:
             return []
         kept = snaps[-max(keep_last, 1):]
         live = {d for s in kept for d in s.dirs}
+        _fold_dropped_metadata(snaps, kept)
         _publish_log(table_path, kept)
         deleted = []
         data_root = os.path.join(table_path, "data")

@@ -705,3 +705,99 @@ def test_zorder_read_applies_both_residual_filters(spark, tmp_path):
     for pat in (r"x#\d+>=10\.0", r"x#\d+<=30\.0", r"y#\d+>=40\.0", r"y#\d+<=60\.0"):
         assert re.search(pat, low), (pat, low[:1500])
     assert "greaterthanorequal(x,10.0)" in low  # pushed down to parquet
+
+
+def _synthetic_log(t: str, n_snaps: int, files_per: int = 10) -> None:
+    """Publish a log as n_snaps append commits would have (one dir each,
+    files_per files with id-range stats) without paying n_snaps Spark
+    writes — planner behavior depends only on the log (the zero-LIST
+    property test_plan_scan_never_lists_filesystem pins)."""
+    snaps, dirs = [], []
+    for sid in range(1, n_snaps + 1):
+        rel = f"data/snap-{sid}"
+        dirs = [*dirs, rel]
+        base = (sid - 1) * files_per * 100
+        stats = {
+            f"{rel}/part-{i:05d}.parquet": {
+                "id": [base + i * 100, base + i * 100 + 99, 0, 100],
+                "v": [0.0, 1.0, 0, 100],
+            }
+            for i in range(files_per)
+        }
+        snaps.append(
+            snap.Snapshot(
+                snapshot_id=sid, parent_id=sid - 1 or None, operation="append",
+                dirs=dirs, rows=100 * files_per * sid,
+                schema="struct<id:bigint,v:double>", wall_ts=float(sid),
+                stats=stats,
+            )
+        )
+    snap._publish_log(t, snaps)
+
+
+def test_compacted_log_bounded_planning_thousand_snapshots(tmp_path, monkeypatch):
+    """VERDICT r3 #7: after 1,000 commits, (a) the planner index is built
+    ONCE per log version (the second plan_scan parses nothing), (b)
+    compact_log folds 999 entries away while planning results stay
+    IDENTICAL, and (c) the compacted log is a fraction of the full one —
+    planning cost tracks live files, not table history."""
+    t = str(tmp_path / "big")
+    _synthetic_log(t, 1000, files_per=10)
+
+    parses = {"n": 0}
+    real_load = snap._load_log
+
+    def counting_load(path):
+        parses["n"] += 1
+        return real_load(path)
+
+    monkeypatch.setattr(snap, "_load_log", counting_load)
+    snap._PLAN_CACHE.clear()
+    preds = {"id": (123_450, 123_700), "v": (0.0, 0.5)}
+    kept_full, total_full = snap.plan_scan_multi(t, preds)
+    assert total_full == 10_000 and 1 <= len(kept_full) <= 4
+    assert parses["n"] == 1
+    for _ in range(5):  # warm calls: zero log parses
+        k2, t2 = snap.plan_scan_multi(t, preds)
+        assert (k2, t2) == (kept_full, total_full)
+    assert parses["n"] == 1
+
+    size_full = os.path.getsize(snap._log_path(t))
+    assert snap.compact_log(t) == 999
+    kept_c, total_c = snap.plan_scan_multi(t, preds)  # new log version: re-plan
+    assert (kept_c, total_c) == (kept_full, total_full)
+    # 3 = initial parse + compact_log's own read + one re-plan parse
+    assert parses["n"] == 3
+    size_c = os.path.getsize(snap._log_path(t))
+    assert size_c < 0.7 * size_full, (size_c, size_full)
+    assert len(snap.history(t)) == 1
+    # idempotent: nothing left to fold, no republish
+    assert snap.compact_log(t) == 0
+
+
+def test_expire_preserves_pruning_stats_and_writer_schemas(spark, tmp_path):
+    """expire() used to drop the log entries that carried still-live dirs'
+    file stats and writer schemas: pruned reads silently degraded to
+    keep-everything and mergeSchema detection went blind. Both must
+    survive entry expiry."""
+    t = str(tmp_path / "exp")
+    v1 = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id bigint, v double"
+    ).repartitionByRange(4, "id")
+    snap.commit(v1, t)
+    wide = spark.createDataFrame(
+        [(1000 + i, float(i), f"t{i}") for i in range(10)],
+        "id bigint, v double, tag string",
+    )
+    snap.commit(wide, t, evolve=True)
+    kept_before, total_before = snap.plan_scan(t, "id", lo=0, hi=30)
+    assert total_before > 1 and 1 <= len(kept_before) < total_before
+
+    snap.expire(t, keep_last=1)
+    snap._PLAN_CACHE.clear()
+    kept_after, total_after = snap.plan_scan(t, "id", lo=0, hi=30)
+    assert (kept_after, total_after) == (kept_before, total_before)
+    # evolved read still merges schemas (old files surface tag as NULL)
+    got = snap.read_where(spark, t, "id", lo=0, hi=2000)
+    assert set(got.columns) == {"id", "v", "tag"}
+    assert got.where("tag IS NULL").count() == 100
