@@ -60,6 +60,11 @@ for fld in tf.schema.fields:
     st, c = fld.dataType.simpleString(), fld.name
     if st in ("double", "float"):
         aggs.append(F.sum(F.col(c).cast("double")).alias(c))
+        # magnitude scale for the parity tolerance: a reordered sum of n
+        # doubles carries inherent error ~ O(eps * sum|x|), so a column
+        # that cancels to ~0 (e.g. a z-score sum) cannot be compared with
+        # a fixed abs_tol
+        aggs.append(F.sum(F.abs(F.col(c).cast("double"))).alias(c + "__absum"))
     elif st in ("bigint", "int", "smallint", "tinyint"):
         aggs.append(F.sum(F.col(c).cast("decimal(38,0)")).alias(c))
     elif st == "boolean":
@@ -101,7 +106,12 @@ def run(cores: int) -> dict:
 def _parity(a: dict, b: dict, rel_tol: float = 1e-6) -> bool:
     """allclose over the per-column feature checksums of two runs: exact
     equality for decimal (integer/hashed-string) sums, relative tolerance
-    for float sums (addition order varies with partitioning)."""
+    for float sums (addition order varies with partitioning).
+
+    A float column's abs_tol scales with its ``__absum`` companion (the
+    sum of absolute values): reordering an n-term float sum perturbs the
+    result by O(eps * sum|x|), so a column that cancels to ~0 — a z-score
+    sum — is compared against its magnitude scale, not against zero."""
     import math
 
     if a.keys() != b.keys():
@@ -109,7 +119,12 @@ def _parity(a: dict, b: dict, rel_tol: float = 1e-6) -> bool:
     for k in a:
         x, y = a[k], b[k]
         if isinstance(x, float) or isinstance(y, float):
-            if not math.isclose(float(x), float(y), rel_tol=rel_tol, abs_tol=1e-9):
+            absum = max(
+                float(a.get(k + "__absum") or 0.0),
+                float(b.get(k + "__absum") or 0.0),
+            )
+            abs_tol = max(1e-9, 1e-12 * absum)
+            if not math.isclose(float(x), float(y), rel_tol=rel_tol, abs_tol=abs_tol):
                 return False
         elif x != y:
             return False
@@ -152,7 +167,11 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(hist_path, "w") as f:
         json.dump(hist, f, indent=1)
-    effs = sorted(h["eff"] for h in hist)
+        f.write("\n")
+    # entries marked excluded (recorded but measured under contention —
+    # e.g. a later leg an order of magnitude below an earlier one) stay
+    # in the file for the record but do not enter the published median
+    effs = sorted(h["eff"] for h in hist if not h.get("excluded"))
     eff_median_hist = effs[len(effs) // 2] if len(effs) % 2 else (
         effs[len(effs) // 2 - 1] + effs[len(effs) // 2]
     ) / 2
@@ -234,9 +253,12 @@ executors; values at or above 1.0 are noise, not true superlinearity.
 Runs taken while anything else used the box are excluded — contention
 once produced 0.37). **Feature parity across parallelism levels:
 verified allclose** — per-column checksums of the N, 4N, and 32-thread
-outputs match (exact for integer/string columns, rel_tol 1e-6 for float
-sums whose addition order varies with partitioning); a mismatch aborts
-the benchmark. The 16→32 step
+outputs match (exact for integer/string columns; float sums — whose
+addition order varies with partitioning — allow rel_tol 1e-6 plus an
+abs_tol of 1e-12 x the column's sum of absolute values, the inherent
+reordering error of an n-term float sum, so columns that cancel to ~0
+compare against their magnitude scale); a mismatch aborts the
+benchmark. The 16→32 step
 gives {thr32 / thr16:.2f}× on this single-socket 32-core box: all
 threads share one JVM heap, GC, and memory bus, and the window-heavy
 plan saturates memory bandwidth — a per-executor-heap, multi-NUMA real
