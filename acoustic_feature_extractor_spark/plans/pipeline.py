@@ -252,14 +252,32 @@ def adaptive_salt_above(
     one extra job; at true scale run it once and pass the number to
     every downstream invocation (jobs/run_turn_features.py does).
     """
+    thr, _ = _adaptive_profile(transcripts, chunk_rows, straggler_factor, key)
+    return thr
+
+
+def _adaptive_profile(
+    transcripts: DataFrame,
+    chunk_rows: int,
+    straggler_factor: float,
+    key: str,
+) -> tuple[int | None, int | None]:
+    """(threshold, max key size) from ONE profile job — the max rides the
+    same aggregate for free, and lets ``turn_features(salt_above="auto")``
+    skip the whole split machinery (second profile + anti/semi joins +
+    union of an empty salted branch) when NO key exceeds the threshold:
+    the common mild-skew case should cost plain-path + one profile job."""
     row = (
         profile_entity_sizes(transcripts, key=key)
-        .agg(F.percentile_approx("n_rows", F.lit(0.99), F.lit(10000)).alias("p99"))
+        .agg(
+            F.percentile_approx("n_rows", F.lit(0.99), F.lit(10000)).alias("p99"),
+            F.max("n_rows").alias("mx"),
+        )
         .first()
     )
     if row is None or row["p99"] is None:
-        return None
-    return max(int(straggler_factor * row["p99"]), 2 * chunk_rows)
+        return None, None
+    return max(int(straggler_factor * row["p99"]), 2 * chunk_rows), int(row["mx"])
 
 
 def turn_features(
@@ -281,7 +299,12 @@ def turn_features(
     genuine mega-keys route salted, no caller constant to mis-set.
     """
     if salt_above == "auto":
-        salt_above = adaptive_salt_above(transcripts, chunk_rows)
+        salt_above, _mx = _adaptive_profile(transcripts, chunk_rows, 4.0, "conv_id")
+        if salt_above is not None and _mx is not None and _mx <= salt_above:
+            # nothing qualifies: route everything plain instead of paying
+            # the split machinery (second profile + anti/semi joins +
+            # union with an empty salted branch) for zero routed keys
+            salt_above = None
     if salt_above is not None:
         big_keys = (
             profile_entity_sizes(transcripts, key="conv_id")
