@@ -76,20 +76,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _sec(col) -> F.Column:
     """Timezone-INDEPENDENT epoch seconds of a wall-clock value: pure
-    TIMESTAMP_NTZ arithmetic (``timestampdiff`` against the NTZ epoch).
+    NTZ field extraction (see ``functions.scalars.ntz_epoch_us``).
     ``cast(x as timestamp)`` would interpret the wall time in the
     DRIVER'S session timezone — an environment this repo does not
-    control (the round-3 ``pruned_scan`` failure mode); NTZ casts from
-    ntz/date/string inputs and NTZ subtraction never consult it."""
+    control (the round-3 ``pruned_scan`` failure mode) — and so does
+    ``timestamp_diff`` on NTZ operands (coerced through the session tz;
+    breaks across DST transitions)."""
+    from acoustic_feature_extractor_spark.functions.scalars import ntz_epoch_sec
+
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.timestamp_diff(
-            "MICROSECOND",
-            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-            c.cast("timestamp_ntz"),
-        )
-        / F.lit(1000000.0)
-    )
+    return ntz_epoch_sec(c)
 
 
 def _ts_sec(col: str = "ts") -> F.Column:
@@ -870,7 +866,7 @@ WHERE l_orderkey NOT IN (
 def _rollup_export(r: DataFrame, key: str) -> DataFrame:
     return r.select(
         F.col(key).cast("long").alias(key),
-        F.round(F.col("bucket").cast("double"), 6).alias("bucket_sec"),
+        F.round(_sec("bucket"), 6).alias("bucket_sec"),
         F.col("n").cast("long").alias("n"),
         F.round("sum_v", 6).alias("sum_v"),
         F.round("min_v", 6).alias("min_v"),
@@ -1632,7 +1628,7 @@ def _sketch_export(est: DataFrame, exact: DataFrame) -> DataFrame:
     j = est.join(exact, ["event_type", "bucket"])
     return j.select(
         "event_type",
-        F.round(F.col("bucket").cast("double"), 6).alias("bucket_sec"),
+        F.round(_sec("bucket"), 6).alias("bucket_sec"),
         F.col("n").cast("long").alias("n"),
         F.col("d_exact").cast("long").alias("d_exact"),
         (
@@ -1770,9 +1766,10 @@ def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot log at commit), then a 20%-of-span time-range read opens
     ONLY the files whose [min,max] intersect it — driver-side metadata
     pruning, no footer reads at query time. Bounds are int64
-    epoch-microseconds end to end (``unix_micros`` is timezone-
-    independent; naive-datetime literals are NOT — they shift with the
-    driver's session tz, which this query does not control). The pruning
+    epoch-microseconds end to end (pure NTZ field extraction —
+    ``unix_micros(cast("timestamp"))`` localizes the NTZ wall time in the
+    driver's session tz first, and naive-datetime literals shift with it
+    too; this query controls neither). The pruning
     evidence is asserted in-code — the query RAISES unless the plan kept
     strictly fewer files than the table has — rather than hashed, so the
     oracle stays a plain full-scan filter, proving pruning semantics-free."""
@@ -1783,7 +1780,7 @@ def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(_sec("ts") * F.lit(1000000.0)).cast("long").alias("ts_us"),
         "value",
     )
     t = tempfile.mkdtemp(prefix="prune_query_")
@@ -1980,7 +1977,7 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sk_ops.hist_quantiles(day, [0.5, 0.9, 0.99], lo=0.0, hi=512.0, bins=64)
     return est.select(
         "event_type",
-        F.round(F.col("bucket").cast("double"), 6).alias("bucket_sec"),
+        F.round(_sec("bucket"), 6).alias("bucket_sec"),
         F.col("n").cast("long").alias("n"),
         F.round("q5", 6).alias("p50_est"),
         F.round("q9", 6).alias("p90_est"),
@@ -2107,7 +2104,7 @@ def q_hist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = sk_ops.hist_quantiles(folded, [0.5], lo=0.0, hi=512.0, bins=64)
     return est.select(
         F.col("user_id").cast("long").alias("user_id"),
-        F.round(F.col("bucket").cast("double"), 6).alias("bucket_sec"),
+        F.round(_sec("bucket"), 6).alias("bucket_sec"),
         F.col("n").cast("long").alias("n"),
         F.round("q5", 6).alias("p50_est"),
     )
@@ -2527,20 +2524,16 @@ def q_boundary_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     users = d.select("user_id").distinct()
     idle = users.crossJoin(F.broadcast(idle.drop("user_id")))
+    # epoch-double space end to end (the operator is dtype-preserving);
+    # a cast("timestamp") round trip here would mint session-tz instants
     adj = interval_ops.adjust_boundaries_to_idle(
-        spans.select("user_id", "span_id",
-                     F.col("start_ts").cast("timestamp").alias("start_ts"),
-                     F.col("end_ts").cast("timestamp").alias("end_ts")),
-        idle.select("user_id",
-                    F.col("start_ts").cast("timestamp").alias("start_ts"),
-                    F.col("end_ts").cast("timestamp").alias("end_ts")),
-        key="user_id", min_span_seconds=60.0,
+        spans, idle, key="user_id", min_span_seconds=60.0
     )
     return adj.select(
         "user_id",
         F.col("span_id").cast("long").alias("span_id"),
-        F.round(_sec("start_ts"), 6).alias("start_sec"),
-        F.round(_sec("end_ts"), 6).alias("end_sec"),
+        F.round(F.col("start_ts"), 6).alias("start_sec"),
+        F.round(F.col("end_ts"), 6).alias("end_sec"),
     )
 
 

@@ -9,6 +9,80 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+_NTZ_EPOCH = "1970-01-01 00:00:00"
+
+
+def ntz_epoch_us(ts: Column | str) -> Column:
+    """Timezone-INDEPENDENT epoch MICROSECONDS (long) of a wall-clock value.
+
+    Pure field extraction: ``unix_date`` of the date part plus the
+    time-of-day micros. The naive ``cast("timestamp").cast("double")``
+    idiom instead interprets the wall time in the SESSION timezone — an
+    environment setting this engine does not control (the driver supplies
+    its own session). A constant offset cancels in difference-based
+    operators, but (a) absolute bucket/boundary exports shift outright,
+    and (b) across a DST transition the offset CHANGES mid-range, so even
+    differences and orderings break on any table spanning one — at
+    100 TB a year of data spans two.
+
+    NOTE ``timestamp_diff`` against an NTZ epoch literal is NOT a safe
+    alternative: Spark coerces NTZ operands to TIMESTAMP through the
+    session timezone first (measured: wall 2024-03-10 02:05 — inside the
+    America/New_York spring-forward gap — drifts +1h under that session
+    tz). Date/field extraction from NTZ (``cast("date")``, ``hour``,
+    ``minute``, ``date_part('SECOND')``) reads the local datetime value
+    directly and never consults the session timezone (measured pure under
+    UTC / America/New_York / Asia/Kathmandu)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    c = c.cast("timestamp_ntz")
+    return (
+        F.unix_date(c.cast("date")).cast("long") * F.lit(86400000000).cast("long")
+        + F.hour(c).cast("long") * F.lit(3600000000).cast("long")
+        + F.minute(c).cast("long") * F.lit(60000000).cast("long")
+        # date_part('SECOND') carries the fractional micros (decimal)
+        + F.round(F.date_part(F.lit("SECOND"), c) * F.lit(1000000)).cast("long")
+    )
+
+
+def ntz_epoch_sec(ts: Column | str) -> Column:
+    """Timezone-independent epoch seconds (double) — see ntz_epoch_us."""
+    return ntz_epoch_us(ts) / F.lit(1000000.0)
+
+
+def epoch_sec_fn(df, col_name: str):
+    """Pick the timezone-independent epoch-seconds conversion for a
+    column by its ACTUAL dtype (returns a Column → Column function usable
+    on derived columns of the same dtype):
+
+    - TIMESTAMP_NTZ / DATE / STRING (wall-clock values) → NTZ-epoch
+      field extraction (:func:`ntz_epoch_sec`), never the session tz
+      (string→TIMESTAMP and date→TIMESTAMP casts localize; string→NTZ
+      and date→NTZ are pure parses);
+    - numerics → already epoch seconds, identity cast;
+    - true instants (TIMESTAMP) → the direct epoch cast (tz-free by
+      definition of an instant).
+
+    The old one-size ``cast("timestamp").cast("double")`` idiom silently
+    localized NTZ inputs in the session timezone (r4 non-UTC gate)."""
+    t = df.schema[col_name].dataType.simpleString()
+    if t in ("double", "float", "bigint", "int", "smallint", "tinyint"):
+        return lambda c: c.cast("double")
+    if t == "timestamp":
+        return lambda c: c.cast("double")
+    return ntz_epoch_sec
+
+
+def sec_to_ntz(sec: Column) -> Column:
+    """Inverse of :func:`ntz_epoch_sec`: wall-clock epoch seconds back to
+    TIMESTAMP_NTZ, never consulting the session timezone (the
+    ``epoch.cast("timestamp")`` idiom localizes instead)."""
+    return F.timestamp_add(
+        "MICROSECOND",
+        F.round(sec * F.lit(1000000.0)).cast("long"),
+        F.lit(_NTZ_EPOCH).cast("timestamp_ntz"),
+    )
+
+
 def masked_log(col: Column, valid: Column | None = None) -> Column:
     """log on valid entries, 0 stays 0 (``f0.py:61-65`` log-f0 with vuv mask)."""
     cond = valid if valid is not None else (col != 0)

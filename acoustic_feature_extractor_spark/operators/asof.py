@@ -36,6 +36,8 @@ from typing import Iterable
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from acoustic_feature_extractor_spark.functions.scalars import epoch_sec_fn
 from pyspark.sql.window import Window
 
 
@@ -110,9 +112,7 @@ def asof_join(
         rt.select(*left_cols, "_side", "_r_row")
     )
 
-    def _sec(c):
-        return c.cast("timestamp").cast("double")
-
+    _sec = epoch_sec_fn(u, on)  # tz-independent; dtype-dispatched
     lts = _sec(F.col(on))
     if direction == "nearest":
         # one sort serves both frames: right (_side=0) first at equal ts,
@@ -200,9 +200,7 @@ def _nearest_strict(
         b, right, on, by, right_cols, "_xf", tolerance_seconds, False, "forward"
     )
 
-    def _sec(c):
-        return c.cast("timestamp").cast("double")
-
+    _sec = epoch_sec_fn(b, on)  # tz-independent; dtype-dispatched
     db = _sec(F.col(on)) - _sec(F.col(f"{on}_xb"))
     df_ = _sec(F.col(f"{on}_xf")) - _sec(F.col(on))
     use_b = F.col(f"{on}_xb").isNotNull() & (
@@ -320,7 +318,7 @@ def asof_join_salted(
     # shared expression ids make every internal self-join/cogroup ambiguous
     right = right.select(*[F.col(c).alias(c) for c in right.columns])
 
-    sec = F.col(on).cast("timestamp").cast("double")
+    sec = epoch_sec_fn(left, on)(F.col(on))  # tz-independent
     chunk = F.floor(sec / F.lit(chunk_seconds)).cast("long")
     lt = left.withColumn("_chunk", chunk)
     # a null-ts right row can never be a backward match — drop before it
@@ -510,8 +508,8 @@ def asof_join_salted_jvm(
     # <= semantics, left first under strict <; _sk is numeric so the same
     # order drives both the window and the chunk-last max_by
     sk = F.col("_side") if allow_exact_matches else -F.col("_side")
-    sec = F.col(on).cast("timestamp").cast("double")
-    u = u.withColumn("_chunk", F.floor(sec / F.lit(chunk_seconds)).cast("long"))
+    _sec = epoch_sec_fn(u, on)  # tz-independent; dtype-dispatched
+    u = u.withColumn("_chunk", F.floor(_sec(F.col(on)) / F.lit(chunk_seconds)).cast("long"))
     u = u.withColumn("_sk", sk)
 
     w_local = (
@@ -549,8 +547,8 @@ def asof_join_salted_jvm(
     out = filled.where(F.col("_side") == 1)
     keep = (
         (
-            F.col(on).cast("timestamp").cast("double")
-            - F.col("_f_row._rts").cast("timestamp").cast("double")
+            _sec(F.col(on))
+            - _sec(F.col("_f_row._rts"))
         )
         <= F.lit(tolerance_seconds)
         if tolerance_seconds is not None
@@ -637,7 +635,7 @@ def _source_spans(
     spans = None
     for i, s in enumerate(sources):
         sp = s.groupBy(by).agg(
-            F.max(F.col(on).cast("timestamp").cast("double")).alias(f"end_{i}")
+            F.max(epoch_sec_fn(s, on)(F.col(on))).alias(f"end_{i}")
         )
         spans = sp if spans is None else spans.join(sp, by, "full")
     ends = [F.col(f"end_{i}") for i in range(len(sources))]

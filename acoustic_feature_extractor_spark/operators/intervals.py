@@ -23,6 +23,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from acoustic_feature_extractor_spark.functions.scalars import (
+    epoch_sec_fn,
+    sec_to_ntz,
+)
 from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
 
 
@@ -167,12 +171,27 @@ def adjust_boundaries_to_idle(
     after moving an edge we re-share it with the neighbor via lag/lead —
     preserving the contiguity invariant the reference asserts
     (``phoneme.py:69-74``).
+
+    Dtype-preserving: numeric bounds come back numeric, TIMESTAMP comes
+    back TIMESTAMP, TIMESTAMP_NTZ comes back NTZ — all through
+    timezone-independent conversions (``epoch_sec_fn``/``sec_to_ntz``;
+    the old unconditional ``cast("timestamp")`` output minted instants
+    from wall-clock epochs via the session timezone).
     """
-    s, e = F.col("start_ts").cast("double"), F.col("end_ts").cast("double")
+    to_sec = epoch_sec_fn(spans, "start_ts")
+    in_t = spans.schema["start_ts"].dataType.simpleString()
+    if in_t == "timestamp_ntz":
+        back = sec_to_ntz
+    elif in_t == "timestamp":
+        back = lambda c: c.cast("timestamp")  # noqa: E731 — epoch → instant, tz-free
+    else:
+        back = lambda c: c  # noqa: E731 — numeric in, numeric out
+    s, e = to_sec(F.col("start_ts")), to_sec(F.col("end_ts"))
+    ir_sec = epoch_sec_fn(idle_runs, idle_start)
     ir = idle_runs.select(
         F.col(key),
-        F.col(idle_start).cast("double").alias("_is"),
-        F.col(idle_end).cast("double").alias("_ie"),
+        ir_sec(F.col(idle_start)).alias("_is"),
+        ir_sec(F.col(idle_end)).alias("_ie"),
     )
     # idle runs scale with the conversation count — estimate-gated hint
     j = spans.join(maybe_broadcast(ir), key, "left")
@@ -197,6 +216,6 @@ def adjust_boundaries_to_idle(
         key,
         "span_id",
         *[c for c in spans.columns if c not in (key, "span_id", "start_ts", "end_ts")],
-        F.col("_adj_s").cast("timestamp").alias("start_ts"),
-        F.coalesce(nxt, F.col("_adj_e")).cast("timestamp").alias("end_ts"),
+        back(F.col("_adj_s")).alias("start_ts"),
+        back(F.coalesce(nxt, F.col("_adj_e"))).alias("end_ts"),
     )

@@ -22,14 +22,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from acoustic_feature_extractor_spark.functions.scalars import (
+    ntz_epoch_sec,
+    sec_to_ntz,
+)
+
 
 def time_bucket(ts: Column | str, bucket_seconds: float) -> Column:
-    """Bucket start (timestamp) of ``ts``: floor(epoch / w) * w — the
-    standard hypertable bucketing transform, a pure projection."""
-    c = F.col(ts) if isinstance(ts, str) else ts
+    """Bucket start (TIMESTAMP_NTZ) of ``ts``: floor(epoch / w) * w — the
+    standard hypertable bucketing transform, a pure projection. Wall-clock
+    (NTZ) arithmetic end to end: the old ``cast("timestamp")`` round-trip
+    interpreted the wall time in the driver's session timezone, shifting
+    every exported bucket boundary under a non-UTC session (caught by the
+    r4 non-UTC oracle replay gate)."""
     secs = F.lit(float(bucket_seconds))
-    e = c.cast("timestamp").cast("double")
-    return (F.floor(e / secs) * secs).cast("timestamp")
+    e = ntz_epoch_sec(ts)
+    return sec_to_ntz(F.floor(e / secs) * secs)
 
 
 def rollup(

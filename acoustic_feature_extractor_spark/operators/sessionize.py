@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from acoustic_feature_extractor_spark.functions.scalars import epoch_sec_fn
 from pyspark.sql.window import Window
 
 
@@ -35,7 +37,7 @@ def sessionize(
     delta — tests pin this choice).
     """
     w = Window.partitionBy(key).orderBy(order)
-    sec = F.col(ts).cast("timestamp").cast("double")  # NTZ-safe (session tz = UTC)
+    sec = epoch_sec_fn(df, ts)(F.col(ts))  # tz-independent (r4 non-UTC gate)
     gap = sec - F.lag(sec).over(w)
     is_new = F.when(gap > gap_seconds, 1).otherwise(0)
     run = Window.partitionBy(key).orderBy(order).rowsBetween(Window.unboundedPreceding, 0)

@@ -32,18 +32,23 @@ Scale shapes (all pure Catalyst — zero Python in any path):
 
 from __future__ import annotations
 
+from datetime import datetime
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from acoustic_feature_extractor_spark.functions.scalars import ntz_epoch_us
 from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
 
 US = 1_000_000  # microseconds per second
 
 
 def _t_us(ts_col: str) -> Column:
-    """Epoch microseconds as long — exact integer order key for RANGE frames."""
-    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+    """Epoch microseconds as long — exact integer order key for RANGE
+    frames. NTZ arithmetic: ``unix_micros(cast("timestamp"))`` localized
+    the wall time in the session timezone (r4 non-UTC gate)."""
+    return ntz_epoch_us(ts_col)
 
 
 def trailing_time_window(
@@ -402,8 +407,13 @@ def temporal_split(
     shuffle; at 10^12 rows this is a map-only pass (or a partition-pruned
     filter when the table is time-partitioned).
     """
-    start = F.lit(test_start).cast("timestamp")
-    ts = F.col(ts_col).cast("timestamp")
+    if isinstance(test_start, datetime):
+        # a naive datetime through F.lit becomes a TIMESTAMP localized in
+        # the session tz (lossy inside DST gaps); its ISO string parses
+        # to NTZ purely
+        test_start = test_start.isoformat(sep=" ")
+    start = F.lit(test_start).cast("timestamp_ntz")
+    ts = F.col(ts_col).cast("timestamp_ntz")
     emb_lo = start - F.make_interval(secs=F.lit(float(embargo_seconds)))
     return df.withColumn(
         out_col,

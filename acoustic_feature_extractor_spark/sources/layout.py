@@ -38,6 +38,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from acoustic_feature_extractor_spark.functions.scalars import ntz_epoch_us
+
 DEFAULT_BITS = 12
 
 
@@ -45,10 +47,14 @@ def _as_double(df: DataFrame, col: str) -> Column:
     """Numeric view of a clusterable column: timestamps through
     ``unix_micros`` (order-preserving), numerics through a double cast."""
     dt = df.schema[col].dataType
-    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
-    if isinstance(dt, T.DateType):
-        return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
+    if isinstance(dt, T.TimestampType):
+        # a true instant already has a tz-free epoch
+        return F.unix_micros(F.col(col)).cast("double")
+    if isinstance(dt, (T.TimestampNTZType, T.DateType)):
+        # NTZ arithmetic: order-preserving AND session-tz-independent, so
+        # z-order keys and pruning bounds agree across driver sessions
+        # (the old cast("timestamp") localized the wall time first)
+        return ntz_epoch_us(F.col(col)).cast("double")
     if isinstance(dt, (T.StringType, T.BinaryType, T.ArrayType, T.MapType, T.StructType)):
         raise TypeError(
             f"zorder column {col!r} has non-numeric type {dt.simpleString()}; "

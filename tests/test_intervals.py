@@ -89,8 +89,9 @@ def test_adjust_boundaries_contiguity(spark):
         .orderBy("span_id")
         .toPandas()
     )
-    starts = out["start_ts"].map(lambda t: t.timestamp()).tolist()
-    ends = out["end_ts"].map(lambda t: t.timestamp()).tolist()
+    # dtype-preserving: double bounds in, double bounds out
+    starts = out["start_ts"].tolist()
+    ends = out["end_ts"].tolist()
     # span 1's start snapped left to the idle start (8.0)
     assert starts[1] == 8.0
     # contiguity: end of i == start of i+1

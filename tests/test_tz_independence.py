@@ -1,0 +1,251 @@
+"""Operator-level timezone-independence contract.
+
+The driver supplies its own SparkSession whose ``spark.sql.session.timeZone``
+this repo does not control (round-3 post-mortem: ``pruned_scan`` broke only
+on the driver's box). ``tools/check_oracle.py --tz`` guards the REGISTRY;
+this module pins the contract at the OPERATOR level: every time-arithmetic
+operator must produce identical results under any session timezone.
+
+The fixture data deliberately spans the US DST spring-forward
+(2024-03-10 02:00 America/New_York): wall-clock minutes 02:00–02:59 do not
+exist in that zone, so any code path that localizes a TIMESTAMP_NTZ value in
+the session timezone (``cast("timestamp")``) shifts those rows by an hour —
+and the UTC-offset CHANGE mid-range breaks even difference-based logic
+(gaps, trailing windows, as-of distances), not just absolute exports.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from acoustic_feature_extractor_spark.operators.asof import (
+    asof_join,
+    asof_join_salted_jvm,
+)
+from acoustic_feature_extractor_spark.operators.rollup import rollup
+from acoustic_feature_extractor_spark.operators.sessionize import sessionize
+from acoustic_feature_extractor_spark.operators.temporal import (
+    temporal_split,
+    time_decayed_sum,
+    trailing_time_window,
+)
+from acoustic_feature_extractor_spark.sources.layout import zorder_key
+
+# UTC plus a DST zone (offset changes inside the data range) plus a
+# non-hour-aligned fixed offset (+05:45 — catches sub-hour truncation)
+TZS = ["UTC", "America/New_York", "Asia/Kathmandu"]
+
+# wall-clock times straddling the NY spring-forward; 02:05/02:50 do not
+# exist as NY local times — the poison rows
+_TS = [
+    "2024-03-10 00:30:00",
+    "2024-03-10 01:15:00",
+    "2024-03-10 01:59:30",
+    "2024-03-10 02:05:00",
+    "2024-03-10 02:50:00",
+    "2024-03-10 03:10:00",
+    "2024-03-10 04:00:00",
+    "2024-03-10 07:45:00",
+]
+
+
+def _left(spark):
+    # ts built from STRINGS cast to TIMESTAMP_NTZ — a pure conversion.
+    # (pandas naive datetimes reach Spark as TIMESTAMP instants localized
+    # in the session tz, which is lossy for the nonexistent 02:xx NY wall
+    # times — that would test the fixture, not the operator.)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a"] * len(_TS),
+            "turn_idx": range(len(_TS)),
+            "ts_s": _TS,
+            "v": [float(i) for i in range(len(_TS))],
+        }
+    )
+    return (
+        spark.createDataFrame(pdf)
+        .withColumn("ts", F.col("ts_s").cast("timestamp_ntz"))
+        .drop("ts_s")
+    )
+
+
+def _right(spark):
+    rts = ["2024-03-10 01:00:00", "2024-03-10 02:20:00", "2024-03-10 03:30:00"]
+    pdf = pd.DataFrame({"conv_id": ["a"] * 3, "ts_s": rts, "price": [1.0, 2.0, 3.0]})
+    return (
+        spark.createDataFrame(pdf)
+        .withColumn("ts", F.col("ts_s").cast("timestamp_ntz"))
+        .drop("ts_s")
+    )
+
+
+def _canon(df):
+    rows = df.collect()
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in rows)
+
+
+def _under_tzs(spark, build):
+    """Collect ``build()``'s result under each session tz; return the list."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    out = []
+    try:
+        for tz in TZS:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            out.append(_canon(build()))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    return out
+
+
+@pytest.mark.parametrize(
+    "name,build_fn",
+    [
+        (
+            "sessionize",
+            lambda s: sessionize(_left(s), gap_seconds=3000.0),
+        ),
+        (
+            "asof_backward",
+            lambda s: asof_join(_left(s), _right(s), tolerance_seconds=7200.0),
+        ),
+        (
+            "asof_nearest",
+            lambda s: asof_join(_left(s), _right(s), direction="nearest"),
+        ),
+        (
+            "asof_salted_jvm",
+            lambda s: asof_join_salted_jvm(
+                _left(s), _right(s), chunk_seconds=3600.0
+            ),
+        ),
+        (
+            "rollup",
+            lambda s: rollup(_left(s), 3600.0, "conv_id", "v"),
+        ),
+        (
+            "trailing_time_window",
+            lambda s: trailing_time_window(_left(s), "v", [3600.0]),
+        ),
+        (
+            "time_decayed_sum",
+            lambda s: time_decayed_sum(_left(s), "v", 1800.0),
+        ),
+        (
+            "temporal_split_str",
+            lambda s: temporal_split(
+                _left(s), "2024-03-10 02:30:00", embargo_seconds=1800.0
+            ),
+        ),
+        (
+            "zorder_key",
+            lambda s: _left(s).select(
+                "turn_idx",
+                zorder_key(
+                    _left(s),
+                    ["ts", "v"],
+                    {
+                        # epoch-us bounds of the wall-clock range (tz-free)
+                        "ts": (1710030600000000.0, 1710056700000000.0),
+                        "v": (0.0, 7.0),
+                    },
+                ).alias("z"),
+            ),
+        ),
+    ],
+)
+def test_operator_tz_independent(spark, name, build_fn):
+    results = _under_tzs(spark, lambda: build_fn(spark))
+    for tz, got in zip(TZS[1:], results[1:]):
+        assert got == results[0], f"{name}: result drifts under session tz {tz}"
+
+
+def test_epoch_sec_fn_dispatch(spark):
+    """epoch_sec_fn picks the right conversion per dtype and every path
+    agrees on the same instant/wall value under a non-UTC session tz."""
+    from acoustic_feature_extractor_spark.functions.scalars import (
+        epoch_sec_fn,
+        ntz_epoch_sec,
+        sec_to_ntz,
+    )
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+        wall = "2024-03-10 02:05:00.250000"  # inside the NY DST gap
+        want = 1710036300.25  # epoch secs of that wall time taken as UTC
+        df = spark.sql(
+            f"""SELECT
+                  cast('{wall}' as timestamp_ntz)           AS c_ntz,
+                  '{wall}'                                  AS c_str,
+                  cast('2024-03-10' as date)                AS c_date,
+                  cast({want} as double)                    AS c_dbl,
+                  cast({int(want)} as bigint)               AS c_big,
+                  timestamp_micros({int(want * 1e6)})       AS c_inst"""
+        )
+        got = df.select(
+            *[
+                epoch_sec_fn(df, c)(F.col(c)).alias(c)
+                for c in ("c_ntz", "c_str", "c_dbl", "c_big", "c_inst")
+            ],
+            epoch_sec_fn(df, "c_date")(F.col("c_date")).alias("c_date"),
+        ).first()
+        assert got["c_ntz"] == want
+        assert got["c_str"] == want
+        assert got["c_dbl"] == want
+        assert got["c_big"] == float(int(want))
+        # a true instant has a tz-free epoch — direct cast path
+        assert got["c_inst"] == want
+        assert got["c_date"] == 1710028800.0  # midnight of the wall date
+        # sec_to_ntz is the exact inverse of ntz_epoch_sec at micro grain
+        rt = df.select(
+            sec_to_ntz(ntz_epoch_sec(F.col("c_ntz"))).alias("rt")
+        ).first()["rt"]
+        assert str(rt) == "2024-03-10 02:05:00.250000"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_sessionize_gap_semantics_across_dst(spark):
+    """Pin the VALUE, not just tz-invariance: the 01:59:30 → 02:05 step is
+    330 wall-clock seconds — same session whatever the zone; localizing in
+    NY would stretch it across the nonexistent hour."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        out = (
+            sessionize(_left(spark), gap_seconds=3000.0)
+            .orderBy("turn_idx")
+            .select("session_id")
+            .toPandas()["session_id"]
+            .tolist()
+        )
+        # gaps (wall secs): 2700, 2670, 330, 2700, 1200, 3000, 13500 —
+        # only the final 3.75h jump exceeds the 3000s threshold... and the
+        # 03:10→04:00 gap is exactly 3000 (not >), so it stays in-session
+        assert out == [0, 0, 0, 0, 0, 0, 0, 1]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_rollup_bucket_is_wall_clock_ntz(spark):
+    """time_bucket output is TIMESTAMP_NTZ and its wall value is the
+    floor of the input wall time — under ANY session tz."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        r = rollup(_left(spark), 3600.0, "conv_id", "v")
+        assert r.schema["bucket"].dataType.simpleString() == "timestamp_ntz"
+        buckets = sorted(str(x["bucket"]) for x in r.select("bucket").collect())
+        assert buckets == [
+            "2024-03-10 00:00:00",
+            "2024-03-10 01:00:00",
+            "2024-03-10 02:00:00",
+            "2024-03-10 03:00:00",
+            "2024-03-10 04:00:00",
+            "2024-03-10 07:00:00",
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
