@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..datagen import SESSION_GAP_SECONDS
+from ..functions.scalars import epoch_sec_fn
 from ..operators.fill import forward_fill
 from ..operators.sessionize import sessionize
 from ..operators.skew import DEFAULT_CHUNK, profile_entity_sizes
@@ -70,6 +71,7 @@ def _base_features(
     # semantics in 6 passes; the flagship is the headline path, so it is
     # hand-fused and pinned by the golden + oracle tests.
     w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    _sec = epoch_sec_fn(transcripts, "ts")  # tz-independent; dtype-dispatched
     d = transcripts.withColumn("text_len", F.length("text").cast("double"))
     d = d.select(
         "*",
@@ -77,7 +79,7 @@ def _base_features(
         F.lead("role").over(w).alias("next_role"),
         F.lag("text_len").over(w).alias("prev_text_len"),
         (
-            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+            _sec(F.col("ts")) - F.lag(_sec(F.col("ts"))).over(w)
         ).alias("dt_prev_sec"),
         F.avg("text_len").over(w_roll).alias("roll_len_mean"),
         F.min("text_len").over(w_roll).alias("roll_len_min"),
@@ -145,6 +147,7 @@ def _base_features_salted(
     assert chunk_rows >= margin, (
         f"chunk_rows={chunk_rows} must be >= window margin={margin}"
     )
+    _sec = epoch_sec_fn(transcripts, "ts")  # tz-independent; dtype-dispatched
     d = transcripts.withColumn("text_len", F.length("text").cast("double"))
     own = F.floor(F.col("turn_idx") / F.lit(chunk_rows)).cast("long")
     offset_in = F.col("turn_idx") % chunk_rows
@@ -162,7 +165,7 @@ def _base_features_salted(
         F.lead("role").over(w_c).alias("next_role"),
         F.lag("text_len").over(w_c).alias("prev_text_len"),
         (
-            F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w_c)
+            _sec(F.col("ts")) - F.lag(_sec(F.col("ts"))).over(w_c)
         ).alias("dt_prev_sec"),
         F.avg("text_len").over(w_roll_c).alias("roll_len_mean"),
         F.min("text_len").over(w_roll_c).alias("roll_len_min"),

@@ -162,6 +162,64 @@ def test_operator_tz_independent(spark, name, build_fn):
         assert got == results[0], f"{name}: result drifts under session tz {tz}"
 
 
+def _transcripts_ntz(spark):
+    """Driver-shaped transcripts frame (conv_id, turn_idx, role, text,
+    tool, ts) with TIMESTAMP_NTZ ts straddling the NY DST gap — the
+    dtype the real testdata parquet carries."""
+    n = len(_TS)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["c0"] * n,
+            "turn_idx": range(n),
+            "role": ["user", "assistant"] * (n // 2),
+            "text": [f"t{i}" * (i + 1) for i in range(n)],
+            "tool": [None, None, "grep", None, None, "sed", None, None],
+            "ts_s": _TS,
+        }
+    )
+    return (
+        spark.createDataFrame(pdf)
+        .withColumn("ts", F.col("ts_s").cast("timestamp_ntz"))
+        .withColumn("turn_idx", F.col("turn_idx").cast("int"))
+        .drop("ts_s")
+    )
+
+
+@pytest.mark.parametrize("salt_above", [None, 2])
+def test_turn_features_tz_independent_on_ntz(spark, salt_above):
+    """The flagship itself must accept a driver-shaped NTZ table and
+    produce identical frames under any session tz (plain AND salted
+    paths; salt_above=2 routes the 8-turn conversation salted)."""
+    from acoustic_feature_extractor_spark.plans.pipeline import turn_features
+
+    results = _under_tzs(
+        spark,
+        lambda: turn_features(
+            _transcripts_ntz(spark),
+            gap_seconds=3000.0,
+            salt_above=salt_above,
+            chunk_rows=4,
+        ),
+    )
+    for tz, got in zip(TZS[1:], results[1:]):
+        assert got == results[0], f"turn_features drifts under session tz {tz}"
+    # and the DST-gap rows landed: dt_prev_sec at turn 3 is the true
+    # 330-wall-second step (02:05 − 01:59:30), not a localized 1h-shifted one
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        dt = {
+            r["turn_idx"]: r["dt_prev_sec"]
+            for r in turn_features(
+                _transcripts_ntz(spark), gap_seconds=3000.0,
+                salt_above=salt_above, chunk_rows=4,
+            ).select("turn_idx", "dt_prev_sec").collect()
+        }
+        assert dt[3] == 330.0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_epoch_sec_fn_dispatch(spark):
     """epoch_sec_fn picks the right conversion per dtype and every path
     agrees on the same instant/wall value under a non-UTC session tz."""
