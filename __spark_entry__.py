@@ -3806,6 +3806,217 @@ WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id
 
 
 # --------------------------------------------------------------------------
+# queries — transcript-native context ops (round 4): context-window
+# assembly, conversation dedup, chunking, transition mining, loop detection
+# --------------------------------------------------------------------------
+
+def q_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free training-context assembly (context.trailing_context):
+    for every turn, how many PRIOR turns — and how many tokens — still fit
+    in a 64-token context budget alongside everything after them. One
+    window cumsum + one RANGE frame ordered by the cumulative weight, both
+    on the same (user) exchange: one shuffle, O(1) state per row, no
+    collected lists. Token weight = length(props) (deterministic, >= 1 on
+    this table, recomputable in any engine)."""
+    from acoustic_feature_extractor_spark.operators import context as ctx_ops
+
+    ev = _indexed_events(spark, sf_dir).withColumn(
+        "n_tokens", F.length("props").cast("long")
+    )
+    r = ctx_ops.trailing_context(
+        ev, "user_id", ("idx",), "n_tokens", budget=64
+    )
+    return r.select(
+        "user_id",
+        "event_id",
+        "idx",
+        F.col("ctx_turns"),
+        F.col("ctx_tokens"),
+        F.col("ctx_truncated"),
+    )
+
+
+_SQL_CONTEXT_ASSEMBLY = """
+WITH b AS (
+  SELECT user_id, event_id, CAST(length(props) AS BIGINT) AS w,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS idx
+  FROM events
+),
+c AS (
+  SELECT *, sum(w) OVER (PARTITION BY user_id ORDER BY idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM b
+)
+SELECT user_id, event_id, idx,
+       CAST(count(*) OVER wr AS BIGINT) AS ctx_turns,
+       CAST(coalesce(sum(w) OVER wr, 0) AS BIGINT) AS ctx_tokens,
+       idx > count(*) OVER wr AS ctx_truncated
+FROM c
+WINDOW wr AS (PARTITION BY user_id ORDER BY cum
+              RANGE BETWEEN 64 PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level dedup + shared-prefix families
+    (context.dedup_conversations): order-sensitive 62-bit sequence
+    fingerprints from ONE commutative groupBy sum of position-salted
+    portable hashes — no collect_list, no sort, mega-conversations never
+    land on one task. The prefix fingerprint (first 4 turns) groups
+    conversations seeded identically. Oracle recomputes the identical
+    fingerprints in DuckDB via the shared portable polynomial hash."""
+    from acoustic_feature_extractor_spark.operators import context as ctx_ops
+
+    ev = _indexed_events(spark, sf_dir)
+    r = ctx_ops.dedup_conversations(
+        ev, "user_id", "idx", "event_type", prefix_len=4
+    )
+    return r.select(
+        "user_id",
+        "conv_fp",
+        "prefix_fp",
+        "n_same_conv",
+        "n_same_prefix",
+        "is_canonical",
+    )
+
+
+def _sql_conv_dedup() -> str:
+    # \x1f separator matches context._lane_hash (prevents ("a1", idx=1)
+    # aliasing ("a", idx=11))
+    phash = _sql_phash("(event_type || chr(31) || CAST(idx AS VARCHAR))")
+    pmix = _sql_pmix("hv")
+    return f"""
+WITH b AS (
+  SELECT user_id, event_type,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS idx
+  FROM events
+),
+h0 AS (SELECT user_id, idx, {phash} AS hv FROM b),
+h AS (SELECT user_id, idx, {pmix} AS m FROM h0),
+f AS (
+  SELECT user_id,
+         CAST((sum(m & 2147483647) % 2147483647) * 2147483648
+              + (sum(m >> 31) % 2147483629) AS BIGINT) AS conv_fp
+  FROM h GROUP BY 1
+),
+p AS (
+  SELECT user_id,
+         CAST((sum(m & 2147483647) % 2147483647) * 2147483648
+              + (sum(m >> 31) % 2147483629) AS BIGINT) AS prefix_fp
+  FROM h WHERE idx < 4 GROUP BY 1
+),
+j AS (
+  SELECT f.user_id, f.conv_fp, coalesce(p.prefix_fp, -1) AS prefix_fp
+  FROM f LEFT JOIN p ON f.user_id = p.user_id
+)
+SELECT user_id, conv_fp, prefix_fp,
+       CAST(count(*) OVER (PARTITION BY conv_fp) AS BIGINT) AS n_same_conv,
+       CAST(count(*) OVER (PARTITION BY prefix_fp) AS BIGINT) AS n_same_prefix,
+       user_id = min(user_id) OVER (PARTITION BY conv_fp) AS is_canonical
+FROM j
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG / long-context chunking (text.chunk_documents): every document
+    split into 120-char windows every 90 chars (33% overlap, full
+    coverage, stable (doc_id, chunk_idx) identity, md5 content address).
+    Map-only — posexplode of a closed-form start sequence + substring, no
+    shuffle at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    r = tx.chunk_documents(d, "text", "doc_id", size=120, stride=90)
+    return r.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_idx",
+        "chunk_start",
+        "chunk_len",
+        "chunk_hash",
+    )
+
+
+_SQL_CHUNK_DOCUMENTS = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0
+),
+k AS (
+  SELECT doc_id, text,
+         1 + (greatest(n - 120, 0) + 89) // 90 AS nchunks
+  FROM d
+),
+u AS (
+  SELECT doc_id, text, unnest(generate_series(0, nchunks - 1)) AS ci FROM k
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(ci * 90 AS BIGINT) AS chunk_start,
+       CAST(length(substring(text, CAST(ci * 90 + 1 AS INT), 120)) AS BIGINT) AS chunk_len,
+       md5(substring(text, CAST(ci * 90 + 1 AS INT), 120)) AS chunk_hash
+FROM u
+"""
+
+
+def q_turn_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-transition mining (context.transition_counts): the bigram
+    Markov profile of per-conversation state sequences — transition counts
+    and conditional shares P(state | prev_state). One lag window + one
+    |states|^2-row groupBy."""
+    from acoustic_feature_extractor_spark.operators import context as ctx_ops
+
+    ev = _indexed_events(spark, sf_dir)
+    r = ctx_ops.transition_counts(ev, "user_id", ("idx",), "event_type")
+    return r.select("prev_state", "state", "n", "share")
+
+
+_SQL_TURN_TRANSITIONS = """
+WITH b AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev AS prev_state, event_type AS state,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY prev), 6) AS share
+FROM b WHERE prev IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_degenerate_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-loop detection (context.degenerate_runs): longest
+    same-state run per conversation plus the count of runs >= 3 (the
+    stuck-agent / retry-storm curation signal). Gaps-and-islands on one
+    (user) exchange; worst_state ties break to the lexicographically
+    largest state so both engines agree."""
+    from acoustic_feature_extractor_spark.operators import context as ctx_ops
+
+    ev = _indexed_events(spark, sf_dir)
+    r = ctx_ops.degenerate_runs(ev, "user_id", ("idx",), "event_type", min_run=3)
+    return r.select("user_id", "max_run", "n_degenerate", "worst_state")
+
+
+_SQL_DEGENERATE_LOOPS = """
+WITH b AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS island
+  FROM events
+),
+r AS (
+  SELECT user_id, event_type, island, count(*) AS run_len
+  FROM b GROUP BY 1, 2, 3
+),
+m AS (SELECT *, max(run_len) OVER (PARTITION BY user_id) AS mr FROM r)
+SELECT user_id,
+       CAST(max(run_len) AS BIGINT) AS max_run,
+       CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_degenerate,
+       max(CASE WHEN run_len = mr THEN event_type END) AS worst_state
+FROM m GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3814,23 +4025,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries, so the window rotates each round (VERDICT r3 #5: every
     # registry query driver-green within the last two rounds). Round-4
     # window (exactly 50): the fixed ``pruned_scan`` (the one red row in
-    # r3 — now epoch-double bounds, tz-independent), the new
-    # ``ann_ivf_incremental``, the 43 queries whose driver evidence dates
-    # from r1/r2, and 5 sentinels green in every round. Everything below
+    # r3 — now epoch-double bounds, tz-independent), the round-4 NEW
+    # operators (ann_ivf_incremental, context_assembly, conv_dedup,
+    # chunk_documents), the 43 queries whose driver evidence dates from
+    # r1/r2, and 2 sentinels green in every round. Everything below
     # position 50 was driver-green in r3 (CORRECTNESS_r03.json) and stays
     # covered by the local replay gate (tools/check_oracle.py, also run
     # under a non-UTC session tz by tests/test_oracle_replay.py).
     return {
         # -- round-4 driver window ------------------------------------------
-        # fixed in r4 (r3's only red row) + this round's new operator
+        # fixed in r4 (r3's only red row) + this round's new operators
         "pruned_scan": q_pruned_scan,
         "ann_ivf_incremental": q_ann_ivf_incremental,
+        "context_assembly": q_context_assembly,
+        "conv_dedup": q_conv_dedup,
+        "chunk_documents": q_chunk_documents,
         # sentinels (driver-green every round)
         "flagship_features": q_flagship_features,
         "asof_join": q_asof_join,
-        "sessionize": q_sessionize,
-        "stats_normalize": q_stats_normalize,
-        "dedup_minhash": q_dedup_minhash,
         # r1/r2 queries whose driver-grade evidence ages (43)
         "tpch_q1": q_tpch_q1,
         "rolling_stats": q_rolling_stats,
@@ -3875,7 +4087,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_outliers": q_embedding_outliers,
+        # -- below the window: new in r4, replay-checked; r5 window heads --
+        "turn_transitions": q_turn_transitions,
+        "degenerate_loops": q_degenerate_loops,
         # -- below the window: driver-green in r3 ---------------------------
+        "sessionize": q_sessionize,
+        "stats_normalize": q_stats_normalize,
+        "dedup_minhash": q_dedup_minhash,
         "asof_salted": q_asof_salted,
         "multi_align": q_multi_align,
         "ann_lsh": q_ann_lsh,
@@ -4029,4 +4247,9 @@ def oracle_sql() -> dict[str, str]:
         "quantile_bin": _SQL_QUANTILE_BIN,
         "novelty_split": _SQL_NOVELTY_SPLIT,
         "robust_outliers": _SQL_ROBUST_OUTLIERS,
+        "context_assembly": _SQL_CONTEXT_ASSEMBLY,
+        "conv_dedup": _sql_conv_dedup(),
+        "chunk_documents": _SQL_CHUNK_DOCUMENTS,
+        "turn_transitions": _SQL_TURN_TRANSITIONS,
+        "degenerate_loops": _SQL_DEGENERATE_LOOPS,
     }

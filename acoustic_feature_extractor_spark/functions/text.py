@@ -568,3 +568,48 @@ def bigram_logprob(
         F.col("avg_logprob"),
         F.exp(-F.col("avg_logprob")).alias("perplexity"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 120,
+    stride: int = 90,
+) -> DataFrame:
+    """Fixed-size overlapping character chunks with stable ids — the RAG /
+    long-context chunking pass (split every document into ``size``-char
+    windows every ``stride`` chars, last chunk may be short, every char
+    covered when ``stride <= size``).
+
+    One row per (doc, chunk): ``(id, chunk_idx, chunk_start, chunk_len,
+    chunk_hash, chunk)``. Pure JVM: chunk starts come from
+    ``posexplode(sequence(...))`` and the slice is ``substring`` — no
+    Python, no driver involvement, and the explode is partition-local so
+    the operator is map-only (zero shuffles) at any corpus size.
+    Zero-length documents produce no chunks. Requires ``stride >= 1``;
+    ``stride <= size`` guarantees full coverage.
+    """
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    n = F.length(F.col(text_col))
+    extra = F.greatest(n - F.lit(size), F.lit(0))
+    # ceil(extra / stride) in exact integer arithmetic (doubles are exact
+    # here but why rely on it)
+    n_chunks = (extra + F.lit(stride - 1) - F.pmod(extra + F.lit(stride - 1), F.lit(stride))) / F.lit(stride) + 1
+    d = df.where(n > 0).select(
+        F.col(id_col),
+        F.col(text_col).alias("_txt"),
+        F.posexplode(
+            F.sequence(F.lit(0), (n_chunks.cast("long") - 1) * F.lit(stride), F.lit(stride))
+        ).alias("chunk_idx", "chunk_start"),
+    )
+    chunk = F.substring(F.col("_txt"), F.col("chunk_start") + 1, size)
+    return d.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_hash"),
+        chunk.alias("chunk"),
+    )
