@@ -166,17 +166,27 @@ def dedup_conversations(
 
         keep = dedup_conversations(t).where("is_canonical")
 
-    Plan: two fingerprint groupBys (full + prefix) joined back on the
-    entity — fingerprint tables are one row per conversation, orders of
-    magnitude smaller than the turns table, so the joins are cheap and
-    broadcastable when the corpus side dwarfs them.
+    Plan: ONE pass over the turns table — the prefix fingerprint is the
+    same commutative lane sum restricted by ``F.when(idx < prefix_len)``,
+    so both fingerprints come out of a single partial-aggregated groupBy
+    (one scan, one exchange) instead of two scans plus a join. Entities
+    with no prefix rows get ``prefix_fp = -1`` (sum over an empty set is
+    NULL → coalesced), matching the join-based formulation.
     """
-    full = sequence_fingerprint(df, entity_col, idx_col, content_col, None, "conv_fp")
-    pref = sequence_fingerprint(
-        df, entity_col, idx_col, content_col, prefix_len, "prefix_fp"
-    )
-    both = full.join(pref, entity_col, "left").withColumn(
-        "prefix_fp", F.coalesce(F.col("prefix_fp"), F.lit(-1))
+    h = _lane_hash(F.col(content_col), F.col(idx_col))
+    l1 = h.bitwiseAND(F.lit(_MASK31))
+    l2 = F.shiftright(h, 31)
+    in_prefix = F.col(idx_col) < int(prefix_len)
+
+    def _fp(s1: Column, s2: Column) -> Column:
+        return F.shiftleft(s1 % F.lit(_M1), 31) + (s2 % F.lit(_M2))
+
+    both = df.groupBy(entity_col).agg(
+        _fp(F.sum(l1), F.sum(l2)).alias("conv_fp"),
+        F.coalesce(
+            _fp(F.sum(F.when(in_prefix, l1)), F.sum(F.when(in_prefix, l2))),
+            F.lit(-1),
+        ).alias("prefix_fp"),
     )
     w_full = Window.partitionBy("conv_fp")
     w_pref = Window.partitionBy("prefix_fp")

@@ -307,3 +307,38 @@ def test_rollup_bucket_is_wall_clock_ntz(spark):
         ]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_ntz_epoch_us_exact_edge_values(spark):
+    """The interval-subtraction formulation of ntz_epoch_us is exact for
+    fractional seconds, the epoch itself, pre-1970 values, and far-range
+    timestamps — under a non-UTC session tz (incl. a DST-gap wall time)."""
+    import datetime as dt
+
+    from acoustic_feature_extractor_spark.functions.scalars import ntz_epoch_us
+
+    rows = [
+        "2024-03-10 02:05:00.123456",  # inside the NY spring-forward gap
+        "1970-01-01 00:00:00",
+        "1969-12-31 23:59:59.5",
+        "1969-06-01 12:00:00.25",
+        "2286-11-20 17:46:40.000001",
+        "1900-01-01 00:00:00.000001",
+    ]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        d = spark.createDataFrame([(r,) for r in rows], "s string").select(
+            "s", F.col("s").cast("timestamp_ntz").alias("ts")
+        )
+        got = {
+            r["s"]: r["us"]
+            for r in d.select("s", ntz_epoch_us(F.col("ts")).alias("us")).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    for s in rows:
+        exact = (
+            dt.datetime.fromisoformat(s) - dt.datetime(1970, 1, 1)
+        ) // dt.timedelta(microseconds=1)
+        assert got[s] == exact, (s, got[s], exact)
