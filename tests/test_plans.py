@@ -365,3 +365,38 @@ def test_hist_rollup_single_exchange_partial_agg(spark):
     assert ex == 1, f"expected 1 exchange, saw {ex}\n{plan[:2000]}"
     assert "HashAggregate" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_context_assembly_single_exchange_no_python(spark, entry_mod):
+    """The context-window assembler (cumsum window + RANGE budget frame +
+    prior-count frame) shares ONE (user) exchange and stays pure JVM."""
+    import re
+
+    plan = _plan(entry_mod.queries()["context_assembly"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert ex == 1, f"expected 1 exchange, saw {ex}\n{plan}"
+
+
+def test_conv_dedup_single_scan_no_join(spark, entry_mod):
+    """Fused fingerprints: ONE scan of the turns table, no join — the
+    full and prefix fingerprints come out of one conditional-sum groupBy
+    (plus the two fp-group count windows)."""
+    import re
+
+    plan = _plan(entry_mod.queries()["conv_dedup"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # formatted mode prints each node once in the tree ("Scan parquet (1)")
+    # and once in the detail section ("(1) Scan parquet") — count node ids
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, f"expected 1 scan, saw {scans}\n{plan}"
+    assert "Join" not in plan, plan
+
+
+def test_degenerate_loops_single_fact_exchange(spark, entry_mod):
+    """Gaps-and-islands: both row_numbers ride one (user) exchange; the
+    two shrinking groupBys add at most aggregation exchanges over the
+    already-reduced runs table."""
+    plan = _plan(entry_mod.queries()["degenerate_loops"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Window" in plan
