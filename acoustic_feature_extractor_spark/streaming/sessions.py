@@ -235,3 +235,97 @@ def streaming_turn_rate(
         .groupBy(F.window(F.col(ts), window, slide))
         .agg(F.count("*").alias("n_turns"))
     )
+
+
+def streaming_trailing_context(
+    stream: DataFrame,
+    key: str = "conv_id",
+    idx_col: str = "turn_idx",
+    weight_col: str = "n_tokens",
+    budget: int = 512,
+):
+    """Streaming twin of ``operators/context.trailing_context``: per-turn
+    leak-free context-window stats (how many prior turns — and how many
+    tokens — still fit in ``budget``) over a live transcript stream.
+
+    The carried GroupState is PROVABLY BOUNDED: the cumulative token
+    count, the prior-turn count, and the cumulative sums of only those
+    recent turns still within ``budget`` tokens of the head — at most
+    ``budget`` entries since weights are >= 1, independent of
+    conversation length. A mega-conversation costs the same state as a
+    short one, which is what makes this operator safe on an unbounded
+    stream. Per micro-batch the group is sorted once and evaluated with
+    numpy cumsum + searchsorted — Arrow-batched, no per-row Python.
+
+    Requires per-entity in-order arrival across micro-batches (same
+    contract as :func:`streaming_state_fill`'s carry). Exactly equal to
+    the batch operator over any drop sequence (pytest-pinned).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key} string, {idx_col} int, ctx_turns bigint, ctx_tokens bigint, "
+        "ctx_truncated boolean"
+    )
+    state_schema = "cum long, n long, base long, cums array<long>"
+    cols = [key, idx_col, "ctx_turns", "ctx_tokens", "ctx_truncated"]
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            cum0, n0, base, cums = state.get
+            prior = np.asarray(cums, dtype="int64")
+        else:
+            cum0, n0, base, prior = 0, 0, 0, np.empty(0, dtype="int64")
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            state.update((cum0, n0, base, [int(x) for x in prior]))
+            yield pd.DataFrame(columns=cols)
+            return
+        pdf = pd.concat(frames).sort_values(idx_col, kind="mergesort")
+        w = pdf[weight_col].to_numpy(dtype="int64")
+        cums_new = cum0 + np.cumsum(w)
+        all_cums = np.concatenate([prior, cums_new])
+        pos = np.arange(len(prior), len(prior) + len(w))
+        # include prior turn j iff cum_j >= cum_t - budget (and j < t)
+        lo = np.searchsorted(all_cums, cums_new - budget, side="left")
+        n_ctx = pos - lo
+        prev_total = cums_new - w
+        cum_before_lo = np.where(lo > 0, all_cums[np.maximum(lo - 1, 0)], base)
+        tok = prev_total - cum_before_lo
+        truncated = (n0 + np.arange(len(w))) > n_ctx
+        out = pd.DataFrame(
+            {
+                key: pdf[key].to_numpy(),
+                idx_col: pdf[idx_col].to_numpy(),
+                "ctx_turns": n_ctx.astype("int64"),
+                "ctx_tokens": tok.astype("int64"),
+                "ctx_truncated": truncated,
+            }
+        )
+        # evict entries that can never re-enter a future frame (future
+        # cum_t > last cum, so anything below last_cum - budget is dead);
+        # base tracks the cum just before the oldest retained entry so
+        # token totals stay exact at the window's left edge
+        last_cum = int(cums_new[-1])
+        keep = all_cums >= last_cum - budget
+        first_kept = int(np.argmax(keep))  # keep[-1] is always True
+        new_base = int(all_cums[first_kept - 1]) if first_kept > 0 else base
+        state.update(
+            (
+                last_cum,
+                int(n0 + len(w)),
+                new_base,
+                [int(x) for x in all_cums[keep]],
+            )
+        )
+        yield out
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -411,3 +411,102 @@ def test_streaming_sketch_rollups_merge_with_batch(spark):
         assert len(rows) >= 3
         for r in rows:
             assert abs(r["distinct_est"] - r["exact"]) <= max(2, 0.03 * r["exact"])
+
+
+def test_streaming_trailing_context_matches_batch(spark, transcripts):
+    """Streaming context-window assembly over TWO sequential file drops
+    equals the batch trailing_context over the full table — with state
+    bounded by the token budget, not the conversation length."""
+    import pyspark.sql.functions as F
+
+    from acoustic_feature_extractor_spark.operators.context import trailing_context
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_trailing_context,
+    )
+
+    budget = 40
+    t = (
+        transcripts.limit(1500)
+        .select(
+            "conv_id",
+            "turn_idx",
+            (F.length("text") % 17 + 1).cast("long").alias("n_tokens"),
+        )
+        .cache()
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        t.where(F.col("turn_idx") < 5).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_trailing_context(stream, budget=budget)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ctx_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            t.where(F.col("turn_idx") >= 5).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            got = (
+                spark.sql("SELECT * FROM ctx_out")
+                .orderBy("conv_id", "turn_idx")
+                .toPandas()
+            )
+        finally:
+            q.stop()
+    exp = (
+        trailing_context(t, "conv_id", ("turn_idx",), "n_tokens", budget)
+        .orderBy("conv_id", "turn_idx")
+        .select("conv_id", "turn_idx", "ctx_turns", "ctx_tokens", "ctx_truncated")
+        .toPandas()
+    )
+    assert len(got) == len(exp)
+    for c in ("ctx_turns", "ctx_tokens", "ctx_truncated"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+
+def test_streaming_trailing_context_state_bounded(spark):
+    """GroupState stays <= budget entries even for a conversation far
+    longer than the budget (weights >= 1 ⇒ bounded retained window)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_trailing_context,
+    )
+
+    budget = 16
+    n = 500  # single mega-conversation, way past the budget
+    rows = [("mega", i, 1) for i in range(n)]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, n_tokens long")
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        t.where(F.col("turn_idx") < 250).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_trailing_context(stream, budget=budget)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("ctx_bound")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            t.where(F.col("turn_idx") >= 250).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            got = spark.sql(
+                "SELECT * FROM ctx_bound ORDER BY turn_idx"
+            ).toPandas()
+        finally:
+            q.stop()
+    # unit weights: include prior turn j iff the suffix j+1..t fits the
+    # budget (turn j's own token is not charged) — exactly `budget` prior
+    # turns once the conversation is longer than that, all truncated
+    tail = got[got["turn_idx"] > budget]
+    assert (tail["ctx_turns"] == budget).all()
+    assert (tail["ctx_tokens"] == budget).all()
+    assert tail["ctx_truncated"].all()
