@@ -329,3 +329,30 @@ def streaming_trailing_context(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_conv_fingerprint(
+    stream: DataFrame,
+    key: str = "conv_id",
+    idx_col: str = "turn_idx",
+    content_col: str = "text",
+):
+    """Streaming conversation fingerprints — free, BECAUSE of the batch
+    design: ``operators/context.sequence_fingerprint`` is a commutative
+    sum of position-salted portable hashes, so the streaming twin is a
+    PLAIN streaming aggregation (two running lane sums per conversation,
+    packed to the 62-bit fingerprint in the output projection). No custom
+    state operator, no collected turn lists — state per conversation is
+    two longs, and the result is always bit-identical to the batch
+    fingerprint over the turns seen so far (pytest-pinned). A
+    concat-then-hash fingerprint could not stream at all without
+    unbounded per-key buffers."""
+    from ..operators.context import _M1, _M2, _MASK31, _lane_hash
+
+    h = _lane_hash(F.col(content_col), F.col(idx_col))
+    g = stream.groupBy(key).agg(
+        F.sum(h.bitwiseAND(F.lit(_MASK31))).alias("_l1"),
+        F.sum(F.shiftright(h, 31)).alias("_l2"),
+    )
+    fp = F.shiftleft(F.col("_l1") % F.lit(_M1), 31) + (F.col("_l2") % F.lit(_M2))
+    return g.select(key, fp.alias("conv_fp"))

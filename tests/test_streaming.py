@@ -510,3 +510,42 @@ def test_streaming_trailing_context_state_bounded(spark):
     assert (tail["ctx_turns"] == budget).all()
     assert (tail["ctx_tokens"] == budget).all()
     assert tail["ctx_truncated"].all()
+
+
+def test_streaming_conv_fingerprint_matches_batch(spark, transcripts):
+    """Running conversation fingerprints on a stream equal the batch
+    sequence_fingerprint over the full table — the commutative-sum design
+    makes the op a plain streaming aggregation (two longs of state)."""
+    import pyspark.sql.functions as F
+
+    from acoustic_feature_extractor_spark.operators.context import (
+        sequence_fingerprint,
+    )
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_conv_fingerprint,
+    )
+
+    t = transcripts.limit(1500).select("conv_id", "turn_idx", "text").cache()
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        t.where(F.col("turn_idx") < 5).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_conv_fingerprint(stream)
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("fp_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            t.where(F.col("turn_idx") >= 5).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            got = spark.sql("SELECT * FROM fp_out").toPandas()
+        finally:
+            q.stop()
+    exp = sequence_fingerprint(t, "conv_id", "turn_idx", "text").toPandas()
+    m = got.merge(exp, on="conv_id", suffixes=("_s", "_b"))
+    assert len(m) == len(exp)
+    assert (m["conv_fp_s"] == m["conv_fp_b"]).all()
