@@ -4016,6 +4016,78 @@ FROM m GROUP BY 1
 """
 
 
+def q_stream_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING context-window assembly, oracle-checked end-to-end: the
+    events table is replayed as a file stream in two in-order drops
+    through ``streaming/sessions.streaming_trailing_context`` (GroupState
+    bounded by the token budget, not conversation length), and the
+    drained output must hash-match the BATCH SQL oracle — a streaming
+    operator held to the same exact-equality bar as every batch one.
+    """
+    import tempfile
+
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_trailing_context,
+    )
+
+    ev = _indexed_events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("idx").cast("int").alias("turn_idx"),
+        F.length("props").cast("long").alias("n_tokens"),
+        "event_id",
+    )
+    d = tempfile.mkdtemp(prefix="stream_ctx_")
+    src = os.path.join(d, "in")
+    # drop 1 = each conversation's early turns, drop 2 = the rest: state
+    # must carry the cumsum + retained window across the batch boundary
+    ev.where(F.col("turn_idx") < 3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_trailing_context(stream, budget=64)
+    name = f"ctx_stream_{os.path.basename(d)}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ev.where(F.col("turn_idx") >= 3).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        drained = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        q.stop()
+    return drained.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.col("turn_idx").cast("long").alias("idx"),
+        "ctx_turns",
+        "ctx_tokens",
+        "ctx_truncated",
+    )
+
+
+_SQL_STREAM_CONTEXT = """
+WITH b AS (
+  SELECT user_id, CAST(length(props) AS BIGINT) AS w,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS idx
+  FROM events
+),
+c AS (
+  SELECT *, sum(w) OVER (PARTITION BY user_id ORDER BY idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM b
+)
+SELECT user_id, idx,
+       CAST(count(*) OVER wr AS BIGINT) AS ctx_turns,
+       CAST(coalesce(sum(w) OVER wr, 0) AS BIGINT) AS ctx_tokens,
+       idx > count(*) OVER wr AS ctx_truncated
+FROM c
+WINDOW wr AS (PARTITION BY user_id ORDER BY cum
+              RANGE BETWEEN 64 PRECEDING AND 1 PRECEDING)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4090,6 +4162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- below the window: new in r4, replay-checked; r5 window heads --
         "turn_transitions": q_turn_transitions,
         "degenerate_loops": q_degenerate_loops,
+        "stream_context": q_stream_context,
         # -- below the window: driver-green in r3 ---------------------------
         "sessionize": q_sessionize,
         "stats_normalize": q_stats_normalize,
@@ -4252,4 +4325,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _SQL_CHUNK_DOCUMENTS,
         "turn_transitions": _SQL_TURN_TRANSITIONS,
         "degenerate_loops": _SQL_DEGENERATE_LOOPS,
+        # streaming op held to the BATCH oracle: the drained stream must
+        # hash-match the plain window SQL
+        "stream_context": _SQL_STREAM_CONTEXT,
     }
