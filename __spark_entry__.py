@@ -4088,6 +4088,91 @@ WINDOW wr AS (PARTITION BY user_id ORDER BY cum
 """
 
 
+def q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store point-in-time enrichment: THREE feature tables as-of
+    joined onto the click spine in ONE shuffle (``point_in_time_enrich``
+    — every fill frame shares one Window node; the naive form is 3
+    sequential asof_joins = 3 exchanges). The error source carries a
+    1-day tolerance so stale matches null out. Oracle: three DuckDB ASOF
+    LEFT JOINs + the tolerance CASE."""
+    ev = _t(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("vvalue"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.sum("value").alias("pvalue"), F.count("*").alias("pn"))
+    )
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.count("*").alias("en"))
+    )
+    j = asof_ops.point_in_time_enrich(
+        spine,
+        {"view": views, "purchase": purchases, "error": errors},
+        on="ts",
+        by="user_id",
+        tolerance_seconds={"error": 86400.0},
+    )
+    return j.select(
+        "user_id",
+        "event_id",
+        _ts_sec("ts").alias("ts_sec"),
+        F.round("vvalue_view", 6).alias("view_value"),
+        F.round(_sec("ts_view"), 6).alias("view_ts_sec"),
+        F.round("pvalue_purchase", 6).alias("purchase_value"),
+        F.col("pn_purchase").alias("purchase_n"),
+        F.round(_sec("ts_purchase"), 6).alias("purchase_ts_sec"),
+        F.col("en_error").alias("error_n"),
+        F.round(_sec("ts_error"), 6).alias("error_ts_sec"),
+    )
+
+
+_SQL_PIT_ENRICH = """
+WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+v AS (
+  SELECT user_id, ts, max(value) AS vvalue FROM events
+  WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (
+  SELECT user_id, ts, sum(value) AS pvalue, count(*) AS pn FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+e AS (
+  SELECT user_id, ts, count(*) AS en FROM events
+  WHERE event_type = 'error' GROUP BY user_id, ts
+),
+j1 AS (
+  SELECT c.user_id, c.event_id, c.ts, v.vvalue, v.ts AS vts
+  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+),
+j2 AS (
+  SELECT j1.*, p.pvalue, p.pn, p.ts AS pts
+  FROM j1 ASOF LEFT JOIN p ON j1.user_id = p.user_id AND j1.ts >= p.ts
+),
+j3 AS (
+  SELECT j2.*, e.en, e.ts AS ets
+  FROM j2 ASOF LEFT JOIN e ON j2.user_id = e.user_id AND j2.ts >= e.ts
+)
+SELECT user_id, event_id,
+       round(epoch_us(ts)/1000000.0, 6) AS ts_sec,
+       round(vvalue, 6) AS view_value,
+       round(epoch_us(vts)/1000000.0, 6) AS view_ts_sec,
+       round(pvalue, 6) AS purchase_value,
+       pn AS purchase_n,
+       round(epoch_us(pts)/1000000.0, 6) AS purchase_ts_sec,
+       CASE WHEN epoch_us(ts) - epoch_us(ets) <= 86400.0 * 1000000 THEN en END AS error_n,
+       CASE WHEN epoch_us(ts) - epoch_us(ets) <= 86400.0 * 1000000
+            THEN round(epoch_us(ets)/1000000.0, 6) END AS error_ts_sec
+FROM j3
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4211,6 +4296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": q_sketch_quantiles,
         "snapshot_profile": q_snapshot_profile,
         "hist_incremental": q_hist_incremental,
+        # -- round-4 late additions (below the driver window; replay-gated
+        #    this round, rotate into the r5 window) ------------------------
+        "pit_enrich": q_pit_enrich,
     }
 
 
@@ -4328,4 +4416,5 @@ def oracle_sql() -> dict[str, str]:
         # streaming op held to the BATCH oracle: the drained stream must
         # hash-match the plain window SQL
         "stream_context": _SQL_STREAM_CONTEXT,
+        "pit_enrich": _SQL_PIT_ENRICH,
     }

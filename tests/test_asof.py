@@ -477,3 +477,102 @@ def test_asof_forward_exact_match_semantics(spark):
     ).toPandas()
     assert inc["state_asof"].iloc[0] == 7.0
     assert exc["state_asof"].iloc[0] == 9.0
+
+
+# ---------------------------------------------------------------------------
+# point-in-time multi-source enrichment (feature-store join, ONE shuffle)
+# ---------------------------------------------------------------------------
+
+def _spine_sources(spark, seed=7):
+    rng = np.random.RandomState(seed)
+    base = pd.Timestamp("2024-01-01")
+    spine_rows = []
+    src = {n: [] for n in ("alpha", "beta", "gamma")}
+    for key in ["a", "b", "c", "d"]:
+        for i, t in enumerate(np.sort(rng.choice(50_000, 40, replace=False))):
+            spine_rows.append((key, base + pd.Timedelta(seconds=int(t)), float(i)))
+        for n in src:
+            # distinct ts per (key, source): unique-(by, on) contract
+            for t in np.sort(rng.choice(50_000, 25, replace=False)):
+                src[n].append(
+                    (key, base + pd.Timedelta(seconds=int(t)),
+                     float(rng.rand() * 10), int(rng.randint(0, 5)))
+                )
+    spine = spark.createDataFrame(
+        pd.DataFrame(spine_rows, columns=["conv_id", "ts", "sv"])
+    )
+    sources = {
+        n: spark.createDataFrame(
+            pd.DataFrame(rows, columns=["conv_id", "ts", "x", "k"])
+        )
+        for n, rows in src.items()
+    }
+    return spine, sources
+
+
+def _collect_sorted(df):
+    pdf = df.toPandas().sort_values(["conv_id", "ts", "sv"]).reset_index(drop=True)
+    return pdf.reindex(sorted(pdf.columns), axis=1)
+
+
+@pytest.mark.parametrize(
+    "tol,allow_exact",
+    [(None, True), ({"beta": 1000.0}, True), (None, False)],
+    ids=["plain", "tolerance", "strict"],
+)
+def test_point_in_time_enrich_matches_sequential_asof(spark, tol, allow_exact):
+    """K-source single-shuffle enrichment is row-for-row identical to K
+    chained asof_joins (the reference composition)."""
+    from acoustic_feature_extractor_spark.operators.asof import point_in_time_enrich
+
+    spine, sources = _spine_sources(spark)
+    got = point_in_time_enrich(
+        spine, sources, on="ts", by="conv_id",
+        tolerance_seconds=tol, allow_exact_matches=allow_exact,
+    )
+    chained = spine
+    for n, s in sources.items():
+        chained = asof_join(
+            chained, s, on="ts", by="conv_id", right_cols=["x", "k"],
+            suffix=f"_{n}",
+            tolerance_seconds=(tol or {}).get(n) if isinstance(tol, dict) else tol,
+            allow_exact_matches=allow_exact,
+        )
+    g, c = _collect_sorted(got), _collect_sorted(chained)
+    assert list(g.columns) == list(c.columns)
+    pd.testing.assert_frame_equal(g, c, check_dtype=False)
+
+
+def test_point_in_time_enrich_zero_leakage(spark):
+    """No output feature may come from a source row later than the spine
+    timestamp (north_rule's zero-temporal-leakage contract)."""
+    from acoustic_feature_extractor_spark.operators.asof import point_in_time_enrich
+
+    spine, sources = _spine_sources(spark, seed=11)
+    out = point_in_time_enrich(spine, sources, on="ts", by="conv_id").toPandas()
+    for n in sources:
+        m = out[f"ts_{n}"].notna()
+        assert (out.loc[m, f"ts_{n}"] <= out.loc[m, "ts"]).all()
+
+
+def test_point_in_time_enrich_single_exchange(spark):
+    """All K source fills share ONE Window node over ONE exchange — the
+    operator's reason to exist (K chained asof_joins cost K exchanges);
+    and nothing evaluates in Python."""
+    import contextlib
+    import io
+    import re
+
+    from acoustic_feature_extractor_spark.operators.asof import point_in_time_enrich
+
+    spine, sources = _spine_sources(spark)
+    df = point_in_time_enrich(spine, sources, on="ts", by="conv_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    wn = len(re.findall(r"\(\d+\) Window\b", plan))
+    assert ex == 1, f"expected 1 exchange for 3 sources, saw {ex}\n{plan[:3000]}"
+    assert wn == 1, f"expected 1 fused Window node, saw {wn}\n{plan[:3000]}"
