@@ -4173,6 +4173,48 @@ FROM j3
 """
 
 
+def q_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged expanding-window CV folds (``time_series_folds``): exact
+    quantile cuts, 12h embargo purge between train and validation.
+    Map-only after one 1-row broadcast aggregate — the fact table never
+    shuffles. Oracle recomputes tiles from ``quantile_cont`` cuts."""
+    ev = _t(spark, sf_dir, "events")
+    f = temporal_ops.time_series_folds(
+        ev.select("user_id", "event_id", "ts"),
+        ts_col="ts",
+        n_folds=5,
+        embargo_seconds=43200.0,
+    )
+    return f.select(
+        "user_id",
+        "event_id",
+        F.col("fold").cast("long").alias("fold"),
+        "role",
+    )
+
+
+_SQL_CV_FOLDS = """
+WITH s AS (SELECT user_id, event_id, epoch_us(ts)/1000000.0 AS tsec FROM events),
+c AS (SELECT quantile_cont(tsec, [0.2, 0.4, 0.6, 0.8]) AS cuts FROM s),
+t AS (
+  SELECT s.user_id, s.event_id, s.tsec, c.cuts,
+         1 + (CASE WHEN s.tsec > c.cuts[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN s.tsec > c.cuts[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN s.tsec > c.cuts[3] THEN 1 ELSE 0 END)
+           + (CASE WHEN s.tsec > c.cuts[4] THEN 1 ELSE 0 END) AS tile
+  FROM s CROSS JOIN c
+),
+a AS (
+  SELECT t.user_id, t.event_id, CAST(f.fold AS BIGINT) AS fold,
+         CASE WHEN t.tile = f.fold THEN 'valid'
+              WHEN t.tsec <= t.cuts[f.fold - 1] - 43200.0 THEN 'train'
+         END AS role
+  FROM t CROSS JOIN (SELECT unnest([2, 3, 4, 5]) AS fold) f
+)
+SELECT * FROM a WHERE role IS NOT NULL
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4299,6 +4341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 late additions (below the driver window; replay-gated
         #    this round, rotate into the r5 window) ------------------------
         "pit_enrich": q_pit_enrich,
+        "cv_folds": q_cv_folds,
     }
 
 
@@ -4417,4 +4460,5 @@ def oracle_sql() -> dict[str, str]:
         # hash-match the plain window SQL
         "stream_context": _SQL_STREAM_CONTEXT,
         "pit_enrich": _SQL_PIT_ENRICH,
+        "cv_folds": _SQL_CV_FOLDS,
     }

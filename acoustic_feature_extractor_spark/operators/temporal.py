@@ -421,3 +421,80 @@ def temporal_split(
         .when(ts >= emb_lo, F.lit("embargo"))
         .otherwise(F.lit("train")),
     )
+
+
+def time_series_folds(
+    df: DataFrame,
+    ts_col: str = "ts",
+    n_folds: int = 5,
+    embargo_seconds: float = 0.0,
+    fold_col: str = "fold",
+    role_col: str = "role",
+) -> DataFrame:
+    """Expanding-window K-fold cross-validation assignment with an
+    embargo purge (the leak-free CV split for temporal features —
+    de Prado's purged K-fold, recast on timestamp cuts).
+
+    Fold boundaries are the exact ``k/n_folds`` quantiles of ``ts_col``
+    (Spark ``percentile``: linear interpolation — DuckDB
+    ``quantile_cont`` parity, same pair as ``percentile_report``). For
+    each fold ``f`` in ``2..n_folds``:
+
+    - ``valid``: rows in time-tile ``f`` (``cuts[f-2] < ts <= cuts[f-1]``,
+      open-ended for the last tile) — strictly later than all its train;
+    - ``train``: rows with ``ts <= cuts[f-2] − embargo_seconds`` — the
+      expanding past, PURGED of the embargo band just before the
+      validation window (features built from trailing windows would
+      otherwise leak validation-adjacent rows into training).
+
+    Returns one row per (input row, fold) membership — a row can train in
+    several folds. Fully declarative and map-only after ONE tiny
+    aggregate: the cut row is a 1-row broadcast (the ``corpus_stats``
+    pattern), tile assignment is an ``aggregate`` over the broadcast cut
+    array, and fold membership is ``transform``+``filter``+``explode`` —
+    no shuffle of the fact table at any point, so at 10^12 rows the cost
+    is one scan + one scan-sized explode (bounded by ``n_folds×`` rows).
+    """
+    if n_folds < 2:
+        raise ValueError("n_folds must be >= 2")
+    qs = [k / n_folds for k in range(1, n_folds)]
+    sec = ntz_epoch_us(F.col(ts_col)) / F.lit(float(US))
+    src = df.withColumn("_tsec", sec)
+    cuts = src.agg(
+        F.expr(
+            f"percentile(_tsec, array({','.join(str(q) for q in qs)}))"
+        ).alias("_cuts")
+    )
+    j = src.crossJoin(maybe_broadcast(cuts))
+    tile = F.lit(1) + F.aggregate(
+        F.col("_cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("_tsec") > c, 1).otherwise(0),
+    )
+    emb = F.lit(float(embargo_seconds))
+    memberships = F.filter(
+        F.transform(
+            F.sequence(F.lit(2), F.lit(n_folds)),
+            lambda f: F.struct(
+                f.alias(fold_col),
+                F.when(F.col("_tile") == f, F.lit("valid"))
+                .when(
+                    F.col("_tsec")
+                    <= F.element_at(F.col("_cuts"), f - F.lit(1)) - emb,
+                    F.lit("train"),
+                )
+                .alias(role_col),
+            ),
+        ),
+        lambda m: m[role_col].isNotNull(),
+    )
+    out = (
+        j.withColumn("_tile", tile)
+        .withColumn("_m", F.explode(memberships))
+        .select(
+            *df.columns,
+            F.col(f"_m.{fold_col}").alias(fold_col),
+            F.col(f"_m.{role_col}").alias(role_col),
+        )
+    )
+    return out

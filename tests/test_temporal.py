@@ -341,3 +341,62 @@ def test_time_decay_multi_horizon_equals_single_calls(spark):
             atol=1e-12,
             err_msg=str(hl),
         )
+
+
+# ---------------------------------------------------------------------------
+# purged expanding-window CV folds
+# ---------------------------------------------------------------------------
+
+def test_time_series_folds_purge_and_order(spark):
+    """Per fold: every train row ends <= embargo before the earliest valid
+    row's tile cut; valid tiles are disjoint in time across folds; a
+    brute-force numpy replay of the quantile cuts agrees."""
+    from acoustic_feature_extractor_spark.operators.temporal import time_series_folds
+
+    df, pdf = _events(spark, seed=13)
+    emb = 1800.0
+    out = time_series_folds(
+        df, ts_col="ts", n_folds=4, embargo_seconds=emb
+    ).toPandas()
+    tsec = pdf.set_index("event_id")["ts"].map(
+        lambda t: t.replace(tzinfo=None).timestamp()
+        if t.tzinfo is None
+        else t.timestamp()
+    )
+    cuts = np.percentile(tsec.values, [25, 50, 75], method="linear")
+    for f in (2, 3, 4):
+        g = out[out.fold == f]
+        tr = tsec.loc[g[g.role == "train"].event_id].values
+        va = tsec.loc[g[g.role == "valid"].event_id].values
+        cut = cuts[f - 2]
+        assert (tr <= cut - emb).all()
+        assert (va > cut).all()
+        if f < 4:
+            assert (va <= cuts[f - 1]).all()
+        # purge band (cut-emb, cut] trains nowhere in this fold
+        band = tsec[(tsec > cut - emb) & (tsec <= cut)].index
+        assert not set(band) & set(g[g.role == "train"].event_id)
+    # a row can train in several folds; valid assignments are unique
+    v = out[out.role == "valid"]
+    assert v.event_id.is_unique or v.groupby("event_id").fold.nunique().max() == 1
+
+
+def test_time_series_folds_fact_table_never_shuffles(spark):
+    """Map-only contract: the only plain Exchange is the 1-row cut
+    aggregate; the fact side is broadcast-joined and exploded in place."""
+    import contextlib
+    import io
+    import re
+
+    from acoustic_feature_extractor_spark.operators.temporal import time_series_folds
+
+    df, _ = _events(spark)
+    out = time_series_folds(df, ts_col="ts", n_folds=5, embargo_seconds=600.0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastExchange" in plan
+    ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert ex == 1, f"fact table must not shuffle; saw {ex} exchanges\n{plan[:3000]}"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
