@@ -4215,6 +4215,88 @@ SELECT * FROM a WHERE role IS NOT NULL
 """
 
 
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (``population_stability``): PSI of the
+    value column between the first 15 days (reference) and the rest
+    (current), per event_type, 8 reference-quantile bins. The time split
+    is epoch-double (tz-independent)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    cut = 1705363200.0  # 2024-01-16 00:00:00 UTC
+    ref = ev.where(_sec("ts") < cut)
+    cur = ev.where(_sec("ts") >= cut)
+    r = stats_ops.population_stability(
+        ref, cur, "value", by=["event_type"], bins=8, eps=1e-6
+    )
+    return r.select(
+        "event_type",
+        F.col("bin").cast("long").alias("bin"),
+        "n_ref",
+        "n_cur",
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
+_SQL_DRIFT_PSI = """
+WITH s AS (
+  SELECT event_type, value, epoch_us(ts)/1000000.0 AS tsec FROM events
+),
+r AS (SELECT * FROM s WHERE tsec < 1705363200.0),
+c AS (SELECT * FROM s WHERE tsec >= 1705363200.0),
+cuts AS (
+  SELECT event_type,
+         quantile_cont(value, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cu
+  FROM r GROUP BY event_type
+),
+rb AS (
+  SELECT r.event_type,
+         1 + (CASE WHEN value > cu[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN value > cu[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN value > cu[3] THEN 1 ELSE 0 END)
+           + (CASE WHEN value > cu[4] THEN 1 ELSE 0 END)
+           + (CASE WHEN value > cu[5] THEN 1 ELSE 0 END)
+           + (CASE WHEN value > cu[6] THEN 1 ELSE 0 END)
+           + (CASE WHEN value > cu[7] THEN 1 ELSE 0 END) AS bin
+  FROM r JOIN cuts USING (event_type)
+),
+cb AS (
+  SELECT c.event_type,
+         1 + (CASE WHEN value > cu[1] THEN 1 ELSE 0 END)
+           + (CASE WHEN value > cu[2] THEN 1 ELSE 0 END)
+           + (CASE WHEN value > cu[3] THEN 1 ELSE 0 END)
+           + (CASE WHEN value > cu[4] THEN 1 ELSE 0 END)
+           + (CASE WHEN value > cu[5] THEN 1 ELSE 0 END)
+           + (CASE WHEN value > cu[6] THEN 1 ELSE 0 END)
+           + (CASE WHEN value > cu[7] THEN 1 ELSE 0 END) AS bin
+  FROM c JOIN cuts USING (event_type)
+),
+spine AS (
+  SELECT event_type, CAST(f.bin AS BIGINT) AS bin
+  FROM cuts CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8]) AS bin) f
+),
+counted AS (
+  SELECT spine.event_type, spine.bin,
+         coalesce(rn.n, 0) AS n_ref, coalesce(cn.n, 0) AS n_cur
+  FROM spine
+  LEFT JOIN (SELECT event_type, bin, count(*) AS n FROM rb GROUP BY 1, 2) rn
+    USING (event_type, bin)
+  LEFT JOIN (SELECT event_type, bin, count(*) AS n FROM cb GROUP BY 1, 2) cn
+    USING (event_type, bin)
+),
+shares AS (
+  SELECT event_type, bin, n_ref, n_cur,
+         (n_ref + 1e-6) / (sum(n_ref) OVER (PARTITION BY event_type) + 8e-6) AS p,
+         (n_cur + 1e-6) / (sum(n_cur) OVER (PARTITION BY event_type) + 8e-6) AS q
+  FROM counted
+)
+SELECT event_type, bin, n_ref, n_cur,
+       round(p, 6) AS p, round(q, 6) AS q,
+       round((p - q) * ln(p / q), 6) AS psi_term
+FROM shares
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4342,6 +4424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    this round, rotate into the r5 window) ------------------------
         "pit_enrich": q_pit_enrich,
         "cv_folds": q_cv_folds,
+        "drift_psi": q_drift_psi,
     }
 
 
@@ -4461,4 +4544,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_context": _SQL_STREAM_CONTEXT,
         "pit_enrich": _SQL_PIT_ENRICH,
         "cv_folds": _SQL_CV_FOLDS,
+        "drift_psi": _SQL_DRIFT_PSI,
     }

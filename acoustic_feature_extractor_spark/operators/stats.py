@@ -21,6 +21,7 @@ from __future__ import annotations
 from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def corpus_stats(
@@ -176,3 +177,83 @@ def robust_outliers(
         F.col("_ad") > 0
     )
     return d.withColumn(flag_col, flag).drop("_med", "_mad", "_ad")
+
+
+def population_stability(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index drift monitor between a reference slice
+    and a current slice of a feature column (the standard production
+    check that a feature's distribution hasn't drifted between training
+    and serving — or between two ingest windows of a 100 TB corpus).
+
+    Bin edges are the reference slice's exact ``k/bins`` quantiles
+    (Spark ``percentile`` ⇔ DuckDB ``quantile_cont``, the repo's pinned
+    pair), so the reference lands ~uniformly and PSI reads in the usual
+    calibration (<0.1 stable, >0.25 drifted). Both slices bucket with the
+    same open-ended edges: ``bin = 1 + Σ (v > cut_k)``.
+
+    Returns one row per (group, bin): counts, Laplace-smoothed shares
+    ``p`` (ref) / ``q`` (cur), and the PSI term ``(p−q)·ln(p/q)`` — sum
+    the terms for the scalar PSI; keeping the per-bin table makes the
+    drift LOCATABLE (which part of the distribution moved).
+
+    Scale shape: the cut table is ``|groups|`` rows (broadcast); each
+    slice then does ONE map-side bucket projection + ONE partial-agg
+    groupBy on (group, bin) — two scans, no join of fact tables, mergeable
+    across partitions by construction. Empty bins still appear (dense
+    ``sequence`` spine per group), so PSI never silently drops a bucket.
+    """
+    by = by or []
+    qs = [k / bins for k in range(1, bins)]
+    agg = F.expr(
+        f"percentile({value_col}, array({','.join(str(q) for q in qs)}))"
+    ).alias("_cuts")
+    cuts = ref.groupBy(*by).agg(agg) if by else ref.agg(agg)
+
+    def bucketed(df: DataFrame, side: str) -> DataFrame:
+        j = (
+            df.join(maybe_broadcast(cuts), by)
+            if by
+            else df.crossJoin(maybe_broadcast(cuts))
+        )
+        b = F.lit(1) + F.aggregate(
+            F.col("_cuts"),
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col(value_col) > c, 1).otherwise(0),
+        )
+        return (
+            j.withColumn("_bin", b)
+            .groupBy(*by, "_bin")
+            .agg(F.count(F.lit(1)).alias(f"n_{side}"))
+        )
+    r = bucketed(ref, "ref")
+    c = bucketed(cur, "cur")
+    # dense bin spine per group: a bucket empty on one side must still
+    # contribute its smoothed term
+    spine = cuts.select(*by).withColumn(
+        "_bin", F.explode(F.sequence(F.lit(1), F.lit(bins)))
+    )
+    out = (
+        spine.join(r, [*by, "_bin"], "left")
+        .join(c, [*by, "_bin"], "left")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    tot_r = F.sum("n_ref").over(Window.partitionBy(*by) if by else Window.partitionBy())
+    tot_c = F.sum("n_cur").over(Window.partitionBy(*by) if by else Window.partitionBy())
+    p = (F.col("n_ref") + F.lit(eps)) / (tot_r + F.lit(eps * bins))
+    q = (F.col("n_cur") + F.lit(eps)) / (tot_c + F.lit(eps * bins))
+    return out.select(
+        *by,
+        F.col("_bin").alias("bin"),
+        "n_ref",
+        "n_cur",
+        p.alias("p"),
+        q.alias("q"),
+        ((p - q) * F.log(p / q)).alias("psi_term"),
+    )

@@ -140,3 +140,53 @@ def test_robust_outliers_degenerate_mad(spark):
     # MAD = 0: z undefined, only the off-median row flags
     assert got["robust_z"].isna().all()
     assert got["is_outlier"].tolist() == [False] * 5 + [True]
+
+
+def test_population_stability_bruteforce(spark):
+    """PSI table matches a numpy replay: exact reference-quantile edges,
+    Laplace smoothing, per-bin (p-q)·ln(p/q) terms; a shifted current
+    slice reads clearly drifted while an identical one reads ~0."""
+    from acoustic_feature_extractor_spark.operators.stats import population_stability
+
+    rng = np.random.RandomState(5)
+    ref_v = rng.normal(0.0, 1.0, 2000)
+    cur_v = rng.normal(0.8, 1.3, 1500)  # drifted
+    ref = spark.createDataFrame(pd.DataFrame({"g": "a", "v": ref_v}))
+    cur = spark.createDataFrame(pd.DataFrame({"g": "a", "v": cur_v}))
+    bins, eps = 10, 1e-6
+    got = (
+        population_stability(ref, cur, "v", by=["g"], bins=bins, eps=eps)
+        .orderBy("bin")
+        .toPandas()
+    )
+    cuts = np.percentile(ref_v, [100 * k / bins for k in range(1, bins)], method="linear")
+    def bucket(vals):
+        return 1 + (vals[:, None] > cuts[None, :]).sum(axis=1)
+    n_ref = np.bincount(bucket(ref_v), minlength=bins + 1)[1:]
+    n_cur = np.bincount(bucket(cur_v), minlength=bins + 1)[1:]
+    p = (n_ref + eps) / (n_ref.sum() + eps * bins)
+    q = (n_cur + eps) / (n_cur.sum() + eps * bins)
+    np.testing.assert_array_equal(got["n_ref"], n_ref)
+    np.testing.assert_array_equal(got["n_cur"], n_cur)
+    np.testing.assert_allclose(got["psi_term"], (p - q) * np.log(p / q), rtol=1e-9)
+    psi = got["psi_term"].sum()
+    assert psi > 0.25  # the planted shift must read as major drift
+    # identical slices: PSI collapses to ~0
+    same = (
+        population_stability(ref, ref, "v", by=["g"], bins=bins, eps=eps)
+        .agg(F.sum("psi_term"))
+        .first()[0]
+    )
+    assert abs(same) < 1e-9
+
+
+def test_population_stability_empty_bin_smoothing(spark):
+    """A bin with zero current rows still appears (dense spine) and its
+    smoothed term is finite."""
+    from acoustic_feature_extractor_spark.operators.stats import population_stability
+
+    ref = spark.createDataFrame(pd.DataFrame({"v": np.arange(100.0)}))
+    cur = spark.createDataFrame(pd.DataFrame({"v": np.arange(50.0)}))  # upper half empty
+    got = population_stability(ref, cur, "v", bins=4).orderBy("bin").toPandas()
+    assert len(got) == 4
+    assert (got["n_cur"].values[-1] == 0) and np.isfinite(got["psi_term"]).all()
