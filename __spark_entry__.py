@@ -1688,6 +1688,116 @@ _SQL_SKETCH_DISTINCT = _sql_sketch(3600)
 _SQL_SKETCH_CASCADE = _sql_sketch(86400)
 
 
+def q_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change-point scores (``temporal.cusum_scores``) per
+    user value series: the non-associative Page recursion
+    ``S_i = max(0, S_{i-1} + z_i - k)`` folded into prefix algebra
+    (cumsum minus running minimum — two window functions, zero Python).
+    Standardization baseline = the first-15-days reference window (same
+    epoch-double cut as ``drift_psi``), broadcast as one stats row; the
+    oracle replays the identical prefix identity in SQL. Both engines
+    evaluate the same left-to-right float prefix sums over identically
+    ordered rows, so the scores agree to well under the 6-decimal export."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+    cut = 1705363200.0  # 2024-01-16 00:00:00 UTC
+    ref = ev.where(_sec("ts") < cut)
+    out = temporal_ops.cusum_scores(
+        ev, by="user_id", order=["ts", "event_id"], value_col="value",
+        ref=ref, k=0.5, h=5.0,
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round("z", 6).alias("z"),
+        F.round("s_pos", 6).alias("s_pos"),
+        F.round("s_neg", 6).alias("s_neg"),
+        "alarm",
+    )
+
+
+_SQL_CHANGEPOINTS = """
+WITH s AS (
+  SELECT user_id, event_id, value, epoch_us(ts)/1000000.0 AS tsec, ts FROM events
+),
+m AS (
+  SELECT avg(value) AS mu, sqrt(var_pop(value)) AS sg
+  FROM s WHERE tsec < 1705363200.0
+),
+z AS (
+  SELECT user_id, event_id, ts, (value - mu) / sg AS z FROM s, m
+),
+c1 AS (
+  SELECT user_id, event_id, ts, z,
+         sum(z - 0.5)  OVER w AS cp,
+         sum(-z - 0.5) OVER w AS cn
+  FROM z
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT user_id, event_id, z, cp, cn,
+         least(0, min(cp) OVER w2) AS mp,
+         least(0, min(cn) OVER w2) AS mn
+  FROM c1
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+       round(z, 6) AS z,
+       round(cp - mp, 6) AS s_pos,
+       round(cn - mn, 6) AS s_neg,
+       (cp - mp > 5.0 OR cn - mn > 5.0) AS alarm
+FROM c
+"""
+
+
+def q_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequency sketch (Misra-Gries top-k,
+    ``sketches.topk_rollup/topk_coarser/topk_finalize``): per-user WEEKLY
+    top-2 event types merged from the DAILY summaries — counters sum per
+    item, error masses sum per group, one MG compress back to capacity;
+    the fact table is scanned once at day grain. Capacity 8 ≥ the 5-type
+    vocabulary at every SF, so the whole cascade is exact (err = 0,
+    cnt_lb = cnt_ub) and the oracle is the plain exact top-2; the lossy
+    regime's [lb, ub] containment + guaranteed-presence bounds are
+    pytest-pinned (tests/test_sketches.py). Ties break (cnt desc, item
+    asc) in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    fine = sk_ops.topk_rollup(
+        ev, 86400.0, by="user_id", item_col="event_type", capacity=8
+    )
+    wk = sk_ops.topk_coarser(
+        fine, 7 * 86400.0, by="user_id", capacity=8, fine_seconds=86400.0
+    )
+    rows = sk_ops.topk_finalize(wk, k=2, by="user_id")
+    return rows.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        _sec("bucket").alias("bucket_sec"),
+        F.col("rank").cast("long").alias("rank"),
+        "item",
+        "cnt_lb",
+        "cnt_ub",
+    )
+
+
+_SQL_SKETCH_TOPK = """
+WITH c AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 1000000.0 / 604800) * 604800 AS DOUBLE) AS bucket_sec,
+         event_type AS item, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, bucket_sec ORDER BY cnt DESC, item ASC) AS rank
+  FROM c
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, bucket_sec,
+       CAST(rank AS BIGINT) AS rank, item, cnt AS cnt_lb, cnt AS cnt_ub
+FROM r WHERE rank <= 2
+"""
+
+
 def q_salted_join_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-split salted equi-join (skew.salted_join): keys at/above the
     hot threshold are scattered across n_salts replica partitions (one
@@ -4412,6 +4522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "sketch_distinct": q_sketch_distinct,
         "sketch_cascade": q_sketch_cascade,
+        "sketch_topk": q_sketch_topk,
+        "changepoints": q_changepoints,
         "salted_join_hot": q_salted_join_hot,
         "snapshot_changes": q_snapshot_changes,
         "rollup_incremental": q_rollup_incremental,
@@ -4495,6 +4607,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq": _SQL_ANN_IVFPQ,
         "sketch_distinct": _SQL_SKETCH_DISTINCT,
         "sketch_cascade": _SQL_SKETCH_CASCADE,
+        "sketch_topk": _SQL_SKETCH_TOPK,
+        "changepoints": _SQL_CHANGEPOINTS,
         "salted_join_hot": _SQL_SALTED_JOIN,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "rollup_incremental": _SQL_ROLLUP_INCREMENTAL,

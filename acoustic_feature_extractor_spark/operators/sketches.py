@@ -27,7 +27,7 @@ exact value cannot be carried.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from acoustic_feature_extractor_spark.operators.rollup import time_bucket
@@ -285,6 +285,172 @@ def hist_apply_changes(
         .where(F.col("n") > 0)  # fully-deleted groups vanish
     )
     return untouched.unionByName(merged.select(*keys, "n", "hist"))
+
+
+# ---------------------------------------------------------------------------
+# frequency sketches: mergeable top-k / heavy hitters for the rollup cascade
+# ---------------------------------------------------------------------------
+#
+# The third non-decomposable aggregate class after DISTINCT and quantiles:
+# "top tools per day" is not any function of the hours' top-k lists alone.
+# The mergeable carrier is a Misra-Gries summary (Agarwal et al., "Mergeable
+# Summaries", PODS 2012): at most `capacity` (item, cnt) counters per group
+# plus one accumulated under-count bound `err`. Invariant at every grain:
+#
+#     stored_cnt  <=  true_cnt  <=  stored_cnt + err        (present items)
+#     true_cnt    <=  err                                   (absent items)
+#
+# so any item whose true count exceeds `err` is GUARANTEED present, and
+# err <= n/(capacity+1) by the classic MG bound. Counters sum under merge
+# and the compress step (subtract the (capacity+1)-th largest counter,
+# drop non-positive) adds that subtrahend to `err` — associative, so the
+# cascade can fold hour→day→month without ever re-reading facts.
+#
+# The finest grain is EXACT (err = 0) unless it already exceeds capacity:
+# one groupBy(entity, bucket, item) with map-side combine, then a
+# rollup-sized rank/compress. Same at-rest contract as the HLL/histogram
+# sketches: `capacity` is pinned at write time; merges may only lower it.
+
+
+def _mg_compress(per_item: DataFrame, keys: list[str], capacity: int) -> DataFrame:
+    """Fold exact/summed per-item rows (keys…, item, cnt, err_in, n) into one
+    MG summary row per key group: (keys…, n, err, items). `err_in` is the
+    per-group pre-merge error mass (0 at the finest grain); the compress
+    decrement is the (capacity+1)-th largest counter (0 when the group
+    already fits). Rollup-sized window work — the fact table never enters."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("cnt").desc(), F.col("item").asc()
+    )
+    ranked = per_item.withColumn("_rn", F.row_number().over(w))
+    grouped = ranked.groupBy(*keys).agg(
+        F.max("err_in").alias("_err_in"),
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("_rn") == capacity + 1, F.col("cnt")).otherwise(0)).alias(
+            "_delta"
+        ),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_rn") <= capacity,
+                    F.struct(
+                        (-F.col("cnt")).alias("_negcnt"),
+                        F.col("item").alias("item"),
+                        F.col("cnt").alias("cnt"),
+                    ),
+                )
+            )
+        ).alias("_items"),
+    )
+    items = F.filter(
+        F.transform(
+            "_items",
+            lambda s: F.struct(
+                s["item"].alias("item"), (s["cnt"] - F.col("_delta")).alias("cnt")
+            ),
+        ),
+        lambda s: s["cnt"] > 0,
+    )
+    return grouped.select(
+        *keys,
+        "n",
+        (F.col("_err_in") + F.col("_delta")).alias("err"),
+        items.alias("items"),
+    )
+
+
+def topk_rollup(
+    df: DataFrame,
+    bucket_seconds: float,
+    by: str | list[str],
+    item_col: str,
+    capacity: int = 64,
+    ts: str = "ts",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Per-(entity, bucket) Misra-Gries frequency summary of ``item_col``:
+    (by…, bucket, n, err, items: array<struct<item,cnt>> sorted by cnt desc /
+    item asc, at most ``capacity`` entries). Exact (err = 0) whenever the
+    group has ≤ capacity distinct items. One fact-table shuffle — the
+    per-item partial counts ride map-side combine; the rank/compress that
+    follows runs on rollup-sized data only."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    keys = [*by_cols, bucket_col]
+    per_item = (
+        df.withColumn(bucket_col, time_bucket(ts, bucket_seconds))
+        .groupBy(*keys, F.col(item_col).cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("err_in", F.lit(0).cast("long"))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy(*keys)))
+    )
+    return _mg_compress(per_item, keys, int(capacity))
+
+
+def topk_coarser(
+    fine: DataFrame,
+    bucket_seconds: float,
+    by: str | list[str],
+    capacity: int,
+    bucket_col: str = "bucket",
+    fine_seconds: float | None = None,
+) -> DataFrame:
+    """Merge a finer top-k rollup to a coarser grain WITHOUT touching the
+    fact table: counters sum per item, error masses sum per group, then one
+    MG compress back to ``capacity`` (pass the write-time capacity — merges
+    may only keep or lower it, never raise it; explicit so planning stays
+    free of driver actions). The mergeable-summaries bound survives:
+    err ≤ Σ child errs + decrement."""
+    if fine_seconds is not None:
+        ratio = float(bucket_seconds) / float(fine_seconds)
+        if abs(ratio - round(ratio)) > 1e-9 or round(ratio) < 1:
+            raise ValueError(
+                f"coarse width {bucket_seconds}s is not a multiple of the fine "
+                f"width {fine_seconds}s — fine buckets would straddle coarse ones"
+            )
+    by_cols = [by] if isinstance(by, str) else list(by)
+    keys = [*by_cols, bucket_col]
+    coarse = fine.withColumn("_cb", time_bucket(bucket_col, bucket_seconds))
+    ckeys = [*by_cols, "_cb"]
+    group_tot = coarse.groupBy(*ckeys).agg(
+        F.sum("err").alias("err_in"), F.sum("n").alias("n")
+    )
+    per_item = (
+        coarse.select(*ckeys, F.explode("items").alias("_s"))
+        .groupBy(*ckeys, F.col("_s.item").alias("item"))
+        .agg(F.sum("_s.cnt").alias("cnt"))
+        .join(group_tot, ckeys)
+    )
+    out = _mg_compress(per_item, ckeys, int(capacity))
+    return out.withColumnRenamed("_cb", bucket_col)
+
+
+def topk_finalize(
+    df: DataFrame,
+    k: int,
+    by: str | list[str],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Explode a top-k summary into ranked rows
+    (by…, bucket, rank, item, cnt_lb, cnt_ub): ``cnt_lb`` is the stored
+    counter (guaranteed ≤ true count), ``cnt_ub = cnt_lb + err`` (≥ true
+    count). With err = 0 (capacity never exceeded) both bounds equal the
+    exact count. Items are already sorted cnt desc / item asc in the array,
+    so rank is positional — no window needed."""
+    by_cols = [by] if isinstance(by, str) else list(by)
+    return df.select(
+        *by_cols,
+        bucket_col,
+        "err",
+        F.posexplode(F.slice("items", 1, int(k))).alias("_i", "_s"),
+    ).select(
+        *by_cols,
+        bucket_col,
+        (F.col("_i") + 1).cast("long").alias("rank"),
+        F.col("_s.item").alias("item"),
+        F.col("_s.cnt").alias("cnt_lb"),
+        (F.col("_s.cnt") + F.col("err")).alias("cnt_ub"),
+    )
 
 
 def hist_quantiles(

@@ -498,3 +498,91 @@ def time_series_folds(
         )
     )
     return out
+
+
+def cusum_scores(
+    df: DataFrame,
+    by: str | list[str],
+    order: str | list[str],
+    value_col: str,
+    ref: DataFrame,
+    k: float = 0.5,
+    h: float = 5.0,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Two-sided CUSUM change-point scores per entity series — Page (1954),
+    the sequential drift detector that flags a sustained mean shift of
+    ~2k·sigma within a handful of observations, where a PSI-style batch
+    monitor needs a whole comparison window.
+
+    The textbook form is a non-associative recursion
+    ``S_i = max(0, S_{i-1} + z_i - k)`` that no window frame expresses
+    directly. It folds into pure prefix algebra via the running-minimum
+    identity::
+
+        C_i = sum_{j<=i} (z_j - k)          (plain cumulative sum)
+        S_i = C_i - min(0, min_{j<=i} C_j)  (subtract the lowest water mark)
+
+    — two window functions per side, no Python, no recursion. Proof sketch:
+    the recursion resets to 0 exactly where the prefix sum hits a new
+    minimum; between resets it carries C_i minus that minimum.
+
+    Leak-freedom: the standardization baseline (mu, sigma_pop of
+    ``value_col``) comes from the caller-supplied REFERENCE frame (e.g. the
+    training window), never from the scored rows — one 1-row aggregate,
+    broadcast crossJoin (the house stats-broadcast shape). Scale: one
+    window exchange on ``by``; both the cumsum and the running min are
+    chunk-decomposable, so ``skew.salted_cumsum``'s carry pattern applies
+    if an entity outgrows a task (prefix-min of a chunk = min(local
+    prefix-min, min of prior chunk minima)).
+
+    Output: input columns + ``z``, ``s_pos``, ``s_neg``, ``alarm``
+    (either side above ``h``). Raises on a degenerate (sigma <= eps)
+    reference.
+
+    Reference tie-in: the reference's iterative F0-range refinement
+    (``extract_f0_range.py:307-353``) also hunts distribution breaks, but
+    offline over the whole corpus; CUSUM is its single-pass sequential
+    counterpart for monitoring a live feature stream.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    order_cols = [order] if isinstance(order, str) else list(order)
+    stats = ref.agg(
+        F.avg(value_col).alias("_mu"),
+        F.var_pop(value_col).alias("_var"),
+    )
+    base = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_sg", F.sqrt(F.col("_var"))
+    )
+    # fail loudly on a flat reference instead of emitting inf scores
+    base = base.withColumn(
+        "_sg",
+        F.when(F.col("_sg") > F.lit(float(eps)), F.col("_sg")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("cusum_scores: degenerate reference sigma "),
+                    F.col("_sg").cast("string"),
+                )
+            )
+        ),
+    )
+    z = (F.col(value_col) - F.col("_mu")) / F.col("_sg")
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cp = F.sum(z - F.lit(float(k))).over(w)
+    cn = F.sum(-z - F.lit(float(k))).over(w)
+    out = (
+        base.withColumn("z", z)
+        .withColumn("_cp", cp)
+        .withColumn("_cn", cn)
+        .withColumn("s_pos", F.col("_cp") - F.least(F.lit(0.0), F.min("_cp").over(w)))
+        .withColumn("s_neg", F.col("_cn") - F.least(F.lit(0.0), F.min("_cn").over(w)))
+        .withColumn(
+            "alarm",
+            (F.col("s_pos") > F.lit(float(h))) | (F.col("s_neg") > F.lit(float(h))),
+        )
+    )
+    return out.drop("_mu", "_var", "_sg", "_cp", "_cn")

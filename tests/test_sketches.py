@@ -230,3 +230,139 @@ def test_hist_apply_changes_equals_recompute(spark):
     gone = olds - set(a)
     assert len(gone) == 3 and all(g == 0 for g, _ in gone)
     assert any(g == 7 for g, _ in a)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries frequency sketches (topk_rollup / topk_coarser / topk_finalize)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def item_events(spark):
+    # 2 entities x 6 hours; zipf-ish item stream (item j appears ~60/(j+1)
+    # times per hour) so there ARE heavy hitters and a long tail
+    rows = []
+    for g in ("x", "y"):
+        for h in range(6):
+            for j in range(12):
+                reps = max(1, 60 // (j + 1) - (h % 3))
+                for r in range(reps):
+                    rows.append(
+                        (g, BASE + dt.timedelta(hours=h, seconds=r), f"i{j:02d}")
+                    )
+    return spark.createDataFrame(rows, "g string, ts timestamp, item string").cache()
+
+
+def _exact_counts(events, width):
+    from acoustic_feature_extractor_spark.operators.rollup import time_bucket
+
+    return {
+        (r["g"], r["bucket"], r["item"]): r["c"]
+        for r in (
+            events.withColumn("bucket", time_bucket("ts", width))
+            .groupBy("g", "bucket", "item")
+            .agg(F.count(F.lit(1)).alias("c"))
+        ).collect()
+    }
+
+
+def test_topk_exact_when_capacity_fits(spark, item_events):
+    from acoustic_feature_extractor_spark.operators.sketches import (
+        topk_finalize,
+        topk_rollup,
+    )
+
+    fine = topk_rollup(item_events, 3600.0, "g", "item", capacity=16)
+    assert {r["err"] for r in fine.select("err").distinct().collect()} == {0}
+    rows = topk_finalize(fine, k=3, by="g").collect()
+    exact = _exact_counts(item_events, 3600.0)
+    for r in rows:
+        assert r["cnt_lb"] == r["cnt_ub"] == exact[(r["g"], r["bucket"], r["item"])]
+    # rank 1 is the true argmax with deterministic ties
+    by_gb = {}
+    for (g, b, i), c in exact.items():
+        by_gb.setdefault((g, b), []).append((-c, i))
+    for r in rows:
+        if r["rank"] == 1:
+            assert r["item"] == min(by_gb[(r["g"], r["bucket"])])[1]
+
+
+def test_topk_bounds_under_capacity_pressure(spark, item_events):
+    from acoustic_feature_extractor_spark.operators.sketches import (
+        topk_finalize,
+        topk_rollup,
+    )
+
+    fine = topk_rollup(item_events, 3600.0, "g", "item", capacity=4)
+    exact = _exact_counts(item_events, 3600.0)
+    n_per = {}
+    for (g, b, _), c in exact.items():
+        n_per[(g, b)] = n_per.get((g, b), 0) + c
+    summaries = fine.collect()
+    for s in summaries:
+        key = (s["g"], s["bucket"])
+        # classic MG bound: err <= n / (capacity + 1)
+        assert s["err"] <= n_per[key] / 5
+        present = {it["item"] for it in s["items"]}
+        for (g, b, i), c in exact.items():
+            if (g, b) != key:
+                continue
+            if i in present:
+                stored = next(it["cnt"] for it in s["items"] if it["item"] == i)
+                assert stored <= c <= stored + s["err"]
+            else:
+                # absent items are bounded by the error mass
+                assert c <= s["err"]
+        # guaranteed presence of true heavy hitters
+        for (g, b, i), c in exact.items():
+            if (g, b) == key and c > s["err"]:
+                assert i in present
+    rows = topk_finalize(fine, k=2, by="g").collect()
+    for r in rows:
+        c = exact[(r["g"], r["bucket"], r["item"])]
+        assert r["cnt_lb"] <= c <= r["cnt_ub"]
+
+
+def test_topk_cascade_merge_bounds(spark, item_events):
+    from acoustic_feature_extractor_spark.operators.sketches import (
+        topk_coarser,
+        topk_rollup,
+    )
+
+    fine = topk_rollup(item_events, 3600.0, "g", "item", capacity=5)
+    day = topk_coarser(fine, 6 * 3600.0, "g", capacity=5, fine_seconds=3600.0)
+    exact = _exact_counts(item_events, 6 * 3600.0)
+    n_per = {}
+    for (g, b, _), c in exact.items():
+        n_per[(g, b)] = n_per.get((g, b), 0) + c
+    for s in day.collect():
+        key = (s["g"], s["bucket"])
+        assert s["n"] == n_per[key]
+        present = {it["item"]: it["cnt"] for it in s["items"]}
+        assert len(present) <= 5
+        for (g, b, i), c in exact.items():
+            if (g, b) != key:
+                continue
+            if i in present:
+                assert present[i] <= c <= present[i] + s["err"]
+            else:
+                assert c <= s["err"]
+            if c > s["err"]:
+                assert i in present
+
+
+def test_topk_cascade_exact_when_roomy(spark, item_events):
+    # capacity >= distinct everywhere -> the cascade is lossless end to end
+    from acoustic_feature_extractor_spark.operators.sketches import (
+        topk_coarser,
+        topk_finalize,
+        topk_rollup,
+    )
+
+    fine = topk_rollup(item_events, 3600.0, "g", "item", capacity=16)
+    day = topk_coarser(fine, 6 * 3600.0, "g", capacity=16, fine_seconds=3600.0)
+    rows = topk_finalize(day, k=12, by="g").collect()
+    exact = _exact_counts(item_events, 6 * 3600.0)
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r["cnt_lb"] == r["cnt_ub"] == exact[(r["g"], r["bucket"], r["item"])]

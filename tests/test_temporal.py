@@ -400,3 +400,64 @@ def test_time_series_folds_fact_table_never_shuffles(spark):
     ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
     assert ex == 1, f"fact table must not shuffle; saw {ex} exchanges\n{plan[:3000]}"
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point scores
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    import math
+    import random
+
+    from acoustic_feature_extractor_spark.operators.temporal import cusum_scores
+
+    rng = random.Random(7)
+    rows = []
+    series = {}
+    for g in ("a", "b"):
+        vals = []
+        for i in range(120):
+            # mean shift of +2.0 at i=80 for entity 'a' only
+            mu = 2.0 if (g == "a" and i >= 80) else 0.0
+            v = rng.gauss(mu, 1.0)
+            vals.append(v)
+            rows.append((g, i, v))
+        series[g] = vals
+    df = spark.createDataFrame(rows, "g string, i int, v double")
+    ref = df.where("i < 60")  # pre-shift reference window
+    out = cusum_scores(df, by="g", order="i", value_col="v", ref=ref, k=0.5, h=5.0)
+    got = {(r["g"], r["i"]): r for r in out.collect()}
+
+    # textbook recursion on the same standardization
+    ref_vals = [v for g in ("a", "b") for v in series[g][:60]]
+    mu = sum(ref_vals) / len(ref_vals)
+    var = sum((v - mu) ** 2 for v in ref_vals) / len(ref_vals)
+    sg = math.sqrt(var)
+    for g in ("a", "b"):
+        sp = sn = 0.0
+        for i, v in enumerate(series[g]):
+            z = (v - mu) / sg
+            sp = max(0.0, sp + z - 0.5)
+            sn = max(0.0, sn - z - 0.5)
+            r = got[(g, i)]
+            assert abs(r["s_pos"] - sp) < 1e-9, (g, i)
+            assert abs(r["s_neg"] - sn) < 1e-9, (g, i)
+            assert r["alarm"] == (sp > 5.0 or sn > 5.0)
+
+    # the shifted entity alarms after the break; the stable one never does
+    a_alarms = [i for (g, i), r in got.items() if g == "a" and r["alarm"]]
+    assert a_alarms and min(a_alarms) >= 80
+    assert not [i for (g, i), r in got.items() if g == "b" and r["alarm"]]
+
+
+def test_cusum_degenerate_reference_raises(spark):
+    import pytest as _pytest
+
+    from acoustic_feature_extractor_spark.operators.temporal import cusum_scores
+
+    df = spark.createDataFrame([("a", 0, 1.0), ("a", 1, 2.0)], "g string, i int, v double")
+    ref = df.where("v = 1.0")  # single point: sigma = 0
+    with _pytest.raises(Exception, match="degenerate reference sigma"):
+        cusum_scores(df, by="g", order="i", value_col="v", ref=ref).collect()
