@@ -1688,6 +1688,129 @@ _SQL_SKETCH_DISTINCT = _sql_sketch(3600)
 _SQL_SKETCH_CASCADE = _sql_sketch(86400)
 
 
+def q_kanon_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate (``privacy.k_anonymize``): rows whose
+    (nation, market-segment) quasi-identifier group has < 8 members are
+    suppressed, so every published row hides among ≥ 8 peers. ONE window
+    count on the quasi columns — no join, no second scan; the oracle is
+    the same predicate spelled as a SQL window."""
+    from acoustic_feature_extractor_spark.operators import privacy as priv_ops
+
+    c = _t(spark, sf_dir, "customer")
+    out = priv_ops.k_anonymize(
+        c, ["c_nationkey", "c_mktsegment"], k=8, mode="suppress"
+    )
+    return out.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        "c_mktsegment",
+        F.round("c_acctbal", 4).alias("c_acctbal"),
+    )
+
+
+_SQL_KANON_SUPPRESS = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       c_mktsegment,
+       ROUND(c_acctbal, 4) AS c_acctbal
+FROM (
+  SELECT *, count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS _gn
+  FROM customer
+) WHERE _gn >= 8
+"""
+
+
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary + per-document OOV profile
+    (``text.build_vocab`` / ``text.oov_stats``): the top-50 corpus terms
+    get dense ids via the two-phase salted exact top-k (the global sort
+    only ever sees salt-bucket survivors), then every document's
+    out-of-vocabulary token share is one broadcast left join + groupBy —
+    the corpus never shuffles on term for the profile pass."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = tx.build_vocab(d, top_n=50)
+    o = tx.oov_stats(d, vocab)
+    return o.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_oov").cast("long").alias("n_oov"),
+        F.round("oov_rate", 6).alias("oov_rate"),
+    )
+
+
+_SQL_VOCAB_OOV = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents
+),
+t AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+cnt AS (SELECT term, count(*) AS c FROM t GROUP BY 1),
+v AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY c DESC, term ASC) AS rn FROM cnt
+  ) WHERE rn <= 50
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS oov_rate
+FROM t LEFT JOIN v ON t.term = v.term
+GROUP BY 1
+"""
+
+
+def q_tool_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel (``context.funnel_steps``): how far each user
+    progresses through signup → view → purchase, each step strictly after
+    the matched previous one (greedy earliest-match). The engine does it
+    in ONE exchange — filter to the 3-step vocabulary, group once, O(m)
+    ``aggregate`` fold over the order-sorted events; the oracle spells the
+    same greedy as k sequential min-joins (k fact scans — the shape the
+    fold avoids). Users with no completed step emit no rows in both."""
+    from acoustic_feature_extractor_spark.operators import context as ctx_ops
+
+    ev = _indexed_events(spark, sf_dir)
+    f = ctx_ops.funnel_steps(
+        ev,
+        ["signup", "view", "purchase"],
+        by="user_id",
+        order="idx",
+        step_col="event_type",
+    )
+    return f.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "steps_completed",
+        F.posexplode("step_orders").alias("_p", "at_idx"),
+    ).select(
+        "user_id",
+        "steps_completed",
+        (F.col("_p") + 1).cast("long").alias("step_no"),
+        F.col("at_idx").cast("long").alias("at_idx"),
+    )
+
+
+_SQL_TOOL_FUNNEL = f"""
+WITH t AS ({_IDX_SQL}),
+s1 AS (SELECT user_id, min(idx) AS i FROM t WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT t.user_id, min(t.idx) AS i FROM t JOIN s1 ON t.user_id = s1.user_id
+       AND t.idx > s1.i WHERE t.event_type = 'view' GROUP BY 1),
+s3 AS (SELECT t.user_id, min(t.idx) AS i FROM t JOIN s2 ON t.user_id = s2.user_id
+       AND t.idx > s2.i WHERE t.event_type = 'purchase' GROUP BY 1),
+steps AS (
+  SELECT user_id, 1 AS step_no, i FROM s1
+  UNION ALL SELECT user_id, 2, i FROM s2
+  UNION ALL SELECT user_id, 3, i FROM s3
+),
+n AS (SELECT user_id, count(*) AS sc FROM steps GROUP BY 1)
+SELECT CAST(s.user_id AS BIGINT) AS user_id,
+       CAST(n.sc AS BIGINT) AS steps_completed,
+       CAST(s.step_no AS BIGINT) AS step_no,
+       CAST(s.i AS BIGINT) AS at_idx
+FROM steps s JOIN n ON s.user_id = n.user_id
+"""
+
+
 def q_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM change-point scores (``temporal.cusum_scores``) per
     user value series: the non-associative Page recursion
@@ -4524,6 +4647,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cascade": q_sketch_cascade,
         "sketch_topk": q_sketch_topk,
         "changepoints": q_changepoints,
+        "kanon_suppress": q_kanon_suppress,
+        "vocab_oov": q_vocab_oov,
+        "tool_funnel": q_tool_funnel,
         "salted_join_hot": q_salted_join_hot,
         "snapshot_changes": q_snapshot_changes,
         "rollup_incremental": q_rollup_incremental,
@@ -4609,6 +4735,9 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cascade": _SQL_SKETCH_CASCADE,
         "sketch_topk": _SQL_SKETCH_TOPK,
         "changepoints": _SQL_CHANGEPOINTS,
+        "kanon_suppress": _SQL_KANON_SUPPRESS,
+        "vocab_oov": _SQL_VOCAB_OOV,
+        "tool_funnel": _SQL_TOOL_FUNNEL,
         "salted_join_hot": _SQL_SALTED_JOIN,
         "snapshot_changes": _SQL_SNAPSHOT_CHANGES,
         "rollup_incremental": _SQL_ROLLUP_INCREMENTAL,

@@ -613,3 +613,74 @@ def chunk_documents(
         F.md5(chunk).alias("chunk_hash"),
         chunk.alias("chunk"),
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Frequency-ranked corpus vocabulary: the ``top_n`` most frequent
+    whitespace tokens as (term, term_id, count), ids dense 0..top_n-1 in
+    (count desc, term asc) order — the deterministic id assignment every
+    embedding-table consumer needs (same term -> same id on any cluster
+    size or partitioning).
+
+    Scale shape: one corpus-sized explode + groupBy(term) with map-side
+    combine (the unavoidable exact-count pass), then the ranking reuses
+    ``windows.topk_per_group``'s two-phase salted exact top-k over the
+    VOCAB-sized count table — the global single-partition sort only ever
+    sees the salt-bucket survivors (≤ salt × top_n rows), never the full
+    distinct-term table (billions of tail tokens on a web corpus).
+    (count desc, term asc) is a total order, the precondition for the
+    two-phase prune to be exact.
+    """
+    from acoustic_feature_extractor_spark.operators.windows import topk_per_group
+
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    counts = (
+        df.select(F.explode(whitespace_tokens(F.col(text_col))).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") >= int(min_count))
+    )
+    ranked = topk_per_group(
+        counts.withColumn("_g", F.lit(1)),
+        "_g",
+        [F.col("count").desc(), F.col("term").asc()],
+        k=int(top_n),
+    )
+    return ranked.select(
+        "term", (F.col("rank") - 1).cast("long").alias("term_id"), "count"
+    )
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document out-of-vocabulary profile against a ``build_vocab``
+    table: (id, n_tokens, n_oov, oov_rate). The vocab side is top_n rows —
+    broadcast left join, the corpus explode never shuffles on term; the
+    per-doc reduce groups on the id the explode preserved."""
+    toks = df.select(
+        F.col(id_col), F.explode(whitespace_tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    flagged = toks.join(
+        F.broadcast(vocab.select("term", F.lit(True).alias("_inv"))),
+        "term",
+        "left",
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        (
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("oov_rate"),
+    )

@@ -270,3 +270,67 @@ def degenerate_runs(
             F.when(F.col("run_len") == F.col("_max_run"), F.col(state_col))
         ).alias("worst_state"),
     )
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    by: str | list[str] = "conv_id",
+    order: str = "turn_idx",
+    step_col: str = "tool",
+) -> DataFrame:
+    """Ordered-step funnel per entity: how far through ``steps`` each
+    conversation progressed, requiring each step to occur at a strictly
+    later ``order`` position than the matched previous step (greedy
+    earliest-match — the standard funnel semantics, and greedy is optimal:
+    matching the earliest occurrence of step i can only widen the set of
+    candidates for step i+1).
+
+    Output: (by…, steps_completed, step_orders) — ``step_orders[i]`` is
+    the ``order`` value where step i+1 matched (array length =
+    steps_completed).
+
+    Plan shape — ONE pass, no self-joins: rows are pre-filtered to the
+    step vocabulary (a k-literal isin — at 100 TB this drops everything
+    but the funnel events before any shuffle), grouped once per entity,
+    and the greedy match is an O(m) ``aggregate`` fold over the
+    order-sorted (order, step_pos) structs of that entity (m = the
+    entity's funnel-event count, bounded by the conversation length).
+    The k-CTE sequential-min-join formulation the oracle uses would scan
+    the fact table k times and shuffle k rollup joins; the fold gets the
+    identical answer in one exchange. No Python anywhere.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    pos = F.array_position(
+        F.array(*[F.lit(s) for s in steps]), F.col(step_col).cast("string")
+    )  # 1-based; 0 = not a funnel step
+    ev = (
+        df.withColumn("_sp", pos)
+        .where(F.col("_sp") > 0)
+        .select(*by_cols, F.col(order).alias("_ord"), "_sp")
+    )
+    seq = ev.groupBy(*by_cols).agg(
+        F.array_sort(F.collect_list(F.struct("_ord", "_sp"))).alias("_ev")
+    )
+    init = F.struct(
+        F.lit(1).alias("nxt"),
+        F.array().cast("array<long>").alias("idxs"),
+    )
+    fold = F.aggregate(
+        "_ev",
+        init,
+        lambda st, e: F.when(
+            e["_sp"] == st["nxt"],
+            F.struct(
+                (st["nxt"] + 1).alias("nxt"),
+                F.array_append(st["idxs"], e["_ord"].cast("long")).alias("idxs"),
+            ),
+        ).otherwise(st),
+    )
+    return seq.withColumn("_f", fold).select(
+        *by_cols,
+        F.col("_f.idxs").alias("step_orders"),
+        F.size("_f.idxs").cast("long").alias("steps_completed"),
+    )

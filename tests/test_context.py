@@ -243,3 +243,45 @@ def test_chunk_documents_rejects_bad_stride(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# ordered-step funnel
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_greedy_ordered_match(spark):
+    from acoustic_feature_extractor_spark.operators.context import funnel_steps
+
+    rows = [
+        # c1 completes a->b->c in order
+        ("c1", 0, "a"), ("c1", 1, "x"), ("c1", 2, "b"), ("c1", 3, "c"),
+        # c2 has b before a: only 'a' then stalls (no later b)
+        ("c2", 0, "b"), ("c2", 1, "a"), ("c2", 2, "x"),
+        # c3 never starts
+        ("c3", 0, "x"),
+        # c4: a, then c (skipping b) — stuck after step 1
+        ("c4", 0, "a"), ("c4", 1, "c"),
+        # c5: duplicate steps; greedy takes earliest a (0), earliest later b (2)
+        ("c5", 0, "a"), ("c5", 1, "a"), ("c5", 2, "b"), ("c5", 3, "b"), ("c5", 4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, tool string")
+    out = {
+        r["conv_id"]: (r["steps_completed"], r["step_orders"])
+        for r in funnel_steps(df, ["a", "b", "c"]).collect()
+    }
+    assert out["c1"] == (3, [0, 2, 3])
+    assert out["c2"] == (1, [1])
+    assert "c3" not in out  # no funnel event at all -> no row
+    assert out["c4"] == (1, [0])
+    assert out["c5"] == (3, [0, 2, 4])
+
+
+def test_funnel_requires_steps(spark):
+    import pytest as _pytest
+
+    from acoustic_feature_extractor_spark.operators.context import funnel_steps
+
+    df = spark.createDataFrame([("c", 0, "a")], "conv_id string, turn_idx int, tool string")
+    with _pytest.raises(ValueError):
+        funnel_steps(df, [])

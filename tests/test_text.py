@@ -70,3 +70,54 @@ def test_tfidf_top_terms(spark):
     assert got[(1, 1)][0] == "common" and got[(1, 2)][0] == "banana"
     # exactly k rows per doc
     assert len(out) == 6
+
+
+# ---------------------------------------------------------------------------
+# vocabulary build + OOV profiling
+# ---------------------------------------------------------------------------
+
+
+def test_build_vocab_ranking_and_ids(spark):
+    from acoustic_feature_extractor_spark.functions.text import build_vocab
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "a cat and a dog"),
+        ],
+        "doc_id int, text string",
+    )
+    v = {r["term"]: (r["term_id"], r["count"]) for r in build_vocab(docs, top_n=4).collect()}
+    # counts: the=3, sat=2, cat=2, dog=2, a=2, ... top-4 with (count desc, term asc)
+    assert v["the"] == (0, 3)
+    assert v["a"] == (1, 2)
+    assert v["cat"] == (2, 2)
+    assert v["dog"] == (3, 2)
+    assert len(v) == 4
+
+
+def test_build_vocab_min_count(spark):
+    from acoustic_feature_extractor_spark.functions.text import build_vocab
+
+    docs = spark.createDataFrame([(1, "x x y")], "doc_id int, text string")
+    v = build_vocab(docs, top_n=10, min_count=2).collect()
+    assert [(r["term"], r["term_id"]) for r in v] == [("x", 0)]
+
+
+def test_oov_stats(spark):
+    from acoustic_feature_extractor_spark.functions.text import build_vocab, oov_stats
+
+    train = spark.createDataFrame(
+        [(0, "alpha beta gamma alpha")], "doc_id int, text string"
+    )
+    vocab = build_vocab(train, top_n=2)  # alpha, beta
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "gamma delta"), (3, "alpha")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in oov_stats(docs, vocab).collect()}
+    assert got[1]["n_tokens"] == 3 and got[1]["n_oov"] == 0
+    assert got[2]["n_tokens"] == 2 and got[2]["n_oov"] == 2
+    assert abs(got[2]["oov_rate"] - 1.0) < 1e-12
+    assert got[3]["n_oov"] == 0
