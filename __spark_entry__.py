@@ -1688,6 +1688,92 @@ _SQL_SKETCH_DISTINCT = _sql_sketch(3600)
 _SQL_SKETCH_CASCADE = _sql_sketch(86400)
 
 
+def q_drift_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift monitoring at CDC cost (``sketches.psi_from_hists``): the
+    reference window's histogram sketch stays at rest, the current
+    window's sketch folds forward from a MERGE's change set
+    (``hist_apply_changes`` — IO ∝ touched rows), and PSI re-scores from
+    the two SKETCHES — neither fact table is re-read. The merge shifts
+    half the keys by +1000 (clamping into the top bin), so the drift is
+    real and locatable there. Oracle recomputes both histograms and the
+    identical smoothed PSI from raw facts over a dense bin spine."""
+    import tempfile
+
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    t = tempfile.mkdtemp(prefix="drift_ivm_query_")
+    s1 = snap.commit(ev.where(F.col("event_id") % 4 != 0), t)
+    upd = ev.where(F.col("event_id") % 4 <= 1).withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    s2 = snap.merge_upsert(spark, upd, t, key="event_id")
+    wide = 4.0e9  # one bucket spans the whole table: corpus-level drift
+    old = sk_ops.hist_rollup(
+        snap.read(spark, t, s1.snapshot_id),
+        wide, "event_type", "value", lo=0.0, hi=512.0, bins=32,
+    )
+    ch = snap.read_changes(spark, t, s1.snapshot_id, s2.snapshot_id)
+    cur = sk_ops.hist_apply_changes(
+        old, ch, wide, "event_type", "value", lo=0.0, hi=512.0, bins=32
+    )
+    psi = sk_ops.psi_from_hists(
+        old.drop("bucket", "n"), cur.drop("bucket", "n"), by="event_type", bins=32
+    )
+    return psi.select(
+        "event_type",
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round("p", 6).alias("p"),
+        F.round("q", 6).alias("q"),
+        F.round("psi_term", 6).alias("psi_term"),
+    )
+
+
+_SQL_DRIFT_INCREMENTAL = """
+WITH refs AS (
+  SELECT event_type,
+         CAST(least(greatest(floor(value / 16.0), 0), 31) AS BIGINT) AS bin0
+  FROM events WHERE event_id % 4 != 0
+),
+curs AS (
+  SELECT event_type,
+         CAST(least(greatest(floor(
+           (CASE WHEN event_id % 4 <= 1 THEN value + 1000.0 ELSE value END) / 16.0
+         ), 0), 31) AS BIGINT) AS bin0
+  FROM events
+),
+spine AS (
+  SELECT DISTINCT event_type, b AS bin0
+  FROM events, generate_series(0, 31) AS g(b)
+),
+rc AS (SELECT event_type, bin0, count(*) AS n_ref FROM refs GROUP BY 1, 2),
+cc AS (SELECT event_type, bin0, count(*) AS n_cur FROM curs GROUP BY 1, 2),
+j AS (
+  SELECT s.event_type, s.bin0,
+         COALESCE(rc.n_ref, 0) AS n_ref, COALESCE(cc.n_cur, 0) AS n_cur
+  FROM spine s
+  LEFT JOIN rc ON s.event_type = rc.event_type AND s.bin0 = rc.bin0
+  LEFT JOIN cc ON s.event_type = cc.event_type AND s.bin0 = cc.bin0
+),
+tot AS (
+  SELECT *,
+         sum(n_ref) OVER (PARTITION BY event_type) AS tr,
+         sum(n_cur) OVER (PARTITION BY event_type) AS tc
+  FROM j
+)
+SELECT event_type, bin0 + 1 AS bin,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       round((n_ref + 1e-6) / (tr + 32e-6), 6) AS p,
+       round((n_cur + 1e-6) / (tc + 32e-6), 6) AS q,
+       round(((n_ref + 1e-6) / (tr + 32e-6) - (n_cur + 1e-6) / (tc + 32e-6))
+             * ln(((n_ref + 1e-6) / (tr + 32e-6)) / ((n_cur + 1e-6) / (tc + 32e-6))), 6)
+         AS psi_term
+FROM tot
+"""
+
+
 def q_kanon_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity release gate (``privacy.k_anonymize``): rows whose
     (nation, market-segment) quasi-identifier group has < 8 members are
@@ -4647,6 +4733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cascade": q_sketch_cascade,
         "sketch_topk": q_sketch_topk,
         "changepoints": q_changepoints,
+        "drift_incremental": q_drift_incremental,
         "kanon_suppress": q_kanon_suppress,
         "vocab_oov": q_vocab_oov,
         "tool_funnel": q_tool_funnel,
@@ -4735,6 +4822,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cascade": _SQL_SKETCH_CASCADE,
         "sketch_topk": _SQL_SKETCH_TOPK,
         "changepoints": _SQL_CHANGEPOINTS,
+        "drift_incremental": _SQL_DRIFT_INCREMENTAL,
         "kanon_suppress": _SQL_KANON_SUPPRESS,
         "vocab_oov": _SQL_VOCAB_OOV,
         "tool_funnel": _SQL_TOOL_FUNNEL,

@@ -496,3 +496,65 @@ def hist_quantiles(
         name = f"q{str(q).replace('0.', '').replace('.', '_')}"
         out = out.withColumn(name, F.when(F.col(n_col) > 0, est))
     return out.drop("_cum")
+
+
+def psi_from_hists(
+    ref: DataFrame,
+    cur: DataFrame,
+    by: str | list[str],
+    bins: int,
+    eps: float = 1e-6,
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Population Stability Index computed FROM histogram sketches instead
+    of raw facts — the incremental-drift story: keep the reference window's
+    ``hist_rollup`` at rest, maintain the current window's histogram with
+    ``hist_apply_changes`` (IO ∝ CDC change set), and re-score drift each
+    batch WITHOUT ever re-reading either fact table. Same Laplace
+    smoothing and per-bin ``(p−q)·ln(p/q)`` term as
+    ``stats.population_stability`` (sum terms per group for the scalar
+    PSI; the per-bin table keeps drift locatable), but over the sketch's
+    pinned equi-width bins rather than reference quantiles.
+
+    Inputs are one summary row per group: (by…, n, hist) on the SAME
+    (lo, hi, bins) domain — different domains would compare incomparable
+    buckets, so ``bins`` is validated against both hist widths in-plan
+    (raises at execution on a width mismatch). Groups present on one side
+    only count as all-zero on the other (full outer join on ``by``).
+    Everything is rollup-sized: the fact tables never enter the plan.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        checked = F.when(
+            F.size(hist_col) == int(bins), F.col(hist_col)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"psi_from_hists: {tag} hist width "),
+                    F.size(hist_col).cast("string"),
+                    F.lit(f" != bins={int(bins)}"),
+                )
+            )
+        )
+        return df.select(
+            *by_cols, F.posexplode(checked).alias("_bin0", f"n_{tag}")
+        )
+
+    r = side(ref, "ref")
+    c = side(cur, "cur")
+    keys = [*by_cols, "_bin0"]
+    out = r.join(c, keys, "full").fillna(0, subset=["n_ref", "n_cur"])
+    tot_r = F.sum("n_ref").over(Window.partitionBy(*by_cols))
+    tot_c = F.sum("n_cur").over(Window.partitionBy(*by_cols))
+    p = (F.col("n_ref") + F.lit(float(eps))) / (tot_r + F.lit(float(eps) * bins))
+    q = (F.col("n_cur") + F.lit(float(eps))) / (tot_c + F.lit(float(eps) * bins))
+    return out.select(
+        *by_cols,
+        (F.col("_bin0") + 1).alias("bin"),
+        "n_ref",
+        "n_cur",
+        p.alias("p"),
+        q.alias("q"),
+        ((p - q) * F.log(p / q)).alias("psi_term"),
+    )

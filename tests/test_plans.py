@@ -118,7 +118,11 @@ def test_no_unconditional_broadcast_of_fact_scaled_relations():
         "plans/pipeline.py": 1,   # 1-row global corpus stats
         # n_chunks offsets + <=max_entities picks + 1-row mixture total
         "operators/sample.py": 3,
-        "functions/text.py": 1,   # 1-row vocab-size aggregate (bigram LM)
+        # 1-row vocab-size aggregate (bigram LM) + top_n-row vocabulary
+        # (oov_stats; caller-capped by build_vocab's top_n)
+        "functions/text.py": 2,
+        # 1-row CUSUM reference stats (mu, var)
+        "operators/temporal.py": 1,
         # hot-key set: <= total_rows/threshold keys by construction
         # (hot_entity_keys output), key columns only
         "operators/skew.py": 1,

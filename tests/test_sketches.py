@@ -366,3 +366,70 @@ def test_topk_cascade_exact_when_roomy(spark, item_events):
     assert len(rows) == len(exact)
     for r in rows:
         assert r["cnt_lb"] == r["cnt_ub"] == exact[(r["g"], r["bucket"], r["item"])]
+
+
+# ---------------------------------------------------------------------------
+# PSI from histogram sketches
+# ---------------------------------------------------------------------------
+
+
+def test_psi_from_hists_matches_direct(spark):
+    import math
+
+    from acoustic_feature_extractor_spark.operators.sketches import (
+        hist_rollup,
+        psi_from_hists,
+    )
+
+    rows_r = [("g", BASE, float(v % 40)) for v in range(200)]
+    rows_c = [("g", BASE, float((v % 40) + 15)) for v in range(300)]  # shifted
+    ref = spark.createDataFrame(rows_r, "g string, ts timestamp, v double")
+    cur = spark.createDataFrame(rows_c, "g string, ts timestamp, v double")
+    hr = hist_rollup(ref, 1e9, "g", "v", lo=0.0, hi=64.0, bins=8).drop("bucket", "n")
+    hc = hist_rollup(cur, 1e9, "g", "v", lo=0.0, hi=64.0, bins=8).drop("bucket", "n")
+    got = {r["bin"]: r for r in psi_from_hists(hr, hc, by="g", bins=8).collect()}
+    assert set(got) == set(range(1, 9))
+
+    # direct python PSI on the same fixed bins
+    def hist(vals):
+        h = [0] * 8
+        for v in vals:
+            h[min(max(int(v // 8.0), 0), 7)] += 1
+        return h
+
+    H_r = hist([float(v % 40) for v in range(200)])
+    H_c = hist([float((v % 40) + 15) for v in range(300)])
+    eps = 1e-6
+    psi_direct = 0.0
+    for i in range(8):
+        p = (H_r[i] + eps) / (200 + 8 * eps)
+        q = (H_c[i] + eps) / (300 + 8 * eps)
+        psi_direct += (p - q) * math.log(p / q)
+        r = got[i + 1]
+        assert r["n_ref"] == H_r[i] and r["n_cur"] == H_c[i]
+        assert abs(r["p"] - p) < 1e-12 and abs(r["q"] - q) < 1e-12
+    psi_spark = sum(r["psi_term"] for r in got.values())
+    assert abs(psi_spark - psi_direct) < 1e-9
+    assert psi_spark > 0.25  # the injected shift reads as real drift
+
+
+def test_psi_from_hists_one_sided_group_and_width_guard(spark):
+    import pytest as _pytest
+
+    from acoustic_feature_extractor_spark.operators.sketches import (
+        hist_rollup,
+        psi_from_hists,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", BASE, 1.0), ("b", BASE, 2.0)], "g string, ts timestamp, v double"
+    )
+    cur = spark.createDataFrame([("a", BASE, 1.0)], "g string, ts timestamp, v double")
+    hr = hist_rollup(ref, 1e9, "g", "v", lo=0.0, hi=4.0, bins=4).drop("bucket", "n")
+    hc = hist_rollup(cur, 1e9, "g", "v", lo=0.0, hi=4.0, bins=4).drop("bucket", "n")
+    rows = psi_from_hists(hr, hc, by="g", bins=4).collect()
+    # group 'b' exists only in ref: its current side reads all-zero
+    b_rows = [r for r in rows if r["g"] == "b"]
+    assert len(b_rows) == 4 and all(r["n_cur"] == 0 for r in b_rows)
+    with _pytest.raises(Exception, match="hist width"):
+        psi_from_hists(hr, hc, by="g", bins=8).collect()
