@@ -1688,6 +1688,28 @@ _SQL_SKETCH_DISTINCT = _sql_sketch(3600)
 _SQL_SKETCH_CASCADE = _sql_sketch(86400)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (``sample.weighted_sample``,
+    Efraimidis-Spirakis A-ES): top-20 rows per event_type by
+    ``ln(u)/value`` with ``u`` the portable avalanche hash of
+    ``event_id:seed`` — deterministic, partitioning-invariant, mergeable
+    (so the two-phase salted top-k computes it without a global sort).
+    The oracle replays the exact integer hash and the same key formula."""
+    ev = _t(spark, sf_dir, "events")
+    s = sample_ops.weighted_sample(
+        ev, k=20, weight_col="value", key_col="event_id",
+        group_cols=["event_type"], seed=0,
+    )
+    return s.select(
+        "event_type",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+
+
 def q_drift_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drift monitoring at CDC cost (``sketches.psi_from_hists``): the
     reference window's histogram sketch stays at rest, the current
@@ -3249,6 +3271,29 @@ FROM h
 """
 
 
+_SQL_WEIGHTED_SAMPLE = f"""
+WITH h0 AS (
+  SELECT event_type, event_id, value,
+         {_sql_phash("(CAST(event_id AS VARCHAR) || ':0')")} AS hv
+  FROM events
+),
+es AS (
+  SELECT event_type, event_id, value,
+         ln(({_sql_pmix("hv")} + 1) * 1.0 / 2305843009213693951.0) / value AS k
+  FROM h0
+),
+r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY k DESC, event_id ASC)
+           AS rank
+  FROM es
+)
+SELECT event_type, CAST(rank AS BIGINT) AS rank,
+       CAST(event_id AS BIGINT) AS event_id, ROUND(value, 6) AS value
+FROM r WHERE rank <= 20
+"""
+
+
 def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language balancing: cap every lang at 50 docs via deterministic
     hash-ranked selection (two-phase skew-safe plan on the Spark side)."""
@@ -4734,6 +4779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_topk": q_sketch_topk,
         "changepoints": q_changepoints,
         "drift_incremental": q_drift_incremental,
+        "weighted_sample": q_weighted_sample,
         "kanon_suppress": q_kanon_suppress,
         "vocab_oov": q_vocab_oov,
         "tool_funnel": q_tool_funnel,
@@ -4823,6 +4869,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_topk": _SQL_SKETCH_TOPK,
         "changepoints": _SQL_CHANGEPOINTS,
         "drift_incremental": _SQL_DRIFT_INCREMENTAL,
+        "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "kanon_suppress": _SQL_KANON_SUPPRESS,
         "vocab_oov": _SQL_VOCAB_OOV,
         "tool_funnel": _SQL_TOOL_FUNNEL,

@@ -308,3 +308,70 @@ def mixture_sample(
         d.withColumn("copy", F.explode(F.sequence(F.lit(1), F.col("_nc"))))
         .drop("_nc", "rate")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    seed: int = 0,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows per group, one pass,
+    deterministic — Efraimidis & Spirakis (2006) A-ES: each row draws
+    ``u ~ U(0,1]`` and the k rows with the largest ``u^(1/w)`` form an
+    exact weighted sample-without-replacement. Implemented on the
+    monotone-equivalent ``ln(u)/w`` (no pow, better conditioning).
+
+    ``u`` is the portable avalanche hash of ``"<key>:<seed>"`` mapped
+    into (0, 1] — deterministic (same row -> same draw on any cluster
+    size, partitioning, or engine: the DuckDB oracle replays the exact
+    integer hash), re-drawable via ``seed``, and mergeable: top-k by key
+    of a union is the union's top-k, so shards/partitions combine without
+    coordination (the two-phase ``topk_per_group`` exploits exactly
+    that). Weights must be > 0 — the plan raises on violation rather
+    than silently mis-sampling.
+
+    Scale: inherits ``topk_per_group``'s salted two-phase shape — no
+    group ever sorts in one task; shuffle carries k×salt rows per group.
+    """
+    from acoustic_feature_extractor_spark.operators.dedup import (
+        portable_mix,
+        token_hash_portable,
+    )
+    from acoustic_feature_extractor_spark.operators.windows import topk_per_group
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    P = 2305843009213693951  # portable_mix range: [0, 2^61 - 1)
+    h = portable_mix(
+        token_hash_portable(
+            F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}"))
+        )
+    )
+    u = (h + F.lit(1)).cast("double") / F.lit(float(P))  # (0, 1]
+    w = F.when(
+        F.col(weight_col) > 0, F.col(weight_col).cast("double")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("weighted_sample: non-positive weight "),
+                F.col(weight_col).cast("string"),
+            )
+        )
+    )
+    scored = df.withColumn("_es_key", F.log(u) / w)
+    if group_cols:
+        out = topk_per_group(
+            scored, group_cols, [F.col("_es_key").desc(), F.col(key_col).asc()],
+            k=int(k), rank_col=rank_col,
+        )
+    else:
+        out = topk_per_group(
+            scored.withColumn("_g", F.lit(1)), "_g",
+            [F.col("_es_key").desc(), F.col(key_col).asc()],
+            k=int(k), rank_col=rank_col,
+        ).drop("_g")
+    return out.drop("_es_key")

@@ -162,3 +162,90 @@ def test_mixture_sample_flattens_and_is_deterministic(spark):
     # determinism: exact same multiset on a re-run
     again = mixture_sample(df, "src", "doc_id", temperature=0.3, seed=7)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis-Spirakis weighted sampling without replacement
+# ---------------------------------------------------------------------------
+
+
+def _py_phash(s: str) -> int:
+    h1 = h2 = 0
+    for ch in s:
+        h1 = (h1 * 31 + ord(ch)) % 2147483647
+        h2 = (h2 * 131 + ord(ch)) % 2147483629
+    return (h1 << 31) + h2
+
+
+def _py_pmix(h: int) -> int:
+    P = 2305843009213693951
+    mask = (1 << 31) - 1
+    h1, h2 = h >> 31, h & mask
+    r1 = (h1 * 2654435761 + h2) % P
+    a, b = r1 >> 31, r1 & mask
+    return (a * 2246822519 + b * 2654435761) % P
+
+
+def _py_es_key(key: str, seed: int, w: float) -> float:
+    import math
+
+    P = 2305843009213693951
+    u = (_py_pmix(_py_phash(f"{key}:{seed}")) + 1) / P
+    return math.log(u) / w
+
+
+def test_weighted_sample_matches_formula_and_k(spark):
+    from acoustic_feature_extractor_spark.operators.sample import weighted_sample
+
+    rows = [(f"g{i % 3}", f"id{i:03d}", float(1 + (i % 7))) for i in range(90)]
+    df = spark.createDataFrame(rows, "g string, id string, w double")
+    out = weighted_sample(df, k=5, weight_col="w", key_col="id", group_cols=["g"])
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["g"], []).append((r["rank"], r["id"]))
+    # exact replication of the portable formula in python
+    for g in ("g0", "g1", "g2"):
+        keyed = sorted(
+            (
+                (-_py_es_key(f"id{i:03d}", 0, float(1 + (i % 7))), f"id{i:03d}")
+                for i in range(90)
+                if f"g{i % 3}" == g
+            )
+        )[:5]
+        expect = [(rk + 1, kid) for rk, (_, kid) in enumerate(keyed)]
+        assert sorted(got[g]) == expect
+    # repartitioning must not change the sample (mergeable top-k)
+    out2 = weighted_sample(
+        df.repartition(13), k=5, weight_col="w", key_col="id", group_cols=["g"]
+    )
+    assert {(r["g"], r["rank"], r["id"]) for r in out2.collect()} == {
+        (g, rk, kid) for g, lst in got.items() for rk, kid in lst
+    }
+
+
+def test_weighted_sample_bias_direction(spark):
+    # pure-python frequency check of the SAME formula across 400 seeds:
+    # weight-10 item must be drawn (k=1 of 20) far more often than weight-1
+    heavy_hits = light_hits = 0
+    for seed in range(400):
+        keys = [(_py_es_key(f"it{j}", seed, 10.0 if j == 0 else 1.0), j) for j in range(20)]
+        best = max(keys)[1]
+        if best == 0:
+            heavy_hits += 1
+        elif best == 1:
+            light_hits += 1
+    # expectation: heavy ~ 10/29 = 0.345, each light ~ 1/29 = 0.034
+    assert heavy_hits > 90
+    assert light_hits < 35
+
+
+def test_weighted_sample_rejects_bad_weight(spark):
+    import pytest as _pytest
+
+    from acoustic_feature_extractor_spark.operators.sample import weighted_sample
+
+    df = spark.createDataFrame([("a", 0.0)], "id string, w double")
+    with _pytest.raises(Exception, match="non-positive weight"):
+        weighted_sample(df, k=1, weight_col="w", key_col="id").collect()
+    with _pytest.raises(ValueError):
+        weighted_sample(df, k=0, weight_col="w", key_col="id")
