@@ -1688,6 +1688,62 @@ _SQL_SKETCH_DISTINCT = _sql_sketch(3600)
 _SQL_SKETCH_CASCADE = _sql_sketch(86400)
 
 
+def q_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance (``sketches.freq_apply_changes`` +
+    ``topk_compress``): the exact per-item frequency base of snapshot v1
+    folds forward with the CDC change set of a MERGE that RE-TYPES half
+    the keys to 'purchase' (deletes subtract, inserts add — counts are
+    fully retractable, zero fact re-reads), then fresh per-user top-2
+    summaries publish from the folded base. Capacity 8 ≥ the 5-type
+    vocabulary, so the summaries are exact and the oracle recomputes the
+    top-2 from the FINAL state directly; the lossy regime is
+    pytest-pinned."""
+    import tempfile
+
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    t = tempfile.mkdtemp(prefix="topk_ivm_query_")
+    s1 = snap.commit(ev.where(F.col("event_id") % 4 != 0), t)
+    upd = ev.where(F.col("event_id") % 4 <= 1).withColumn(
+        "event_type", F.lit("purchase")
+    )
+    s2 = snap.merge_upsert(spark, upd, t, key="event_id")
+    wide = 4.0e9  # one bucket spans the table: corpus-level top-k
+    old = sk_ops.freq_rollup(
+        snap.read(spark, t, s1.snapshot_id), wide, "user_id", "event_type"
+    )
+    ch = snap.read_changes(spark, t, s1.snapshot_id, s2.snapshot_id)
+    cur = sk_ops.freq_apply_changes(old, ch, wide, "user_id", "event_type")
+    summ = sk_ops.topk_compress(cur, "user_id", capacity=8)
+    rows = sk_ops.topk_finalize(summ, k=2, by="user_id")
+    return rows.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("rank").cast("long").alias("rank"),
+        "item",
+        "cnt_lb",
+        "cnt_ub",
+    )
+
+
+_SQL_TOPK_INCREMENTAL = """
+WITH final AS (
+  SELECT user_id,
+         CASE WHEN event_id % 4 <= 1 THEN 'purchase' ELSE event_type END AS item
+  FROM events
+),
+c AS (SELECT user_id, item, CAST(count(*) AS BIGINT) AS cnt FROM final GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY cnt DESC, item ASC) AS rank
+  FROM c
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(rank AS BIGINT) AS rank,
+       item, cnt AS cnt_lb, cnt AS cnt_ub
+FROM r WHERE rank <= 2
+"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (``sample.weighted_sample``,
     Efraimidis-Spirakis A-ES): top-20 rows per event_type by
@@ -4780,6 +4836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoints": q_changepoints,
         "drift_incremental": q_drift_incremental,
         "weighted_sample": q_weighted_sample,
+        "topk_incremental": q_topk_incremental,
         "kanon_suppress": q_kanon_suppress,
         "vocab_oov": q_vocab_oov,
         "tool_funnel": q_tool_funnel,
@@ -4870,6 +4927,7 @@ def oracle_sql() -> dict[str, str]:
         "changepoints": _SQL_CHANGEPOINTS,
         "drift_incremental": _SQL_DRIFT_INCREMENTAL,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
+        "topk_incremental": _SQL_TOPK_INCREMENTAL,
         "kanon_suppress": _SQL_KANON_SUPPRESS,
         "vocab_oov": _SQL_VOCAB_OOV,
         "tool_funnel": _SQL_TOOL_FUNNEL,

@@ -358,6 +358,29 @@ def _mg_compress(per_item: DataFrame, keys: list[str], capacity: int) -> DataFra
     )
 
 
+def freq_rollup(
+    df: DataFrame,
+    bucket_seconds: float,
+    by: str | list[str],
+    item_col: str,
+    ts: str = "ts",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """EXACT per-(entity, bucket, item) frequency base table
+    (by…, bucket, item, cnt) — one fact-table groupBy with map-side
+    combine. This is the at-rest grain that supports RETRACTION
+    (:func:`freq_apply_changes`); publish bounded summaries from it with
+    :func:`topk_compress`."""
+    by_cols = [by] if isinstance(by, str) else list(by)
+    return (
+        df.withColumn(bucket_col, time_bucket(ts, bucket_seconds))
+        .groupBy(
+            *by_cols, bucket_col, F.col(item_col).cast("string").alias("item")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def topk_rollup(
     df: DataFrame,
     bucket_seconds: float,
@@ -371,20 +394,17 @@ def topk_rollup(
     (by…, bucket, n, err, items: array<struct<item,cnt>> sorted by cnt desc /
     item asc, at most ``capacity`` entries). Exact (err = 0) whenever the
     group has ≤ capacity distinct items. One fact-table shuffle — the
-    per-item partial counts ride map-side combine; the rank/compress that
-    follows runs on rollup-sized data only."""
+    per-item partial counts ride map-side combine (:func:`freq_rollup`);
+    the rank/compress that follows (:func:`topk_compress`) runs on
+    rollup-sized data only."""
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
-    by_cols = [by] if isinstance(by, str) else list(by)
-    keys = [*by_cols, bucket_col]
-    per_item = (
-        df.withColumn(bucket_col, time_bucket(ts, bucket_seconds))
-        .groupBy(*keys, F.col(item_col).cast("string").alias("item"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("err_in", F.lit(0).cast("long"))
-        .withColumn("n", F.sum("cnt").over(Window.partitionBy(*keys)))
+    return topk_compress(
+        freq_rollup(df, bucket_seconds, by, item_col, ts, bucket_col),
+        by,
+        int(capacity),
+        bucket_col,
     )
-    return _mg_compress(per_item, keys, int(capacity))
 
 
 def topk_coarser(
@@ -558,3 +578,76 @@ def psi_from_hists(
         q.alias("q"),
         ((p - q) * F.log(p / q)).alias("psi_term"),
     )
+
+
+def freq_apply_changes(
+    old_items: DataFrame,
+    changes: DataFrame,
+    bucket_seconds: float,
+    by: str | list[str],
+    item_col: str,
+    ts: str = "ts",
+    bucket_col: str = "bucket",
+    change_type_col: str = "_change_type",
+) -> DataFrame:
+    """Incremental maintenance of the EXACT per-item frequency base (the
+    finest grain under ``topk_rollup``) from a CDC change set
+    (``snapshots.read_changes`` output): inserts add to their (group,
+    bucket, item) counter, deletes subtract — counts are fully
+    retractable, so even delete-heavy change sets fold arithmetically
+    with ZERO fact-table access (same contract as
+    ``hist_apply_changes``). Items whose count reaches 0 vanish;
+    untouched rows anti-join through. Re-compress the result with
+    ``_mg_compress`` via :func:`topk_compress` for fresh summaries.
+
+    ``old_items`` is the exact base table (by…, bucket, item, cnt) — keep
+    it at rest alongside the summaries; it is the ONLY representation that
+    supports retraction (a compressed MG summary cannot un-count an
+    evicted item). IO ∝ change set, always.
+    """
+    from acoustic_feature_extractor_spark.plans.cache import tracked_persist
+    from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
+
+    by_cols = [by] if isinstance(by, str) else list(by)
+    keys = [*by_cols, bucket_col, "item"]
+    sign = F.when(F.col(change_type_col) == F.lit("insert"), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta = (
+        changes.withColumn(bucket_col, time_bucket(ts, bucket_seconds))
+        .groupBy(*by_cols, bucket_col, F.col(item_col).cast("string").alias("item"))
+        .agg(F.sum(sign).alias("_d"))
+        .where(F.col("_d") != 0)
+    )
+    delta = tracked_persist(delta)  # feeds probe + anti-join + merge
+    old_items = tracked_persist(old_items)
+    touched = maybe_broadcast(delta.select(*keys))
+    untouched = old_items.join(touched, keys, "anti")
+    merged = (
+        delta.join(old_items, keys, "left")
+        .select(
+            *keys,
+            (F.coalesce(F.col("cnt"), F.lit(0).cast("long")) + F.col("_d")).alias(
+                "cnt"
+            ),
+        )
+        .where(F.col("cnt") > 0)
+    )
+    return untouched.unionByName(merged)
+
+
+def topk_compress(
+    items: DataFrame,
+    by: str | list[str],
+    capacity: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Fold an exact per-item base table (by…, bucket, item, cnt) into MG
+    summaries (by…, bucket, n, err, items) — the publish step after
+    :func:`freq_apply_changes`. err = 0 whenever a group fits capacity."""
+    by_cols = [by] if isinstance(by, str) else list(by)
+    keys = [*by_cols, bucket_col]
+    per_item = items.withColumn("err_in", F.lit(0).cast("long")).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*keys))
+    )
+    return _mg_compress(per_item, keys, int(capacity))

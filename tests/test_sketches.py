@@ -433,3 +433,50 @@ def test_psi_from_hists_one_sided_group_and_width_guard(spark):
     assert len(b_rows) == 4 and all(r["n_cur"] == 0 for r in b_rows)
     with _pytest.raises(Exception, match="hist width"):
         psi_from_hists(hr, hc, by="g", bins=8).collect()
+
+
+def test_freq_apply_changes_folds_exactly(spark, item_events):
+    from acoustic_feature_extractor_spark.operators.sketches import (
+        freq_apply_changes,
+        freq_rollup,
+        topk_compress,
+        topk_rollup,
+    )
+
+    base = item_events.where("g != 'x' OR item != 'i00' OR ts >= timestamp'2024-01-01 03:00:00'")
+    old = freq_rollup(base, 3600.0, "g", "item")
+    # change set: delete all of x/i01 in hour 0, insert 5 new rows of a
+    # brand-new item in hour 1 for y, and re-insert 2 rows of x/i00 hour 0
+    deletes = item_events.where(
+        "g = 'x' AND item = 'i01' AND ts < timestamp'2024-01-01 01:00:00'"
+    ).withColumn("_change_type", F.lit("delete"))
+    ins_rows = [
+        ("y", BASE + dt.timedelta(hours=1, seconds=s), "iZZ") for s in range(5)
+    ] + [("x", BASE + dt.timedelta(seconds=s), "i00") for s in range(2)]
+    inserts = spark.createDataFrame(
+        ins_rows, "g string, ts timestamp, item string"
+    ).withColumn("_change_type", F.lit("insert"))
+    changes = deletes.unionByName(inserts)
+    got = freq_apply_changes(old, changes, 3600.0, "g", "item")
+
+    final = base.exceptAll(deletes.drop("_change_type")).unionByName(
+        inserts.drop("_change_type")
+    )
+    exp = freq_rollup(final, 3600.0, "g", "item")
+    a = {(r["g"], r["bucket"], r["item"]): r["cnt"] for r in got.collect()}
+    b = {(r["g"], r["bucket"], r["item"]): r["cnt"] for r in exp.collect()}
+    assert a == b
+    # fully-deleted item vanished
+    assert not any(g == "x" and i == "i01" and bkt.hour == 0 for g, bkt, i in a)
+    # re-published summaries equal the direct rollup of the final state
+    s_inc = topk_compress(got, "g", capacity=16)
+    s_dir = topk_rollup(final, 3600.0, "g", "item", capacity=16)
+    ka = {
+        (r["g"], r["bucket"]): (r["n"], r["err"], tuple((i["item"], i["cnt"]) for i in r["items"]))
+        for r in s_inc.collect()
+    }
+    kb = {
+        (r["g"], r["bucket"]): (r["n"], r["err"], tuple((i["item"], i["cnt"]) for i in r["items"]))
+        for r in s_dir.collect()
+    }
+    assert ka == kb
