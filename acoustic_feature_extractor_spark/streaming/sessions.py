@@ -356,3 +356,85 @@ def streaming_conv_fingerprint(
     )
     fp = F.shiftleft(F.col("_l1") % F.lit(_M1), 31) + (F.col("_l2") % F.lit(_M2))
     return g.select(key, fp.alias("conv_fp"))
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    mu: float,
+    sigma: float,
+    k: float = 0.5,
+    h: float = 5.0,
+    key: str = "conv_id",
+    ts: str = "ts",
+    value_col: str = "value",
+):
+    """Streaming twin of ``operators/temporal.cusum_scores``: two-sided
+    CUSUM drift scores per entity with the (S⁺, S⁻) water marks carried
+    across micro-batches in GroupState — the live alarm the batch
+    operator scores retrospectively.
+
+    The per-batch fold is the same Lindley-recursion closed form the
+    batch operator uses, extended with a carry-in: with local prefix sums
+    ``C_i`` of ``(z - k)`` and carried score ``S0``,
+
+        S_i = max(S0 + C_i, C_i - min_{j<=i} C_j)
+
+    (the first arm is the never-reset path, the second the best reset
+    point; the j = i term supplies the 0 clamp) — two vectorized numpy
+    accumulations per side, no per-row Python. The carry-out is the last
+    S. The standardization baseline (mu, sigma) is the caller's frozen
+    REFERENCE statistic — computed once from the training window (e.g.
+    by ``cusum_scores``' ref aggregate) and shipped as literals, so the
+    stream never aggregates its own baseline (leak-free by construction,
+    and no extra stateful stage).
+
+    Requires per-entity event-time-ordered arrival across batches (rows
+    inside a batch are sorted here; a late row belonging before an
+    already-emitted score would need retraction, which append-mode CUSUM
+    cannot express — gate lateness upstream with a watermarked sort or
+    accept the monitoring-grade approximation)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if sigma <= 0:
+        raise ValueError(f"sigma must be > 0, got {sigma}")
+    out_schema = (
+        f"{key} string, {ts} timestamp, {value_col} double, "
+        "s_pos double, s_neg double, alarm boolean"
+    )
+    state_schema = "sp double, sn double"
+    mu_f, sg_f, k_f, h_f = float(mu), float(sigma), float(k), float(h)
+
+    def _fold(x: "np.ndarray", s0: float) -> "np.ndarray":
+        c = np.cumsum(x)
+        runmin = np.minimum.accumulate(np.minimum(c, 0.0))
+        return np.maximum(s0 + c, c - runmin)
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        sp, sn = (state.get if state.exists else (0.0, 0.0))
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            state.update((sp, sn))
+            yield pd.DataFrame(
+                columns=[key, ts, value_col, "s_pos", "s_neg", "alarm"]
+            )
+            return
+        pdf = pd.concat(frames).sort_values(ts, kind="mergesort")
+        z = (pdf[value_col].to_numpy(dtype=float) - mu_f) / sg_f
+        s_pos = _fold(z - k_f, sp)
+        s_neg = _fold(-z - k_f, sn)
+        out = pdf[[key, ts, value_col]].copy()
+        out["s_pos"] = s_pos
+        out["s_neg"] = s_neg
+        out["alarm"] = (s_pos > h_f) | (s_neg > h_f)
+        state.update((float(s_pos[-1]), float(s_neg[-1])))
+        yield out
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -549,3 +549,70 @@ def test_streaming_conv_fingerprint_matches_batch(spark, transcripts):
     m = got.merge(exp, on="conv_id", suffixes=("_s", "_b"))
     assert len(m) == len(exp)
     assert (m["conv_fp_s"] == m["conv_fp_b"]).all()
+
+
+def test_streaming_cusum_matches_batch(spark):
+    """Streaming CUSUM with GroupState carry across micro-batches equals
+    the batch ``temporal.cusum_scores`` on the same (ordered) input."""
+    import tempfile
+
+    from acoustic_feature_extractor_spark.operators.temporal import cusum_scores
+    from acoustic_feature_extractor_spark.streaming.sessions import streaming_cusum
+
+    rows = spark.range(600).selectExpr(
+        "CAST(id % 3 AS STRING) AS conv_id",
+        "timestamp_micros(CAST(1704067200000000 + id * 1000000 AS BIGINT)) AS ts",
+        # entity 0 drifts upward after the 70th of its 200 events
+        "CAST(pmod(xxhash64(id), 100) AS DOUBLE) / 100.0"
+        " + CASE WHEN id % 3 = 0 AND id >= 210 THEN 2.0 ELSE 0.0 END AS value",
+    ).cache()
+    ref = rows.where("id < 150")  # used only to freeze (mu, sigma)
+    stats = ref.selectExpr("avg(value) mu", "sqrt(var_pop(value)) sg").collect()[0]
+
+    batch = cusum_scores(
+        rows, by="conv_id", order="ts", value_col="value", ref=ref, k=0.5, h=5.0
+    )
+    exp = {
+        (r["conv_id"], r["ts"]): (r["s_pos"], r["s_neg"], r["alarm"])
+        for r in batch.collect()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        # three files in event-time order -> three sequential micro-batches
+        for lo, hi, part in ((0, 200, "a"), (200, 400, "b"), (400, 600, "c")):
+            rows.where(f"id >= {lo} AND id < {hi}").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_cusum(
+                stream, mu=stats["mu"], sigma=stats["sg"], k=0.5, h=5.0
+            )
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("cusum_stream")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["conv_id"], r["ts"]): (r["s_pos"], r["s_neg"], r["alarm"])
+                for r in spark.table("cusum_stream").collect()
+            }
+        finally:
+            q.stop()
+
+    assert len(got) == len(exp) == 600
+    for key in exp:
+        ge, ee = got[key], exp[key]
+        assert abs(ge[0] - ee[0]) < 1e-9 and abs(ge[1] - ee[1]) < 1e-9, key
+        assert ge[2] == ee[2]
+    # the drifted entity actually alarms in the stream
+    assert any(a for (c, _), (_, _, a) in got.items() if c == "0")
+    assert not any(a for (c, _), (_, _, a) in got.items() if c == "1")
