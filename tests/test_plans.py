@@ -404,3 +404,51 @@ def test_degenerate_loops_single_fact_exchange(spark, entry_mod):
     plan = _plan(entry_mod.queries()["degenerate_loops"](spark, SF))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Window" in plan
+
+
+def test_funnel_single_scan_no_join_no_python(spark, entry_mod):
+    """The funnel fold must beat the oracle's k sequential min-joins: ONE
+    scan of the fact (the step-vocab filter rides it), ONE grouping, no
+    join, no Python anywhere."""
+    import re
+
+    plan = _plan(entry_mod.queries()["tool_funnel"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, f"expected 1 scan, saw {scans}\n{plan}"
+    assert "Join" not in plan, plan
+
+
+def test_kanon_single_window_no_join(spark, entry_mod):
+    """k-anonymity is ONE window count over the quasi columns — a group
+    -count join would scan the fact twice."""
+    import re
+
+    plan = _plan(entry_mod.queries()["kanon_suppress"](spark, SF))
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, f"expected 1 scan, saw {scans}\n{plan}"
+    assert "Join" not in plan, plan
+    assert "Window" in plan
+
+
+def test_changepoints_stats_broadcast_single_fact_exchange(spark, entry_mod):
+    """CUSUM: the reference (mu, var) is a 1-row broadcast; the fact
+    shuffles once on the entity for the score windows; zero Python."""
+    import re
+
+    plan = _plan(entry_mod.queries()["changepoints"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    shuffles = len(re.findall(r"\(\d+\) Exchange hashpartitioning", plan))
+    assert shuffles <= 2, f"fact should exchange once (+1 row-stats), saw {shuffles}\n{plan}"
+
+
+def test_weighted_sample_two_phase_no_global_sort(spark, entry_mod):
+    """A-ES sampling inherits the salted two-phase top-k: no global sort
+    of the fact, no Python; the ES key is pure column algebra."""
+    plan = _plan(entry_mod.queries()["weighted_sample"](spark, SF))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # a global Sort over the raw fact would show as a SinglePartition
+    # exchange BEFORE any aggregation/window — the two-phase plan only
+    # funnels already-pruned rows into the final per-group rank
+    assert "rangepartitioning" not in plan.lower(), plan
