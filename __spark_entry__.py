@@ -1747,13 +1747,15 @@ FROM r WHERE rank <= 2
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (``sample.weighted_sample``,
     Efraimidis-Spirakis A-ES): top-20 rows per event_type by
-    ``ln(u)/value`` with ``u`` the portable avalanche hash of
-    ``event_id:seed`` — deterministic, partitioning-invariant, mergeable
-    (so the two-phase salted top-k computes it without a global sort).
-    The oracle replays the exact integer hash and the same key formula."""
-    ev = _t(spark, sf_dir, "events")
+    ``ln(u)/w`` (w = value + 1 — the raw value bottoms out at exactly 0.0
+    at some SFs and A-ES requires w > 0; the +1 shift keeps the weights
+    strictly positive in BOTH engines) with ``u`` the portable avalanche
+    hash of ``event_id:seed`` — deterministic, partitioning-invariant,
+    mergeable (so the two-phase salted top-k computes it without a global
+    sort). The oracle replays the exact integer hash and key formula."""
+    ev = _t(spark, sf_dir, "events").withColumn("w", F.col("value") + F.lit(1.0))
     s = sample_ops.weighted_sample(
-        ev, k=20, weight_col="value", key_col="event_id",
+        ev, k=20, weight_col="w", key_col="event_id",
         group_cols=["event_type"], seed=0,
     )
     return s.select(
@@ -3335,7 +3337,7 @@ WITH h0 AS (
 ),
 es AS (
   SELECT event_type, event_id, value,
-         ln(({_sql_pmix("hv")} + 1) * 1.0 / 2305843009213693951.0) / value AS k
+         ln(({_sql_pmix("hv")} + 1) * 1.0 / 2305843009213693951.0) / (value + 1.0) AS k
   FROM h0
 ),
 r AS (

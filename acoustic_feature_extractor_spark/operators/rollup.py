@@ -217,3 +217,56 @@ def rollup_coarser(
         .withColumnRenamed("_cb", bucket_col)
         .withColumn("avg_v", F.col("sum_v") / F.col("n"))
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    bucket_seconds: float = 7 * 86400.0,
+) -> DataFrame:
+    """Cohort retention triangle: entities cohorted by the bucket of their
+    FIRST event; one row per (cohort, offset) with how many of the cohort
+    were active ``offset`` buckets later —
+    (cohort, offset, n_active, n_cohort, retention).
+
+    Plan shape: the cohort assignment is a window min over the entity
+    (same exchange the activity dedup needs — no self-join, the fact
+    table shuffles ONCE on the entity), activity dedups to one row per
+    (entity, bucket), and the triangle is a groupBy of that already
+    entity×bucket-sized table. Offsets are exact integer bucket ratios.
+    Offset 0 exists for every cohort and has retention 1.0 by
+    construction (the first-event bucket is itself active).
+    """
+    from pyspark.sql import Window
+
+    b = time_bucket(ts, bucket_seconds)
+    e = ntz_epoch_sec(b)
+    w = Window.partitionBy(key)
+    per = (
+        df.select(F.col(key), e.alias("_bsec"))
+        .withColumn("_cohort", F.min("_bsec").over(w))
+        .select(key, "_cohort", "_bsec")
+        .distinct()
+    )
+    tri = per.groupBy(
+        "_cohort",
+        (
+            (F.col("_bsec") - F.col("_cohort")) / F.lit(float(bucket_seconds))
+        ).cast("long").alias("offset"),
+    ).agg(F.count_distinct(F.col(key)).alias("n_active"))
+    sizes = per.groupBy("_cohort").agg(
+        F.count_distinct(F.col(key)).alias("n_cohort")
+    )
+    return (
+        tri.join(sizes, "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort_sec"),
+            "offset",
+            "n_active",
+            "n_cohort",
+            (F.col("n_active").cast("double") / F.col("n_cohort")).alias(
+                "retention"
+            ),
+        )
+    )

@@ -586,3 +586,94 @@ def cusum_scores(
         )
     )
     return out.drop("_mu", "_var", "_sg", "_cp", "_cn")
+
+
+def time_decayed_mean(
+    df: DataFrame,
+    value_col: str,
+    half_life_seconds: float,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "turn_idx",
+    out_col: str | None = None,
+    strict_past: bool = True,
+    chunk_half_lives: int = 32,
+    max_back: int | None = None,
+) -> DataFrame:
+    """Exponentially-weighted mean of the key's past values — the EWMA
+    feature-store staple: ``decayed_sum(v) / decayed_sum(1)``. Both
+    numerator and denominator ride the exact two-phase chunked machinery
+    of :func:`time_decayed_sum` (one extra summary column, no extra fact
+    pass beyond the second fold). NULL when the key has no qualifying
+    past (the strictly-past first row), never a 0/0."""
+    out = out_col or f"{value_col}_ewm"
+    num = f"{out}__num"
+    den = f"{out}__den"
+    d = time_decayed_sum(
+        df, value_col, half_life_seconds, key, ts_col, tiebreak_col,
+        out_col=num, strict_past=strict_past,
+        chunk_half_lives=chunk_half_lives, max_back=max_back,
+    )
+    d = d.withColumn("_one", F.lit(1.0))
+    d = time_decayed_sum(
+        d, "_one", half_life_seconds, key, ts_col, tiebreak_col,
+        out_col=den, strict_past=strict_past,
+        chunk_half_lives=chunk_half_lives, max_back=max_back,
+    )
+    return d.withColumn(
+        out,
+        F.when(F.col(den) > 0, F.col(num) / F.col(den)),
+    ).drop("_one", num, den)
+
+
+def rolling_trend(
+    df: DataFrame,
+    by: str | list[str],
+    order: str,
+    value_col: str,
+    window_rows: int,
+    strict_past: bool = True,
+    out_col: str = "trend",
+) -> DataFrame:
+    """Per-entity least-squares TREND (slope) of ``value_col`` over the
+    trailing ``window_rows`` observations, regressed on the integer
+    ``order`` column (turn index) — "is this conversation's reply length
+    rising?" as a leak-free point-in-time feature.
+
+    Closed form over the frame: ``slope = (n·Σxy − Σx·Σy) /
+    (n·Σx² − (Σx)²)``. Regressing on the INTEGER order key is the
+    numerically-sound choice at scale: Σx and Σx² are exact BIGINT
+    window sums (an epoch-seconds regressor squares to ~10^18 where the
+    cancellation ``nΣx² − (Σx)²`` loses most of its double bits), and
+    the y-side sums stay at data magnitude. One window frame on the
+    entity exchange every other per-turn feature already pays; no join,
+    no Python. NULL until ≥ 2 points or when the regressor is constant.
+
+    ``strict_past`` excludes the current row (frame [-window_rows, -1]) —
+    zero temporal leakage; False gives the centered-ish trailing frame
+    [-window_rows+1, 0] including the row.
+    """
+    if window_rows < 2:
+        raise ValueError(f"window_rows must be >= 2, got {window_rows}")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    if strict_past:
+        frame = (-int(window_rows), -1)
+    else:
+        frame = (-(int(window_rows) - 1), 0)
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(order)
+        .rowsBetween(frame[0], frame[1])
+    )
+    x = F.col(order).cast("long")
+    y = F.col(value_col).cast("double")
+    n = F.count(y).over(w)
+    sx = F.sum(F.when(y.isNotNull(), x)).over(w)  # pair x with non-null y
+    sxx = F.sum(F.when(y.isNotNull(), x * x)).over(w)
+    sy = F.sum(y).over(w)
+    sxy = F.sum(x.cast("double") * y).over(w)
+    denom = (n * sxx - sx * sx).cast("double")
+    slope = (n.cast("double") * sxy - sx.cast("double") * sy) / denom
+    return df.withColumn(
+        out_col, F.when((n >= 2) & (denom > 0), slope)
+    )

@@ -248,3 +248,37 @@ def test_apply_changes_empty_group_vanishes(spark):
     assert got_groups == exp_groups
     old_groups = {(r["user_id"], r["bucket"]) for r in old.select("user_id", "bucket").collect()}
     assert len(old_groups - got_groups) == 1  # exactly the fully-deleted hour
+
+
+def test_cohort_retention_triangle(spark):
+    import datetime as _dt
+
+    from acoustic_feature_extractor_spark.operators.rollup import cohort_retention
+
+    W = _dt.timedelta(days=7)
+    # epoch-week-aligned start (floor(epoch/604800) buckets begin Thursdays;
+    # 2818 * 604800 = 2024-01-02): keeps "day 1/2/3" inside the same bucket
+    t0 = _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=2818 * 604800)
+    rows = [
+        # u1: cohort week0, active weeks 0,1,3 ; u2: week0, active 0 only
+        # u3: cohort week1, active 1,2 ; u4: week1, active 1, 2, 3
+        ("u1", t0), ("u1", t0 + _dt.timedelta(days=1)), ("u1", t0 + W), ("u1", t0 + 3 * W),
+        ("u2", t0 + _dt.timedelta(days=2)),
+        ("u3", t0 + W), ("u3", t0 + 2 * W),
+        ("u4", t0 + W + _dt.timedelta(days=3)), ("u4", t0 + 2 * W), ("u4", t0 + 3 * W),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {
+        (r["cohort_sec"], r["offset"]): (r["n_active"], r["n_cohort"], r["retention"])
+        for r in cohort_retention(df).collect()
+    }
+    cohorts = sorted({c for c, _ in out})
+    assert len(cohorts) == 2
+    c0, c1 = cohorts
+    assert out[(c0, 0)] == (2, 2, 1.0)
+    assert out[(c0, 1)][0] == 1 and abs(out[(c0, 1)][2] - 0.5) < 1e-12
+    assert (c0, 2) not in out  # nobody from week0 active in week2
+    assert out[(c0, 3)][0] == 1
+    assert out[(c1, 0)] == (2, 2, 1.0)
+    assert out[(c1, 1)] == (2, 2, 1.0)
+    assert out[(c1, 2)][0] == 1

@@ -461,3 +461,85 @@ def test_cusum_degenerate_reference_raises(spark):
     ref = df.where("v = 1.0")  # single point: sigma = 0
     with _pytest.raises(Exception, match="degenerate reference sigma"):
         cusum_scores(df, by="g", order="i", value_col="v", ref=ref).collect()
+
+
+# ---------------------------------------------------------------------------
+# rolling trend + EWMA mean
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_trend_matches_polyfit(spark):
+    import numpy as np
+
+    from acoustic_feature_extractor_spark.operators.temporal import rolling_trend
+
+    rng = np.random.RandomState(3)
+    rows = []
+    series = {}
+    for g in ("a", "b"):
+        y = list(np.cumsum(rng.randn(40)) + (np.arange(40) * (0.5 if g == "a" else -0.2)))
+        series[g] = y
+        rows += [(g, i, float(y[i])) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, i int, v double")
+    out = rolling_trend(df, by="g", order="i", value_col="v", window_rows=8)
+    got = {(r["g"], r["i"]): r["trend"] for r in out.collect()}
+    for g in ("a", "b"):
+        y = series[g]
+        for i in range(40):
+            xs = list(range(max(0, i - 8), i))  # strictly past, up to 8 rows
+            if len(xs) < 2:
+                assert got[(g, i)] is None
+                continue
+            slope = np.polyfit(xs, [y[j] for j in xs], 1)[0]
+            assert abs(got[(g, i)] - slope) < 1e-9, (g, i)
+
+
+def test_rolling_trend_inclusive_and_guards(spark):
+    import pytest as _pytest
+
+    from acoustic_feature_extractor_spark.operators.temporal import rolling_trend
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 3.0), ("a", 2, 5.0)], "g string, i int, v double"
+    )
+    out = {
+        r["i"]: r["trend"]
+        for r in rolling_trend(
+            df, by="g", order="i", value_col="v", window_rows=3, strict_past=False
+        ).collect()
+    }
+    assert out[0] is None  # single point
+    assert abs(out[1] - 2.0) < 1e-12
+    assert abs(out[2] - 2.0) < 1e-12
+    with _pytest.raises(ValueError):
+        rolling_trend(df, by="g", order="i", value_col="v", window_rows=1)
+
+
+def test_time_decayed_mean_bruteforce(spark):
+    import datetime as _dt
+    import math
+
+    from acoustic_feature_extractor_spark.operators.temporal import time_decayed_mean
+
+    t0 = _dt.datetime(2024, 1, 1)
+    pts = [(i, float((i * 7) % 13)) for i in range(30)]  # irregular values
+    rows = [("c", i, t0 + _dt.timedelta(seconds=40 * i), v) for i, v in pts]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, ts timestamp, v double")
+    out = {
+        r["turn_idx"]: r["v_ewm"]
+        for r in time_decayed_mean(df, "v", half_life_seconds=120.0).collect()
+    }
+    for i, _ in pts:
+        num = den = 0.0
+        for j, vj in pts[:i]:
+            wgt = 2.0 ** (-(40 * (i - j)) / 120.0)
+            num += vj * wgt
+            den += wgt
+        if i == 0:
+            assert out[i] is None
+        else:
+            assert abs(out[i] - num / den) < 1e-9, i
+    # constant series: EWMA is the constant wherever defined
+    dfc = df.withColumn("v", F.lit(5.0))
+    outc = {r["turn_idx"]: r["v_ewm"] for r in time_decayed_mean(dfc, "v", 120.0).collect()}
+    assert all(abs(v - 5.0) < 1e-12 for i, v in outc.items() if v is not None)
