@@ -1688,6 +1688,126 @@ _SQL_SKETCH_DISTINCT = _sql_sketch(3600)
 _SQL_SKETCH_CASCADE = _sql_sketch(86400)
 
 
+def q_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares TREND of the value series over the trailing
+    8 events, strictly past (``temporal.rolling_trend``): closed-form
+    slope from five window sums on ONE entity exchange. Regressing on the
+    integer event index keeps Σx/Σx² exact BIGINTs — an epoch-seconds
+    regressor would burn the cancellation ``nΣx² − (Σx)²`` down to noise.
+    NULL until 2 past points; the oracle replays the same closed form."""
+    ev = _indexed_events(spark, sf_dir)
+    r = temporal_ops.rolling_trend(
+        ev, by="user_id", order="idx", value_col="value",
+        window_rows=8, strict_past=True,
+    )
+    return r.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("idx").cast("long").alias("idx"),
+        F.round("trend", 6).alias("trend"),
+    )
+
+
+_SQL_ROLLING_TREND = f"""
+WITH t AS ({_IDX_SQL}),
+w AS (
+  SELECT user_id, event_id, idx,
+         count(value)                OVER fr AS n,
+         sum(CASE WHEN value IS NOT NULL THEN idx END)       OVER fr AS sx,
+         sum(CASE WHEN value IS NOT NULL THEN idx * idx END) OVER fr AS sxx,
+         sum(value)                  OVER fr AS sy,
+         sum(idx * value)            OVER fr AS sxy
+  FROM t
+  WINDOW fr AS (PARTITION BY user_id ORDER BY idx
+                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+       CAST(idx AS BIGINT) AS idx,
+       CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+            THEN round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       END AS trend
+FROM w
+"""
+
+
+def q_ewma_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (6h half-life, strictly past) of each user's value series
+    (``temporal.time_decayed_mean``): decayed sum over decayed count, both
+    through the exact two-phase chunked plan; the oracle recomputes every
+    row's weighted mean by brute-force self-join — chunking proven exact.
+    First row per user is NULL (no past), never 0/0."""
+    d = _t(spark, sf_dir, "events")
+    r = temporal_ops.time_decayed_mean(
+        d, "value", half_life_seconds=21600.0, key="user_id",
+        ts_col="ts", tiebreak_col="event_id", out_col="ewm_6h",
+        strict_past=True, chunk_half_lives=8,
+    )
+    return r.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round("ewm_6h", 6).alias("ewm_6h"),
+    )
+
+
+_SQL_EWMA_MEAN = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts)/1000000.0 AS t, value FROM events
+)
+SELECT CAST(a.user_id AS BIGINT) AS user_id, CAST(a.event_id AS BIGINT) AS event_id,
+       round(sum(b.value * power(2.0, -(a.t - b.t)/21600.0))
+             / sum(power(2.0, -(a.t - b.t)/21600.0)), 6) AS ewm_6h
+FROM e a
+LEFT JOIN e b
+  ON a.user_id = b.user_id
+ AND (b.t < a.t OR (b.t = a.t AND b.event_id < a.event_id))
+GROUP BY a.user_id, a.event_id
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (``rollup.cohort_retention``):
+    users cohorted by the epoch-week of their first event; one row per
+    (cohort, offset) with the share still active. The cohort assignment
+    is a window min on the SAME entity exchange the activity dedup needs
+    — the fact table shuffles once, no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    r = rollup_ops.cohort_retention(
+        ev, key="user_id", ts="ts", bucket_seconds=7 * 86400.0
+    )
+    return r.select(
+        F.col("cohort_sec").cast("double").alias("cohort_sec"),
+        F.col("offset").cast("long").alias("offset"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_cohort").cast("long").alias("n_cohort"),
+        F.round("retention", 6).alias("retention"),
+    )
+
+
+_SQL_COHORT_RETENTION = """
+WITH b AS (
+  SELECT user_id,
+         floor(epoch_us(ts) / 1000000.0 / 604800) * 604800 AS bsec
+  FROM events
+),
+per AS (
+  SELECT DISTINCT user_id,
+         min(bsec) OVER (PARTITION BY user_id) AS cohort, bsec
+  FROM b
+),
+tri AS (
+  SELECT cohort, CAST((bsec - cohort) / 604800 AS BIGINT) AS "offset",
+         count(DISTINCT user_id) AS n_active
+  FROM per GROUP BY 1, 2
+),
+sz AS (SELECT cohort, count(DISTINCT user_id) AS n_cohort FROM per GROUP BY 1)
+SELECT CAST(t.cohort AS DOUBLE) AS cohort_sec, t."offset" AS "offset",
+       CAST(t.n_active AS BIGINT) AS n_active,
+       CAST(s.n_cohort AS BIGINT) AS n_cohort,
+       round(t.n_active * 1.0 / s.n_cohort, 6) AS retention
+FROM tri t JOIN sz s ON t.cohort = s.cohort
+"""
+
+
 def q_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental top-k maintenance (``sketches.freq_apply_changes`` +
     ``topk_compress``): the exact per-item frequency base of snapshot v1
@@ -4839,6 +4959,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_incremental": q_drift_incremental,
         "weighted_sample": q_weighted_sample,
         "topk_incremental": q_topk_incremental,
+        "rolling_trend": q_rolling_trend,
+        "ewma_mean": q_ewma_mean,
+        "cohort_retention": q_cohort_retention,
         "kanon_suppress": q_kanon_suppress,
         "vocab_oov": q_vocab_oov,
         "tool_funnel": q_tool_funnel,
@@ -4930,6 +5053,9 @@ def oracle_sql() -> dict[str, str]:
         "drift_incremental": _SQL_DRIFT_INCREMENTAL,
         "weighted_sample": _SQL_WEIGHTED_SAMPLE,
         "topk_incremental": _SQL_TOPK_INCREMENTAL,
+        "rolling_trend": _SQL_ROLLING_TREND,
+        "ewma_mean": _SQL_EWMA_MEAN,
+        "cohort_retention": _SQL_COHORT_RETENTION,
         "kanon_suppress": _SQL_KANON_SUPPRESS,
         "vocab_oov": _SQL_VOCAB_OOV,
         "tool_funnel": _SQL_TOOL_FUNNEL,

@@ -330,8 +330,11 @@ def _mg_compress(per_item: DataFrame, keys: list[str], capacity: int) -> DataFra
         ),
         F.array_sort(
             F.collect_list(
+                # cnt-null rows are the empty-group carriers from
+                # topk_coarser's left join — they contribute (n, err)
+                # through the aggregates above but no counter
                 F.when(
-                    F.col("_rn") <= capacity,
+                    (F.col("_rn") <= capacity) & F.col("cnt").isNotNull(),
                     F.struct(
                         (-F.col("cnt")).alias("_negcnt"),
                         F.col("item").alias("item"),
@@ -435,11 +438,17 @@ def topk_coarser(
     group_tot = coarse.groupBy(*ckeys).agg(
         F.sum("err").alias("err_in"), F.sum("n").alias("n")
     )
-    per_item = (
+    # LEFT from the totals: a child whose compress evicted EVERYTHING
+    # (all-equal counters) has an empty items array — the explode yields
+    # no rows for it, but its (n, err) mass must still reach the coarse
+    # summary (absent items are bounded by err; dropping the group would
+    # silently lose both the bound and the row count)
+    per_item = group_tot.join(
         coarse.select(*ckeys, F.explode("items").alias("_s"))
         .groupBy(*ckeys, F.col("_s.item").alias("item"))
-        .agg(F.sum("_s.cnt").alias("cnt"))
-        .join(group_tot, ckeys)
+        .agg(F.sum("_s.cnt").alias("cnt")),
+        ckeys,
+        "left",
     )
     out = _mg_compress(per_item, ckeys, int(capacity))
     return out.withColumnRenamed("_cb", bucket_col)

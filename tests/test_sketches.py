@@ -480,3 +480,47 @@ def test_freq_apply_changes_folds_exactly(spark, item_events):
         for r in s_dir.collect()
     }
     assert ka == kb
+
+
+def test_topk_coarser_carries_empty_child_summaries(spark):
+    """A child summary whose compress evicted EVERYTHING (all-equal
+    counters -> empty items, err > 0) must still contribute its (n, err)
+    mass to the coarse group — dropping it would fake a tighter bound."""
+    from pyspark.sql import types as T
+
+    from acoustic_feature_extractor_spark.operators.sketches import topk_coarser
+
+    schema = T.StructType(
+        [
+            T.StructField("g", T.StringType()),
+            T.StructField("bucket", T.TimestampNTZType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("err", T.LongType()),
+            T.StructField(
+                "items",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("item", T.StringType()),
+                            T.StructField("cnt", T.LongType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    fine = spark.createDataFrame(
+        [
+            ("g", BASE, 10, 0, [("a", 7), ("b", 3)]),
+            # all-equal child: every counter was evicted at compress
+            ("g", BASE + dt.timedelta(hours=1), 3, 3, []),
+        ],
+        schema,
+    )
+    day = topk_coarser(fine, 86400.0, "g", capacity=4, fine_seconds=3600.0)
+    rows = day.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n"] == 13  # the empty child's rows still count
+    assert r["err"] == 3  # and its error mass still bounds absent items
+    assert {(i["item"], i["cnt"]) for i in r["items"]} == {("a", 7), ("b", 3)}
