@@ -19,12 +19,21 @@ job is the INCREMENTAL twin a 10^12-turn deployment actually runs hourly:
    increments normalize against the same corpus numbers, keeping every
    already-served feature stable (training/serving consistency). Re-fit
    by truncating the features table and rerunning.
+5. Every increment SELF-MONITORS drift: the first run also pins a
+   fixed-range histogram sketch of the normalized signal (text_len) in
+   lineage, and each later increment scores the DELTA's distribution
+   against it with ``sketches.psi_from_hists`` — one extra aggregate
+   over data the job already reads, no second fact pass. The PSI lands
+   in the JSON line and in the commit lineage; ``--max-psi`` turns it
+   into a gate (a drifted drop fails the job instead of silently
+   poisoning the features table with stale normalization).
 
 Cost per increment ≈ O(touched conversations), not O(corpus): an hourly
 drop touching 0.1% of conversations reads and writes 0.1% of the bytes.
 
 Emits one JSON line: rows upserted, touched conversations, processed
-source snapshot, and whether the run was a no-op.
+source snapshot, drift PSI vs the pinned window, and whether the run
+was a no-op.
 """
 
 from __future__ import annotations
@@ -47,6 +56,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--gap-seconds", type=float, default=None)
     ap.add_argument("--rolling", type=int, default=5)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--max-psi",
+        type=float,
+        default=None,
+        help="fail the run when the delta's PSI vs the pinned training "
+        "window exceeds this (0.25 = the classic 'drifted' bar); default "
+        "monitor-only",
+    )
     args = ap.parse_args(argv)
 
     from acoustic_feature_extractor_spark.datagen import SESSION_GAP_SECONDS
@@ -101,19 +118,75 @@ def main(argv: list[str] | None = None) -> int:
     full = snap.read(spark, args.source)
     hist = full.join(touched, "conv_id", "left_semi")
 
+    # fixed-range drift-sketch domain for text_len (chars): pinned once,
+    # every later increment bins identically (same at-rest contract as
+    # sketches.hist_rollup)
+    _H_LO, _H_HI, _H_BINS = 0.0, 1024.0, 16
+
+    def _text_len_hist(df) -> list[int]:
+        w_bin = (_H_HI - _H_LO) / _H_BINS
+        b = F.least(
+            F.greatest(
+                F.floor((F.length("text").cast("double") - F.lit(_H_LO)) / F.lit(w_bin)),
+                F.lit(0),
+            ),
+            F.lit(_H_BINS - 1),
+        )
+        got = {
+            r["_b"]: r["_c"]
+            for r in df.groupBy(b.alias("_b")).agg(F.count(F.lit(1)).alias("_c")).collect()
+        }
+        return [int(got.get(i, 0)) for i in range(_H_BINS)]
+
+    drift_psi = None
     if feat_hist:
         stats = feat_hist[0].lineage["stats"]
+        ref_hist = feat_hist[0].lineage.get("text_len_hist")
+        if ref_hist:
+            # PSI of the DELTA (the new drop, already in memory) vs the
+            # pinned training window — sketches.psi_from_hists on two
+            # 1-row frames; bins-sized collect
+            from acoustic_feature_extractor_spark.operators.sketches import (
+                psi_from_hists,
+            )
+
+            cur_hist = _text_len_hist(delta)
+            rdf = spark.createDataFrame([("all", ref_hist)], "g string, hist array<bigint>")
+            cdf = spark.createDataFrame([("all", cur_hist)], "g string, hist array<bigint>")
+            terms = psi_from_hists(rdf, cdf, by="g", bins=_H_BINS).collect()
+            drift_psi = float(sum(r["psi_term"] for r in terms))
+            if args.max_psi is not None and drift_psi > args.max_psi:
+                print(
+                    json.dumps(
+                        {
+                            "noop": False,
+                            "failed": "drift_gate",
+                            "drift_psi": round(drift_psi, 6),
+                            "max_psi": args.max_psi,
+                            "source_snapshot": head.snapshot_id,
+                        }
+                    )
+                )
+                return 2
     else:
         row = corpus_stats(
             full.withColumn("text_len", F.length("text").cast("double")),
             "text_len",
         ).first()
         stats = {"mean": float(row["mean"]), "stddev": float(row["stddev"])}
+        ref_hist = _text_len_hist(full)
 
     feats = turn_features(
         hist, gap_seconds=gap, rolling=args.rolling, frozen_stats=stats
     )
-    lineage = {"source_snapshot": head.snapshot_id, "stats": stats, "job": "incremental_features"}
+    lineage = {
+        "source_snapshot": head.snapshot_id,
+        "stats": stats,
+        "text_len_hist": ref_hist,
+        "job": "incremental_features",
+    }
+    if drift_psi is not None:
+        lineage["drift_psi"] = round(drift_psi, 6)
     if not feat_hist:
         out = snap.commit(feats, args.features, lineage=lineage)
         rewritten: list[str] = []
@@ -136,6 +209,7 @@ def main(argv: list[str] | None = None) -> int:
                 "rows_written": out.rows,
                 "touched_convs": n_touched,
                 "rewritten_dirs": rewritten,
+                "drift_psi": None if drift_psi is None else round(drift_psi, 6),
                 "wall_s": round(time.perf_counter() - t0, 3),
             }
         )

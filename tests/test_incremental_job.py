@@ -115,3 +115,56 @@ def test_incremental_equals_full_with_pinned_stats(tmp_path, spark, transcripts)
     m3 = _run(["--source", src, "--features", feat])
     assert m3["noop"]
     assert snap.current_snapshot_id(feat) == before
+
+
+def _run_rc(args: list[str]) -> tuple[int, dict]:
+    out = subprocess.run(
+        [sys.executable, JOB, *args],
+        capture_output=True,
+        text=True,
+        check=False,
+        cwd=REPO,
+        env=dict(os.environ, SPARK_GRAFT_CPUS="4"),
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return out.returncode, json.loads(line)
+
+
+@pytest.mark.slow
+def test_incremental_drift_gate(tmp_path, spark, transcripts):
+    """Every increment scores its delta's text_len distribution against
+    the histogram pinned at the first run: a same-distribution wave
+    reports a small PSI; a drastically shifted wave trips --max-psi (rc 2,
+    nothing committed) and still lands in monitor-only mode with the PSI
+    recorded in lineage."""
+    src = str(tmp_path / "src")
+    feat = str(tmp_path / "feat")
+    t = transcripts
+    wave1 = t.where(F.col("conv_id") < "conv000030")
+    wave2 = t.where(
+        (F.col("conv_id") >= "conv000030") & (F.col("conv_id") < "conv000040")
+    )
+    wave3 = t.where(F.col("conv_id") >= "conv000040").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" x" * 400))  # massive shift
+    )
+
+    snap.commit(wave1, src)
+    m1 = _run(["--source", src, "--features", feat])
+    assert m1["drift_psi"] is None  # first run PINS the window
+    assert snap.history(feat)[0].lineage["text_len_hist"]
+
+    snap.commit(wave2, src)
+    rc2, m2 = _run_rc(["--source", src, "--features", feat, "--max-psi", "0.25"])
+    assert rc2 == 0 and m2["drift_psi"] is not None
+    assert m2["drift_psi"] < 0.25  # same generator, same distribution
+
+    snap.commit(wave3, src)
+    before = snap.current_snapshot_id(feat)
+    rc3, m3 = _run_rc(["--source", src, "--features", feat, "--max-psi", "0.25"])
+    assert rc3 == 2 and m3["failed"] == "drift_gate"
+    assert m3["drift_psi"] > 0.25
+    assert snap.current_snapshot_id(feat) == before  # gate blocked the commit
+
+    rc4, m4 = _run_rc(["--source", src, "--features", feat])  # monitor-only
+    assert rc4 == 0 and m4["drift_psi"] > 0.25
+    assert snap.history(feat)[-1].lineage["drift_psi"] == round(m4["drift_psi"], 6)
