@@ -34,9 +34,34 @@ def time_bucket(ts: Column | str, bucket_seconds: float) -> Column:
     (NTZ) arithmetic end to end: the old ``cast("timestamp")`` round-trip
     interpreted the wall time in the driver's session timezone, shifting
     every exported bucket boundary under a non-UTC session (caught by the
-    r4 non-UTC oracle replay gate)."""
-    secs = F.lit(float(bucket_seconds))
-    e = ntz_epoch_sec(ts)
+    r4 non-UTC oracle replay gate).
+
+    Epoch-aligned calendar widths (minute / hour / day — the widths the
+    coarsening cascades actually use) take a short fast path built from
+    pure field ops: ``cast(date)`` (wall-field extraction, never the
+    session tz) plus HOUR/MINUTE extracted from the NTZ−NTZ time-of-day
+    interval. Measured bit-identical to the general path (incl. DST-gap
+    wall times, pre-1970, fractional seconds; tests pin it) while
+    collapsing the ~12-node epoch decomposition each call inlines — the
+    general path nested twice (fine bucket → coarser re-bucket) pushed a
+    monster ``isnotnull`` filter into every fact-side scan and measured
+    1.7× slower on the sketch cascade. ``date_trunc`` is NOT usable here:
+    it returns session-tz TIMESTAMP (coerces NTZ through the session
+    zone), and so does ``hour()``/``minute()`` on NTZ input (measured: a
+    DST-gap wall time under America/New_York shifts +1h through both).
+    WEEK has no fast path — epoch (Thursday) ≠ ISO Monday truncation."""
+    c = (F.col(ts) if isinstance(ts, str) else ts).cast("timestamp_ntz")
+    w = float(bucket_seconds)
+    if w in (60.0, 3600.0, 86400.0):
+        day = c.cast("date").cast("timestamp_ntz")
+        if w == 86400.0:
+            return day
+        tod = c - day  # pure DAY-TO-SECOND interval: wall micros only
+        hh = F.date_part(F.lit("HOUR"), tod)
+        mm = F.date_part(F.lit("MINUTE"), tod) if w == 60.0 else F.lit(0)
+        return day + F.make_dt_interval(F.lit(0), hh, mm, F.lit(0))
+    secs = F.lit(w)
+    e = ntz_epoch_sec(c)
     return sec_to_ntz(F.floor(e / secs) * secs)
 
 

@@ -342,3 +342,48 @@ def test_ntz_epoch_us_exact_edge_values(spark):
             dt.datetime.fromisoformat(s) - dt.datetime(1970, 1, 1)
         ) // dt.timedelta(microseconds=1)
         assert got[s] == exact, (s, got[s], exact)
+
+
+def test_time_bucket_fast_paths_match_general(spark):
+    """The minute/hour/day calendar fast paths in ``time_bucket`` are
+    bit-identical to the general floor(epoch/w)*w path — under every TZS
+    session tz, on DST-gap wall times, pre-1970 values, and fractional
+    seconds — and stay TIMESTAMP_NTZ. (``date_trunc`` and ``hour()`` on
+    NTZ coerce through the session tz — measured: a DST-gap wall time
+    shifts +1h — which is why the fast path is built from ``cast(date)``
+    + interval field extraction instead.)"""
+    from acoustic_feature_extractor_spark.functions.scalars import (
+        ntz_epoch_sec,
+        sec_to_ntz,
+    )
+    from acoustic_feature_extractor_spark.operators.rollup import time_bucket
+
+    rows = _TS + [
+        "1969-12-31 23:59:59.5",
+        "1905-06-07 08:09:10.111213",
+        "2024-11-03 01:30:00.000001",
+        "2024-01-05 13:21:45.999999",
+    ]
+    d = spark.createDataFrame([(r,) for r in rows], "s string").select(
+        F.col("s").cast("timestamp_ntz").alias("ts")
+    )
+
+    def build(width):
+        gen = sec_to_ntz(
+            F.floor(ntz_epoch_sec("ts") / F.lit(width)) * F.lit(width)
+        )
+        return d.select(
+            "ts", time_bucket("ts", width).alias("fast"), gen.alias("gen")
+        )
+
+    for width in (60.0, 3600.0, 86400.0):
+        df = build(width)
+        assert (
+            df.schema["fast"].dataType.simpleString() == "timestamp_ntz"
+        ), f"width {width}: fast path changed dtype"
+        for res in _under_tzs(spark, lambda: build(width)):
+            # _canon sorts columns alphabetically: fast, gen, ts
+            for fast, gen, ts in res:
+                assert fast == gen, (
+                    f"width {width}: fast {fast} != general {gen} at {ts}"
+                )
