@@ -1808,6 +1808,53 @@ FROM tri t JOIN sz s ON t.cohort = s.cohort
 """
 
 
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free seasonal profile (``temporal.seasonal_baseline``): each
+    event's deviation from this user's trailing mean at the SAME
+    hour-of-day — strictly past, expanding. ONE window on a
+    (user, hour-slot) exchange: a FINER key than the per-user exchange,
+    so mega-entity skew is 24× milder here than in any per-entity
+    window. The slot is pure wall-clock arithmetic (hour() on NTZ
+    coerces through the session tz — see seasonal_slot)."""
+    ev = _t(spark, sf_dir, "events")
+    r = temporal_ops.seasonal_baseline(
+        ev, by="user_id", ts_col="ts", value_col="value",
+        slot_seconds=3600.0, period_seconds=86400.0,
+        tiebreak_col="event_id", strict_past=True,
+    )
+    return r.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("slot").cast("long").alias("slot"),
+        F.col("n_slot_past").cast("long").alias("n_slot_past"),
+        F.round("seasonal_mean", 6).alias("seasonal_mean"),
+        F.round(F.col("value") - F.col("seasonal_mean"), 6).alias("resid"),
+    )
+
+
+_SQL_SEASONAL_BASELINE = """
+WITH s AS (
+  SELECT user_id, event_id, value,
+         CAST(floor((epoch_us(ts) % 86400000000) / 3600000000.0) AS BIGINT) AS slot,
+         epoch_us(ts) AS eus
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, slot, value,
+         count(value) OVER fr AS n_slot_past,
+         sum(value)   OVER fr AS s_past
+  FROM s
+  WINDOW fr AS (PARTITION BY user_id, slot ORDER BY eus, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+       slot, CAST(n_slot_past AS BIGINT) AS n_slot_past,
+       CASE WHEN n_slot_past > 0 THEN round(s_past / n_slot_past, 6) END AS seasonal_mean,
+       CASE WHEN n_slot_past > 0 THEN round(value - s_past / n_slot_past, 6) END AS resid
+FROM w
+"""
+
+
 def q_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental top-k maintenance (``sketches.freq_apply_changes`` +
     ``topk_compress``): the exact per-item frequency base of snapshot v1
@@ -4962,6 +5009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_trend": q_rolling_trend,
         "ewma_mean": q_ewma_mean,
         "cohort_retention": q_cohort_retention,
+        "seasonal_baseline": q_seasonal_baseline,
         "kanon_suppress": q_kanon_suppress,
         "vocab_oov": q_vocab_oov,
         "tool_funnel": q_tool_funnel,
@@ -5056,6 +5104,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_trend": _SQL_ROLLING_TREND,
         "ewma_mean": _SQL_EWMA_MEAN,
         "cohort_retention": _SQL_COHORT_RETENTION,
+        "seasonal_baseline": _SQL_SEASONAL_BASELINE,
         "kanon_suppress": _SQL_KANON_SUPPRESS,
         "vocab_oov": _SQL_VOCAB_OOV,
         "tool_funnel": _SQL_TOOL_FUNNEL,

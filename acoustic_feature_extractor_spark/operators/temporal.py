@@ -677,3 +677,96 @@ def rolling_trend(
     return df.withColumn(
         out_col, F.when((n >= 2) & (denom > 0), slope)
     )
+
+
+def seasonal_slot(
+    ts_col: str = "ts",
+    slot_seconds: float = 3600.0,
+    period_seconds: float = 86400.0,
+) -> Column:
+    """Seasonal slot index of a wall-clock timestamp: which of the
+    ``period/slot`` phase positions the row falls in (hour-of-day with
+    the defaults; day-of-week with slot=86400, period=604800 — note the
+    epoch anchor makes slot 0 a Thursday). Pure wall-clock arithmetic —
+    ``hour()`` on NTZ coerces through the session timezone and is NOT
+    usable (see rollup.time_bucket); the hour-of-day case takes the same
+    interval-extraction fast path, the general case is
+    ``pmod(epoch, period) / slot`` on exact integer micros."""
+    slot_us = int(round(float(slot_seconds) * US))
+    period_us = int(round(float(period_seconds) * US))
+    if slot_us <= 0 or period_us <= 0:
+        raise ValueError("slot/period must be positive")
+    if period_us % slot_us:
+        raise ValueError(
+            f"period {period_seconds}s is not a multiple of slot "
+            f"{slot_seconds}s — slots would straddle the period boundary"
+        )
+    c = F.col(ts_col).cast("timestamp_ntz")
+    if slot_us == 3600 * US and period_us == 86400 * US:
+        # hour-of-day: one pure interval field extraction
+        tod = c - c.cast("date").cast("timestamp_ntz")
+        return F.date_part(F.lit("HOUR"), tod).cast("int")
+    e = ntz_epoch_us(c)
+    return (F.pmod(e, F.lit(period_us)) / F.lit(slot_us)).cast("int")
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    by: str | list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    slot_seconds: float = 3600.0,
+    period_seconds: float = 86400.0,
+    tiebreak_col: str | None = None,
+    window_occurrences: int | None = None,
+    strict_past: bool = True,
+    slot_col: str = "slot",
+    out_col: str = "seasonal_mean",
+    count_col: str = "n_slot_past",
+) -> DataFrame:
+    """Leak-free SEASONAL baseline: the trailing mean of ``value_col``
+    over this entity's PAST observations in the SAME phase slot
+    (hour-of-day by default) — "how long does this user's reply usually
+    take at this hour?" as a point-in-time feature. The classic
+    seasonality profile (recasting the reference's per-file statistics
+    normalization — statistics.py accumulates a per-unit profile, here
+    the unit is the recurring time slot).
+
+    Plan shape: ONE window over (entity, slot) ordered by (ts, tiebreak)
+    — the slot is a pure projection, so the only exchange is the
+    (entity, slot) hash partition; no join, no Python, and the frame
+    carries two running sums (O(1) state per row). At 10^12 rows the
+    (entity, slot) key splits each entity across ``period/slot``
+    partitionable sub-keys — FINER than the per-entity exchange, so
+    mega-entity skew is period/slot-times milder here than in any
+    per-entity window.
+
+    ``strict_past`` excludes the current row (zero temporal leakage,
+    the default); ``window_occurrences`` bounds the frame to the last k
+    same-slot observations instead of the full expanding history.
+    Emits the slot, the count of past same-slot observations, and their
+    mean (NULL when no past — never 0/0).
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    upper = -1 if strict_past else 0
+    lower = (
+        Window.unboundedPreceding
+        if window_occurrences is None
+        else -(int(window_occurrences) - (0 if strict_past else 1))
+    )
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    slot = seasonal_slot(ts_col, slot_seconds, period_seconds)
+    w = (
+        Window.partitionBy(*by_cols, slot_col)
+        .orderBy(*order)
+        .rowsBetween(lower, upper)
+    )
+    y = F.col(value_col).cast("double")
+    n = F.count(y).over(w)
+    return (
+        df.withColumn(slot_col, slot)
+        .withColumn(count_col, n)
+        .withColumn(out_col, F.when(n > 0, F.sum(y).over(w) / n))
+    )

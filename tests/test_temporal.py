@@ -543,3 +543,135 @@ def test_time_decayed_mean_bruteforce(spark):
     dfc = df.withColumn("v", F.lit(5.0))
     outc = {r["turn_idx"]: r["v_ewm"] for r in time_decayed_mean(dfc, "v", 120.0).collect()}
     assert all(abs(v - 5.0) < 1e-12 for i, v in outc.items() if v is not None)
+
+
+def _seasonal_brute(rows, slot_of, k=None):
+    """O(n^2) oracle: strict-past same-slot mean per row."""
+    out = {}
+    for g, ts, eid, v in rows:
+        past = sorted(
+            [
+                (ts2, e2, v2)
+                for g2, ts2, e2, v2 in rows
+                if g2 == g
+                and slot_of(ts2) == slot_of(ts)
+                and (ts2, e2) < (ts, eid)
+            ]
+        )
+        if k is not None:
+            past = past[-k:]
+        vals = [v2 for _, _, v2 in past if v2 is not None]
+        out[(g, eid)] = (
+            len(vals),
+            (sum(vals) / len(vals)) if vals else None,
+        )
+    return out
+
+
+def test_seasonal_baseline_matches_bruteforce(spark):
+    import datetime as dt
+
+    from acoustic_feature_extractor_spark.operators.temporal import (
+        seasonal_baseline,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for g in ("a", "b"):
+        for d in range(5):
+            for h in (1, 9, 9, 17):  # duplicate hour → same-slot ties
+                rows.append(
+                    (
+                        g,
+                        base + dt.timedelta(days=d, hours=h, minutes=eid % 7),
+                        eid,
+                        float((eid * 13) % 29),
+                    )
+                )
+                eid += 1
+    df = spark.createDataFrame(rows, "g string, ts timestamp_ntz, eid int, v double")
+    for k in (None, 3):
+        out = seasonal_baseline(
+            df, by="g", ts_col="ts", value_col="v",
+            tiebreak_col="eid", window_occurrences=k,
+        )
+        got = {
+            (r["g"], r["eid"]): (r["n_slot_past"], r["seasonal_mean"])
+            for r in out.collect()
+        }
+        want = _seasonal_brute(rows, lambda t: t.hour, k=k)
+        for key, (n, mean) in want.items():
+            gn, gm = got[key]
+            assert gn == n, (key, k)
+            if mean is None:
+                assert gm is None, (key, k)
+            else:
+                assert abs(gm - mean) < 1e-9, (key, k)
+
+
+def test_seasonal_baseline_leak_free(spark):
+    """Perturbing a FUTURE row's value leaves every earlier feature
+    unchanged (zero temporal leakage)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from acoustic_feature_extractor_spark.operators.temporal import (
+        seasonal_baseline,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        ("a", base + dt.timedelta(days=d), d, float(d)) for d in range(6)
+    ]  # same hour slot each day
+    df = spark.createDataFrame(rows, "g string, ts timestamp_ntz, eid int, v double")
+    poisoned = df.withColumn(
+        "v", F.when(F.col("eid") == 5, F.lit(1e9)).otherwise(F.col("v"))
+    )
+    a = {
+        r["eid"]: (r["n_slot_past"], r["seasonal_mean"])
+        for r in seasonal_baseline(
+            df, by="g", ts_col="ts", value_col="v", tiebreak_col="eid"
+        ).collect()
+    }
+    b = {
+        r["eid"]: (r["n_slot_past"], r["seasonal_mean"])
+        for r in seasonal_baseline(
+            poisoned, by="g", ts_col="ts", value_col="v", tiebreak_col="eid"
+        ).collect()
+    }
+    for eid in range(5):  # every row except the poisoned last one
+        assert a[eid] == b[eid], eid
+
+
+def test_seasonal_slot_fast_path_matches_general_and_guards(spark):
+    """The hour-of-day fast path equals the general pmod formulation on
+    DST-gap / pre-1970 / fractional wall times, and slot widths that
+    straddle the period raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from acoustic_feature_extractor_spark.functions.scalars import ntz_epoch_us
+    from acoustic_feature_extractor_spark.operators.temporal import seasonal_slot
+
+    rows = [
+        "2024-03-10 02:05:00.123456",
+        "1969-12-31 23:59:59.5",
+        "2024-11-03 01:30:00",
+        "2024-01-05 13:21:45.999999",
+        "1970-01-01 00:00:00",
+    ]
+    d = spark.createDataFrame([(r,) for r in rows], "s string").select(
+        F.col("s").cast("timestamp_ntz").alias("ts")
+    )
+    US = 1_000_000
+    general = (
+        F.pmod(ntz_epoch_us(F.col("ts")), F.lit(86400 * US)) / F.lit(3600 * US)
+    ).cast("int")
+    bad = d.select(
+        seasonal_slot("ts").alias("fast"), general.alias("gen")
+    ).where("fast IS DISTINCT FROM gen")
+    assert bad.count() == 0
+    with _pytest.raises(ValueError):
+        seasonal_slot("ts", slot_seconds=7000.0, period_seconds=86400.0)

@@ -134,6 +134,16 @@ def _under_tzs(spark, build):
             lambda s: time_decayed_sum(_left(s), "v", 1800.0),
         ),
         (
+            "seasonal_baseline",
+            lambda s: __import__(
+                "acoustic_feature_extractor_spark.operators.temporal",
+                fromlist=["seasonal_baseline"],
+            ).seasonal_baseline(
+                _left(s), by="conv_id", ts_col="ts", value_col="v",
+                tiebreak_col="turn_idx",
+            ),
+        ),
+        (
             "temporal_split_str",
             lambda s: temporal_split(
                 _left(s), "2024-03-10 02:30:00", embargo_seconds=1800.0
