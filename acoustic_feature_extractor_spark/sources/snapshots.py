@@ -881,18 +881,32 @@ def _merge_upsert_locked(
         null_pred = key_cols and F.lit(False)
         for k in key_cols:
             null_pred = null_pred | F.col(k).isNull()
-        if updates.where(null_pred).limit(1).count():
-            raise ValueError("updates carry NULL key values — upsert cannot match them")
         if assert_unique_keys:
-            dup = (
+            # FUSED validation: the NULL-key and duplicate-key checks share
+            # one groupBy job (group keys surface the key columns, so the
+            # null predicate evaluates on the grouped output) instead of
+            # two sequential jobs per merge — merges are the inner loop of
+            # every incremental-maintenance path.
+            row = (
                 updates.groupBy(*key_cols)
-                .count()
-                .where(F.col("count") > 1)
-                .limit(1)
-                .count()
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .agg(
+                    F.max(
+                        F.when(null_pred, F.lit(1)).otherwise(F.lit(0))
+                    ).alias("_has_null"),
+                    F.max("_c").alias("_max_c"),
+                )
+                .collect()[0]
             )
-            if dup:
+            if row["_has_null"]:
+                raise ValueError(
+                    "updates carry NULL key values — upsert cannot match them"
+                )
+            if (row["_max_c"] or 0) > 1:
                 raise ValueError("updates carry duplicate keys — upsert is ambiguous")
+        elif updates.where(null_pred).limit(1).count():
+            # no uniqueness assertion: keep the short-circuiting null probe
+            raise ValueError("updates carry NULL key values — upsert cannot match them")
 
         sid = head.snapshot_id + 1
         rel = f"data/snap-{sid}"

@@ -438,3 +438,75 @@ def streaming_cusum(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_seasonal_baseline(
+    stream: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    value_col: str = "value",
+    slot_seconds: float = 3600.0,
+    period_seconds: float = 86400.0,
+):
+    """Streaming twin of ``operators/temporal.seasonal_baseline``: each
+    arriving turn is scored against the entity's trailing mean at the
+    SAME phase slot (hour-of-day by default), strictly past, with the
+    slot's running (count, sum) carried across micro-batches in
+    GroupState.
+
+    The state key is (entity, slot) — the SAME 24×-finer-than-entity
+    key the batch operator exchanges on, so state stays O(entities ×
+    period/slot) with TWO scalars each, and a mega-conversation costs
+    no more state than a quiet one. The slot is computed as a plan
+    column via ``temporal.seasonal_slot`` (pure wall-clock arithmetic,
+    identical to batch) BEFORE the stateful stage; the per-batch fold is
+    a numpy prefix count/sum with the carry-in, emitted BEFORE the row
+    joins the state (zero leakage — the first-ever row of a slot scores
+    NULL, exactly the batch semantics).
+
+    Requires per-(entity, slot) event-time-ordered arrival across
+    batches (in-batch rows are sorted here) — the same append-mode
+    contract as ``streaming_cusum``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from acoustic_feature_extractor_spark.operators.temporal import seasonal_slot
+
+    out_schema = (
+        f"{key} string, slot int, {ts} timestamp, {value_col} double, "
+        "n_slot_past bigint, seasonal_mean double"
+    )
+    state_schema = "n bigint, s double"
+    cols = [key, "slot", ts, value_col]
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        n0, s0 = (state.get if state.exists else (0, 0.0))
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            state.update((n0, s0))
+            yield pd.DataFrame(columns=cols + ["n_slot_past", "seasonal_mean"])
+            return
+        pdf = pd.concat(frames).sort_values(ts, kind="mergesort")
+        v = pdf[value_col].to_numpy(dtype=float)
+        ok = ~np.isnan(v)
+        # strict past: prefix sums EXCLUDING the current row, plus carry
+        cnt = n0 + np.concatenate(([0], np.cumsum(ok)))[:-1]
+        cum = s0 + np.concatenate(([0.0], np.cumsum(np.where(ok, v, 0.0))))[:-1]
+        out = pdf[cols].copy()
+        out["n_slot_past"] = cnt
+        out["seasonal_mean"] = np.where(cnt > 0, cum / np.maximum(cnt, 1), np.nan)
+        state.update((int(n0 + ok.sum()), float(s0 + v[ok].sum())))
+        yield out
+
+    slotted = stream.withColumn(
+        "slot", seasonal_slot(ts, slot_seconds, period_seconds)
+    )
+    return slotted.groupBy(key, "slot").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -64,6 +64,16 @@ def main(argv: list[str] | None = None) -> int:
         "window exceeds this (0.25 = the classic 'drifted' bar); default "
         "monitor-only",
     )
+    ap.add_argument(
+        "--max-ks",
+        type=float,
+        default=None,
+        help="fail the run when the delta's Kolmogorov–Smirnov distance "
+        "vs the pinned training window exceeds this — the "
+        "distribution-free companion bar to --max-psi (PSI explodes on "
+        "near-empty bins; KS is the bounded worst-case CDF gap). Both "
+        "score from the SAME pinned histogram; default monitor-only",
+    )
     args = ap.parse_args(argv)
 
     from acoustic_feature_extractor_spark.datagen import SESSION_GAP_SECONDS
@@ -139,14 +149,17 @@ def main(argv: list[str] | None = None) -> int:
         return [int(got.get(i, 0)) for i in range(_H_BINS)]
 
     drift_psi = None
+    drift_ks = None
     if feat_hist:
         stats = feat_hist[0].lineage["stats"]
         ref_hist = feat_hist[0].lineage.get("text_len_hist")
         if ref_hist:
-            # PSI of the DELTA (the new drop, already in memory) vs the
-            # pinned training window — sketches.psi_from_hists on two
-            # 1-row frames; bins-sized collect
+            # PSI + KS of the DELTA (the new drop, already in memory) vs
+            # the pinned training window — both scored from the SAME two
+            # 1-row hist frames (sketches.psi_from_hists / ks_from_hists);
+            # bins-sized collects
             from acoustic_feature_extractor_spark.operators.sketches import (
+                ks_from_hists,
                 psi_from_hists,
             )
 
@@ -155,15 +168,22 @@ def main(argv: list[str] | None = None) -> int:
             cdf = spark.createDataFrame([("all", cur_hist)], "g string, hist array<bigint>")
             terms = psi_from_hists(rdf, cdf, by="g", bins=_H_BINS).collect()
             drift_psi = float(sum(r["psi_term"] for r in terms))
+            drift_ks = float(
+                ks_from_hists(rdf, cdf, by="g", bins=_H_BINS).first()["ks"]
+            )
+            tripped = None
             if args.max_psi is not None and drift_psi > args.max_psi:
+                tripped = {"drift_psi": round(drift_psi, 6), "max_psi": args.max_psi}
+            elif args.max_ks is not None and drift_ks > args.max_ks:
+                tripped = {"drift_ks": round(drift_ks, 6), "max_ks": args.max_ks}
+            if tripped is not None:
                 print(
                     json.dumps(
                         {
                             "noop": False,
                             "failed": "drift_gate",
-                            "drift_psi": round(drift_psi, 6),
-                            "max_psi": args.max_psi,
                             "source_snapshot": head.snapshot_id,
+                            **tripped,
                         }
                     )
                 )
@@ -187,6 +207,8 @@ def main(argv: list[str] | None = None) -> int:
     }
     if drift_psi is not None:
         lineage["drift_psi"] = round(drift_psi, 6)
+    if drift_ks is not None:
+        lineage["drift_ks"] = round(drift_ks, 6)
     if not feat_hist:
         out = snap.commit(feats, args.features, lineage=lineage)
         rewritten: list[str] = []
@@ -210,6 +232,7 @@ def main(argv: list[str] | None = None) -> int:
                 "touched_convs": n_touched,
                 "rewritten_dirs": rewritten,
                 "drift_psi": None if drift_psi is None else round(drift_psi, 6),
+                "drift_ks": None if drift_ks is None else round(drift_ks, 6),
                 "wall_s": round(time.perf_counter() - t0, 3),
             }
         )

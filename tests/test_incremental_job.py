@@ -154,9 +154,12 @@ def test_incremental_drift_gate(tmp_path, spark, transcripts):
     assert snap.history(feat)[0].lineage["text_len_hist"]
 
     snap.commit(wave2, src)
-    rc2, m2 = _run_rc(["--source", src, "--features", feat, "--max-psi", "0.25"])
+    rc2, m2 = _run_rc(
+        ["--source", src, "--features", feat, "--max-psi", "0.25", "--max-ks", "0.4"]
+    )
     assert rc2 == 0 and m2["drift_psi"] is not None
     assert m2["drift_psi"] < 0.25  # same generator, same distribution
+    assert m2["drift_ks"] is not None and m2["drift_ks"] < 0.4
 
     snap.commit(wave3, src)
     before = snap.current_snapshot_id(feat)
@@ -165,6 +168,15 @@ def test_incremental_drift_gate(tmp_path, spark, transcripts):
     assert m3["drift_psi"] > 0.25
     assert snap.current_snapshot_id(feat) == before  # gate blocked the commit
 
+    # the KS bar alone (no PSI bar) also catches the shifted wave — the
+    # " x"*400 suffix pushes most of the delta's mass to higher bins, a
+    # large worst-case CDF gap
+    rc3b, m3b = _run_rc(["--source", src, "--features", feat, "--max-ks", "0.4"])
+    assert rc3b == 2 and m3b["failed"] == "drift_gate"
+    assert m3b["drift_ks"] > 0.4
+    assert snap.current_snapshot_id(feat) == before
+
     rc4, m4 = _run_rc(["--source", src, "--features", feat])  # monitor-only
     assert rc4 == 0 and m4["drift_psi"] > 0.25
     assert snap.history(feat)[-1].lineage["drift_psi"] == round(m4["drift_psi"], 6)
+    assert snap.history(feat)[-1].lineage["drift_ks"] == round(m4["drift_ks"], 6)

@@ -452,3 +452,20 @@ def test_weighted_sample_two_phase_no_global_sort(spark, entry_mod):
     # exchange BEFORE any aggregation/window — the two-phase plan only
     # funnels already-pruned rows into the final per-group rank
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_drift_ks_single_fact_scan(spark, entry_mod):
+    """drift_ks computes BOTH sides' histograms through one hist_rollup
+    keyed by (event_type, side) and pins the SKETCH-sized result before
+    the ref/cur split: both branches must read the pinned aggregate
+    (InMemoryTableScan), never re-derive it — without the pin, Catalyst
+    pushes each side's group-key filter back through the aggregate and
+    re-scans the fact table per side (measured: 4 scans)."""
+    df = entry_mod.queries()["drift_ks"](spark, SF)
+    df.count()  # materialize the pin, then read the FINAL adaptive plan
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    n_mem = ex.count("InMemoryTableScan")
+    assert n_mem == 2, (
+        f"{n_mem} InMemoryTableScans — the ref/cur split no longer reads "
+        "the pinned one-scan sketch"
+    )

@@ -524,3 +524,86 @@ def test_topk_coarser_carries_empty_child_summaries(spark):
     assert r["n"] == 13  # the empty child's rows still count
     assert r["err"] == 3  # and its error mass still bounds absent items
     assert {(i["item"], i["cnt"]) for i in r["items"]} == {("a", 7), ("b", 3)}
+
+
+def test_ks_from_hists_matches_brute_force(spark):
+    """KS from sketches equals the brute-force binned two-sample KS, and
+    merged (cascaded) sketches give the identical distance."""
+    from pyspark.sql import functions as F
+
+    from acoustic_feature_extractor_spark.operators.sketches import (
+        hist_coarser,
+        hist_rollup,
+        ks_from_hists,
+    )
+
+    bins, lo, hi = 8, 0.0, 16.0
+    ref_vals = {"a": [1.0, 3.0, 5.0, 5.5, 9.0], "b": [2.0, 2.0, 4.0]}
+    cur_vals = {"a": [1.0, 11.0, 13.0, 15.0], "b": [2.0, 4.0, 6.0]}
+
+    def brute_ks(r, c):
+        def cdf(vals, b):
+            n = sum(1 for v in vals if min(int(v // 2), bins - 1) <= b)
+            return n / len(vals)
+
+        return max(abs(cdf(r, b) - cdf(c, b)) for b in range(bins))
+
+    def frame(vals):
+        rows = [
+            (g, f"2024-01-0{i % 3 + 1} 00:0{i % 6}:00", v)
+            for g, vs in vals.items()
+            for i, v in enumerate(vs)
+        ]
+        return spark.createDataFrame(rows, "g string, s string, v double").select(
+            "g", F.col("s").cast("timestamp_ntz").alias("ts"), "v"
+        )
+
+    wide = 4.0e9
+    rh = hist_rollup(frame(ref_vals), wide, "g", "v", lo=lo, hi=hi, bins=bins)
+    ch = hist_rollup(frame(cur_vals), wide, "g", "v", lo=lo, hi=hi, bins=bins)
+    out = {
+        r["g"]: (r["n_ref"], r["n_cur"], r["ks"])
+        for r in ks_from_hists(
+            rh.drop("bucket", "n"), ch.drop("bucket", "n"), by="g", bins=bins
+        ).collect()
+    }
+    for g in ("a", "b"):
+        n_ref, n_cur, ks = out[g]
+        assert n_ref == len(ref_vals[g]) and n_cur == len(cur_vals[g])
+        assert abs(ks - brute_ks(ref_vals[g], cur_vals[g])) < 1e-12, g
+
+    # cascade invariance: hourly fine sketches merged to one coarse
+    # sketch score the SAME distance (mergeability is the whole point)
+    fine_r = hist_rollup(frame(ref_vals), 3600.0, "g", "v", lo=lo, hi=hi, bins=bins)
+    # coarse width must be a 3600-multiple; 3.6e9 s still swallows every
+    # 2024 epoch into one bucket
+    merged_r = hist_coarser(fine_r, 3600.0 * 1_000_000, by="g", fine_seconds=3600.0)
+    out2 = {
+        r["g"]: r["ks"]
+        for r in ks_from_hists(
+            merged_r.drop("bucket", "n"), ch.drop("bucket", "n"), by="g", bins=bins
+        ).collect()
+    }
+    for g in ("a", "b"):
+        assert abs(out2[g] - out[g][2]) < 1e-12, g
+
+
+def test_ks_from_hists_one_sided_and_identical(spark):
+    """A group missing on one side has no ECDF there → NULL ks (never a
+    fake distance); identical sides score exactly 0; width mismatch
+    raises in-plan."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from acoustic_feature_extractor_spark.operators.sketches import ks_from_hists
+
+    ref = spark.createDataFrame(
+        [Row(g="a", hist=[2, 0, 1, 0]), Row(g="only_ref", hist=[1, 1, 1, 1])]
+    )
+    cur = spark.createDataFrame([Row(g="a", hist=[2, 0, 1, 0])])
+    out = {r["g"]: r["ks"] for r in ks_from_hists(ref, cur, by="g", bins=4).collect()}
+    assert out["a"] == 0.0
+    assert out["only_ref"] is None
+    bad = spark.createDataFrame([Row(g="a", hist=[1, 2])])
+    with _pytest.raises(Exception, match="hist width"):
+        ks_from_hists(ref, bad, by="g", bins=4).collect()

@@ -616,3 +616,77 @@ def test_streaming_cusum_matches_batch(spark):
     # the drifted entity actually alarms in the stream
     assert any(a for (c, _), (_, _, a) in got.items() if c == "0")
     assert not any(a for (c, _), (_, _, a) in got.items() if c == "1")
+
+
+def test_streaming_seasonal_baseline_matches_batch(spark):
+    """Streaming seasonal baseline with (entity, slot) GroupState carry
+    equals the batch ``temporal.seasonal_baseline`` on the same input,
+    across three sequential micro-batches."""
+    import tempfile
+
+    from acoustic_feature_extractor_spark.operators.temporal import (
+        seasonal_baseline,
+    )
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_seasonal_baseline,
+    )
+
+    # 2 entities x 300 events, ~37-minute stride so slots recur across
+    # days and batches; unique ts per entity
+    rows = spark.range(600).selectExpr(
+        "CAST(id % 2 AS STRING) AS conv_id",
+        "timestamp_micros(CAST(1704067200000000 + (id DIV 2) * 2215000000"
+        " + (id % 2) * 1000000 AS BIGINT)) AS ts",
+        "CAST(pmod(xxhash64(id), 97) AS DOUBLE) AS value",
+    ).cache()
+
+    batch = seasonal_baseline(
+        rows.selectExpr("conv_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "value"),
+        by="conv_id", ts_col="ts", value_col="value",
+    )
+    exp = {
+        (r["conv_id"], str(r["ts"])): (
+            r["slot"], r["n_slot_past"], r["seasonal_mean"]
+        )
+        for r in batch.collect()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        for lo, hi in ((0, 200), (200, 400), (400, 600)):
+            rows.where(f"id >= {lo} AND id < {hi}").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_seasonal_baseline(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("seasonal_stream")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["conv_id"], str(r["ts"])): (
+                    r["slot"], r["n_slot_past"], r["seasonal_mean"]
+                )
+                for r in spark.table("seasonal_stream").collect()
+            }
+        finally:
+            q.stop()
+
+    assert len(got) == len(exp) == 600
+    for k in exp:
+        gs, gn, gm = got[k]
+        es, en, em = exp[k]
+        assert gs == es and gn == en, k
+        if em is None:
+            assert gm is None, k
+        else:
+            assert abs(gm - em) < 1e-9, k

@@ -301,7 +301,26 @@ def publish() -> None:
     # state that no code version reconstructs and would flag every
     # healthy run forever; a floor that cannot be reproduced is not a
     # floor). Applied AFTER the history fold so stale minima stay dead.
-    refloor = {"ann_bruteforce": 1.04, "ann_ivf": 1.31}
+    # trailing_window re-baselined in r4 with a DIFFERENT kind of
+    # evidence: the same back-to-back isolated-JVM A/B shows the r3
+    # commit at 0.42-0.48 and HEAD at 0.64-0.70 steady-state — the gap
+    # is REAL and intentional: the RANGE-frame order key moved from
+    # unix_micros(cast("timestamp")) (localizes wall times in the
+    # driver's session tz — the r3 pruned_scan failure mode) to the pure
+    # NTZ interval decomposition. The old floor measures code the tz
+    # correctness contract forbids; the tz cost is the new steady state
+    # (the bucketing queries got their calendar fast path back —
+    # per-row RANGE keys at micro precision have no equivalent shortcut).
+    # weighted_percentile joins the unreproducible-floor list on the same
+    # A/B evidence shape as ann_bruteforce: idle-box best-of-4 measures
+    # the r3 commit at 2.44-2.68 and HEAD at 1.96-2.69 (HEAD is FASTER) —
+    # no commit reproduces the 1.416 early-round floor.
+    refloor = {
+        "ann_bruteforce": 1.04,
+        "ann_ivf": 1.31,
+        "trailing_window": 0.64,
+        "weighted_percentile": 1.95,
+    }
     for q, v in refloor.items():
         if q in floors:
             floors[q] = max(floors[q], min(v, latest[q]))
@@ -386,8 +405,13 @@ floors of queries no longer in the suite are dropped. Two early-round
 floors (ann_bruteforce, ann_ivf) were re-baselined in r4 after an
 idle-box A/B showed the same query at the round-3 commit and at HEAD
 converging to the same number 1.7–2× above them in isolated JVMs — an
-unreproducible floor flags every healthy run forever (evidence and
-values in tools/bench_scaling.py):
+unreproducible floor flags every healthy run forever. A third
+(trailing_window) was re-baselined on the OPPOSITE evidence: the same
+A/B shows r3 and HEAD at DIFFERENT steady states (0.42–0.48 vs
+0.64–0.70) because the RANGE-frame order key moved off the session-tz
+localizing unix_micros(cast) to the pure NTZ decomposition — the old
+floor measures code the timezone-independence contract forbids
+(evidence and values in tools/bench_scaling.py):
 
 ```json
 {json.dumps(bjson['queries'], indent=2)}
