@@ -347,3 +347,68 @@ def test_hist_cascade_equals_direct_random(spark, data):
     b = {(r["g"], r["bucket"]): (r["n"], tuple(r["hist"])) for r in direct.collect()}
     assert a == b
     assert sum(n for n, _ in a.values()) == len(pdf)
+
+
+@st.composite
+def _slotted_events(draw):
+    rng = np.random.RandomState(draw(st.integers(0, 10_000)))
+    n_keys = draw(st.integers(1, 3))
+    n = draw(st.integers(1, 60))
+    base = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "g": [f"g{rng.randint(n_keys)}" for _ in range(n)],
+            # hour-granular offsets over ~5 days force recurring slots;
+            # minute jitter keeps ts unique-ish inside a slot
+            "ts": [
+                base
+                + pd.Timedelta(hours=int(h), minutes=int(m))
+                for h, m in zip(rng.randint(0, 120, n), rng.randint(0, 59, n))
+            ],
+            "eid": range(n),
+            "v": rng.randn(n),
+        }
+    )
+    k = draw(st.sampled_from([None, 1, 3]))
+    return pdf, k
+
+
+@given(_slotted_events())
+@settings(**_SETTINGS)
+def test_seasonal_baseline_matches_pandas(spark, data):
+    """seasonal_baseline against an O(n²) pandas oracle on random inputs:
+    strictly-past same-hour-slot mean, optional last-k bound."""
+    from acoustic_feature_extractor_spark.operators.temporal import (
+        seasonal_baseline,
+    )
+
+    pdf, k = data
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    out = seasonal_baseline(
+        df, by="g", ts_col="ts", value_col="v",
+        tiebreak_col="eid", window_occurrences=k,
+    )
+    got = {
+        r["eid"]: (r["n_slot_past"], r["seasonal_mean"]) for r in out.collect()
+    }
+    for _, row in pdf.iterrows():
+        past = pdf[
+            (pdf["g"] == row["g"])
+            & (pdf["ts"].dt.hour == row["ts"].hour)
+            & (
+                (pdf["ts"] < row["ts"])
+                | ((pdf["ts"] == row["ts"]) & (pdf["eid"] < row["eid"]))
+            )
+        ].sort_values(["ts", "eid"])
+        if k is not None:
+            past = past.tail(k)
+        n, mean = got[row["eid"]]
+        assert n == len(past)
+        if len(past) == 0:
+            assert mean is None
+        else:
+            assert abs(mean - past["v"].mean()) < 1e-9
