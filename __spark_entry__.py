@@ -1730,6 +1730,61 @@ FROM w
 """
 
 
+def q_rolling_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 AUTOCORRELATION of the value series over the
+    trailing 12 events, strictly past (``temporal.rolling_autocorr``):
+    Pearson r between the series and its lag from six window sums — the
+    lag projection and the frame sums share ONE (user, idx) sort/exchange
+    (two Window operators, zero joins). NULL until 2 pairs or when either
+    side is constant; the oracle replays the identical closed form."""
+    ev = _indexed_events(spark, sf_dir)
+    r = temporal_ops.rolling_autocorr(
+        ev, by="user_id", order="idx", value_col="value",
+        lag=1, window_rows=12, strict_past=True,
+    )
+    return r.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("idx").cast("long").alias("idx"),
+        F.round("autocorr", 6).alias("autocorr"),
+    )
+
+
+_SQL_ROLLING_AUTOCORR = f"""
+WITH t AS ({_IDX_SQL}),
+p AS (
+  SELECT user_id, event_id, idx, value,
+         lag(value, 1) OVER (PARTITION BY user_id ORDER BY idx) AS zraw
+  FROM t
+),
+q AS (
+  SELECT user_id, event_id, idx,
+         CASE WHEN value IS NOT NULL AND zraw IS NOT NULL THEN value END AS y,
+         CASE WHEN value IS NOT NULL AND zraw IS NOT NULL THEN zraw END AS z
+  FROM p
+),
+w AS (
+  SELECT user_id, event_id, idx,
+         count(y)     OVER fr AS n,
+         sum(y)       OVER fr AS sy,
+         sum(z)       OVER fr AS sz,
+         sum(y * y)   OVER fr AS syy,
+         sum(z * z)   OVER fr AS szz,
+         sum(y * z)   OVER fr AS syz
+  FROM q
+  WINDOW fr AS (PARTITION BY user_id ORDER BY idx
+                ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+       CAST(idx AS BIGINT) AS idx,
+       CASE WHEN n >= 2 AND (n * syy - sy * sy) > 0 AND (n * szz - sz * sz) > 0
+            THEN round((n * syz - sy * sz)
+                       / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)), 6)
+       END AS autocorr
+FROM w
+"""
+
+
 def q_ewma_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA (6h half-life, strictly past) of each user's value series
     (``temporal.time_decayed_mean``): decayed sum over decayed count, both
@@ -4979,13 +5034,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # ROUND-5 ROTATION (do this FIRST in r5 — the driver grades the
     # ordering as it stands at round END, so rotating mid-round-4 would
-    # strip the 43 aging queries of their r4 coverage): move these 19
+    # strip the 43 aging queries of their r4 coverage): move these 20
     # never-driver-graded queries to the head —
     #   turn_transitions, degenerate_loops, stream_context, sketch_topk,
     #   changepoints, drift_incremental, weighted_sample,
     #   topk_incremental, rolling_trend, ewma_mean, cohort_retention,
-    #   seasonal_baseline, drift_ks, kanon_suppress, vocab_oov,
-    #   tool_funnel, pit_enrich, cv_folds, drift_psi
+    #   seasonal_baseline, drift_ks, rolling_autocorr, kanon_suppress,
+    #   vocab_oov, tool_funnel, pit_enrich, cv_folds, drift_psi
     # then fill the remaining ~31 slots with the r3-only-green set
     # (oldest driver evidence first); the r4-window queries just graded
     # need no slot.
@@ -5098,6 +5153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "seasonal_baseline": q_seasonal_baseline,
         "drift_ks": q_drift_ks,
+        "rolling_autocorr": q_rolling_autocorr,
         "kanon_suppress": q_kanon_suppress,
         "vocab_oov": q_vocab_oov,
         "tool_funnel": q_tool_funnel,
@@ -5194,6 +5250,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _SQL_COHORT_RETENTION,
         "seasonal_baseline": _SQL_SEASONAL_BASELINE,
         "drift_ks": _SQL_DRIFT_KS,
+        "rolling_autocorr": _SQL_ROLLING_AUTOCORR,
         "kanon_suppress": _SQL_KANON_SUPPRESS,
         "vocab_oov": _SQL_VOCAB_OOV,
         "tool_funnel": _SQL_TOOL_FUNNEL,

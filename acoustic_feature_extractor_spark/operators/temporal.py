@@ -770,3 +770,63 @@ def seasonal_baseline(
         .withColumn(count_col, n)
         .withColumn(out_col, F.when(n > 0, F.sum(y).over(w) / n))
     )
+
+
+def rolling_autocorr(
+    df: DataFrame,
+    by: str | list[str],
+    order: str,
+    value_col: str,
+    lag: int = 1,
+    window_rows: int = 16,
+    strict_past: bool = True,
+    out_col: str = "autocorr",
+) -> DataFrame:
+    """Per-entity lag-``lag`` AUTOCORRELATION of ``value_col`` over the
+    trailing ``window_rows`` observations — "is this conversation's
+    reply-length series repeating itself?" as a leak-free point-in-time
+    feature (the classic tsfresh/forecasting repetitiveness signal).
+
+    Pearson r between the series and its lag over the frame's pairs:
+    ``r = (nΣyz − ΣyΣz) / sqrt((nΣy² − (Σy)²)(nΣz² − (Σz)²))`` with
+    ``z_j = y_{j-lag}``. Plan shape: the lag projection and the six
+    frame sums are two Window operators over the SAME (entity, order)
+    sort — one exchange, no join, no Python (Catalyst reuses the sort).
+    Pairs where either side is NULL drop out of every sum (the
+    pairwise-complete convention). NULL until ≥ 2 pairs or when either
+    side of the window is constant (zero variance — r undefined, never
+    ±inf).
+
+    ``strict_past`` excludes the current row (frame [-window_rows, -1]);
+    False includes it ([-window_rows+1, 0]).
+    """
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    if window_rows < lag + 2:
+        raise ValueError(
+            f"window_rows must be >= lag + 2 ({lag + 2}) for 2 pairs, "
+            f"got {window_rows}"
+        )
+    by_cols = [by] if isinstance(by, str) else list(by)
+    seq = Window.partitionBy(*by_cols).orderBy(order)
+    frame = (-int(window_rows), -1) if strict_past else (-(int(window_rows) - 1), 0)
+    w = seq.rowsBetween(*frame)
+    y = F.col(value_col).cast("double")
+    z = F.lag(y, int(lag)).over(seq)
+    pair = F.when(y.isNotNull() & z.isNotNull(), F.struct(y.alias("y"), z.alias("z")))
+    src = df.withColumn("_p", pair)
+    py = F.col("_p.y")
+    pz = F.col("_p.z")
+    n = F.count("_p").over(w)
+    sy = F.sum(py).over(w)
+    sz = F.sum(pz).over(w)
+    syy = F.sum(py * py).over(w)
+    szz = F.sum(pz * pz).over(w)
+    syz = F.sum(py * pz).over(w)
+    nd = n.cast("double")
+    vy = nd * syy - sy * sy
+    vz = nd * szz - sz * sz
+    r = (nd * syz - sy * sz) / F.sqrt(vy * vz)
+    return src.withColumn(
+        out_col, F.when((n >= 2) & (vy > 0) & (vz > 0), r)
+    ).drop("_p")

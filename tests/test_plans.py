@@ -469,3 +469,13 @@ def test_drift_ks_single_fact_scan(spark, entry_mod):
         f"{n_mem} InMemoryTableScans — the ref/cur split no longer reads "
         "the pinned one-scan sketch"
     )
+
+
+def test_rolling_autocorr_single_exchange(spark, entry_mod):
+    """rolling_autocorr: the turn-index row_number, the lag projection,
+    and the six frame sums all ride ONE (user_id) hash exchange — two
+    sorts (ts-order, then idx-order), three Window nodes, zero joins."""
+    df = entry_mod.queries()["rolling_autocorr"](spark, SF)
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert ex.count("Exchange hashpartitioning") == 1, ex[:2000]
+    assert "Join" not in ex

@@ -675,3 +675,62 @@ def test_seasonal_slot_fast_path_matches_general_and_guards(spark):
     assert bad.count() == 0
     with _pytest.raises(ValueError):
         seasonal_slot("ts", slot_seconds=7000.0, period_seconds=86400.0)
+
+
+def test_rolling_autocorr_matches_numpy(spark):
+    import numpy as np
+
+    from acoustic_feature_extractor_spark.operators.temporal import (
+        rolling_autocorr,
+    )
+
+    rng = np.random.RandomState(11)
+    rows, series = [], {}
+    for g in ("a", "b"):
+        # AR(1)-ish series so the statistic is nontrivial
+        y = [0.0]
+        for _ in range(39):
+            y.append(0.7 * y[-1] + rng.randn())
+        series[g] = y
+        rows += [(g, i, float(y[i])) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, i int, v double")
+    out = rolling_autocorr(
+        df, by="g", order="i", value_col="v", lag=1, window_rows=10
+    )
+    got = {(r["g"], r["i"]): r["autocorr"] for r in out.collect()}
+    for g in ("a", "b"):
+        y = series[g]
+        for i in range(40):
+            js = [j for j in range(max(0, i - 10), i) if j - 1 >= 0]
+            pairs = [(y[j], y[j - 1]) for j in js]
+            if len(pairs) < 2:
+                assert got[(g, i)] is None, (g, i)
+                continue
+            a = np.array([p[0] for p in pairs])
+            b = np.array([p[1] for p in pairs])
+            if a.std() == 0 or b.std() == 0:
+                assert got[(g, i)] is None, (g, i)
+                continue
+            want = np.corrcoef(a, b)[0, 1]
+            assert abs(got[(g, i)] - want) < 1e-9, (g, i)
+
+
+def test_rolling_autocorr_guards_and_constant(spark):
+    import pytest as _pytest
+
+    from acoustic_feature_extractor_spark.operators.temporal import (
+        rolling_autocorr,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, 5.0) for i in range(8)], "g string, i int, v double"
+    )
+    # constant series → zero variance → NULL everywhere, never ±inf
+    out = rolling_autocorr(df, by="g", order="i", value_col="v", window_rows=4)
+    assert all(r["autocorr"] is None for r in out.collect())
+    with _pytest.raises(ValueError):
+        rolling_autocorr(df, by="g", order="i", value_col="v", lag=0)
+    with _pytest.raises(ValueError):
+        rolling_autocorr(
+            df, by="g", order="i", value_col="v", lag=3, window_rows=4
+        )
