@@ -5015,6 +5015,124 @@ FROM shares
 """
 
 
+def q_response_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency feature (``temporal.time_since_event``): per event, seconds
+    since the user's most recent STRICTLY-PAST click (NULL before the
+    first). A running conditional max over one RANGE frame ending 1 µs
+    before the current row — same-timestamp ties never see each other,
+    and the (user, t) sort is shared with every other window feature.
+    Oracle: the identical frame in DuckDB over epoch_us order."""
+    ev = _t(spark, sf_dir, "events")
+    r = temporal_ops.time_since_event(
+        ev,
+        F.col("event_type") == "click",
+        key="user_id",
+        ts_col="ts",
+        out_col="since_click_s",
+    )
+    return r.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round("since_click_s", 6).alias("since_click_s"),
+    )
+
+
+_SQL_RESPONSE_LATENCY = """
+WITH b AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+)
+SELECT user_id, event_id, event_type,
+       round((tus - max(CASE WHEN event_type = 'click' THEN tus END)
+              OVER (PARTITION BY user_id ORDER BY tus
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             / 1000000.0, 6) AS since_click_s
+FROM b
+"""
+
+
+def q_future_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-horizon LABEL construction (``temporal.future_outcomes``):
+    per event, over the user's rows in ``(t, t+1h]`` — error count,
+    any-error flag, seconds to the first error, summed error value. The
+    supervised twin of the leak-free features: labels read strictly
+    FORWARD (the row never labels itself; same-ts ties aren't "future"),
+    so a feature+label join at (entity, ts) has zero frame overlap. One
+    RANGE frame on the shared (user, t) sort."""
+    ev = _t(spark, sf_dir, "events")
+    r = temporal_ops.future_outcomes(
+        ev,
+        F.col("event_type") == "error",
+        horizon_seconds=3600.0,
+        key="user_id",
+        ts_col="ts",
+        value_col="value",
+        prefix="err",
+    )
+    return r.select(
+        "user_id",
+        "event_id",
+        "err_n",
+        "err_any",
+        F.round("err_ttf_s", 6).alias("err_ttf_s"),
+        F.round("err_sum", 6).alias("err_sum"),
+    )
+
+
+_SQL_FUTURE_LABEL = """
+WITH b AS (
+  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS tus FROM events
+)
+SELECT user_id, event_id,
+       CAST(count(CASE WHEN event_type = 'error' THEN 1 END) OVER fwd AS BIGINT) AS err_n,
+       count(CASE WHEN event_type = 'error' THEN 1 END) OVER fwd > 0 AS err_any,
+       round((min(CASE WHEN event_type = 'error' THEN tus END) OVER fwd - tus)
+             / 1000000.0, 6) AS err_ttf_s,
+       round(sum(CASE WHEN event_type = 'error' THEN value END) OVER fwd, 6) AS err_sum
+FROM b
+WINDOW fwd AS (PARTITION BY user_id ORDER BY tus
+               RANGE BETWEEN 1 FOLLOWING AND 3600000000 FOLLOWING)
+"""
+
+
+def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency sketch (``sketches.cms_rollup``), graded
+    through its MERGE path: per-event_type sketches are built first, then
+    folded to one global counter table with ``cms_coarser`` (cell-wise
+    sum — the cascade contract), and every distinct user is point-queried
+    against the merged sketch (min over depth rows). Width 64 on ~1,700
+    users FORCES collisions, so the oracle — which replays the identical
+    portable hashes, counter sums, and min-probe in DuckDB — is pinning
+    the one-sided collision arithmetic, not a trivial exact count."""
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.select("event_type", F.col("user_id").cast("string").alias("item"))
+    per_type = sk_ops.cms_rollup(facts, "item", by="event_type", depth=4, width=64)
+    merged = sk_ops.cms_coarser(per_type, by=None)
+    items = facts.select("item").distinct()
+    est = sk_ops.cms_estimate(merged, items, "item", depth=4, width=64)
+    return est.select("item", "freq_est")
+
+
+def _sql_sketch_cms() -> str:
+    # the d-tagged bucket hash, replayed once per depth row d in 0..3
+    return f"""
+WITH f AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+cnt AS (SELECT item, count(*) AS n FROM f GROUP BY item),
+tag AS (
+  SELECT item, n, d, (CAST(d AS VARCHAR) || ':' || item) AS tg
+  FROM cnt CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) dd
+),
+h0 AS (SELECT item, n, d, {_sql_phash('tg')} AS h FROM tag),
+hb AS (SELECT item, n, d, ({_sql_pmix('h')}) % 64 AS bucket FROM h0),
+sk AS (SELECT d, bucket, sum(n) AS cnt FROM hb GROUP BY d, bucket),
+est AS (
+  SELECT hb.item, min(sk.cnt) AS freq_est
+  FROM hb JOIN sk USING (d, bucket) GROUP BY hb.item
+)
+SELECT item, CAST(freq_est AS BIGINT) AS freq_est FROM est
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5170,6 +5288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_enrich": q_pit_enrich,
         "cv_folds": q_cv_folds,
         "drift_psi": q_drift_psi,
+        "response_latency": q_response_latency,
+        "future_label": q_future_label,
+        "sketch_cms": q_sketch_cms,
     }
 
 
@@ -5304,4 +5425,7 @@ def oracle_sql() -> dict[str, str]:
         "pit_enrich": _SQL_PIT_ENRICH,
         "cv_folds": _SQL_CV_FOLDS,
         "drift_psi": _SQL_DRIFT_PSI,
+        "response_latency": _SQL_RESPONSE_LATENCY,
+        "future_label": _SQL_FUTURE_LABEL,
+        "sketch_cms": _sql_sketch_cms(),
     }

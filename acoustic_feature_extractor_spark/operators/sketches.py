@@ -724,3 +724,127 @@ def topk_compress(
         "n", F.sum("cnt").over(Window.partitionBy(*keys))
     )
     return _mg_compress(per_item, keys, int(capacity))
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: mergeable point-frequency estimates
+# ---------------------------------------------------------------------------
+#
+# The third non-decomposable class after DISTINCT (HLL above) and
+# quantiles (histograms above) is "how often did THIS item occur" when the
+# item universe is unbounded (user ids, tool names, n-grams) — an exact
+# per-item rollup is as wide as the universe. Misra-Gries (freq_rollup)
+# answers the TOP-k slice of that question; count-min (Cormode &
+# Muthukrishnan 2005) answers the POINT query for any item, with a fixed
+# depth*width footprint and one-sided error (estimate >= truth,
+# overshoot <= N*e/width with prob 1-(1/2)^depth).
+#
+# Carrier: LONG-FORM rows (by..., d, bucket, cnt) — d in [0, depth),
+# bucket in [0, width). Merging is groupBy-sum (counter matrices add),
+# identical in shape to hist_rollup, so the same cascade/CDC machinery
+# applies. The row hash is the SQL-portable polynomial over "<d>:<item>"
+# finished with portable_mix — deterministic in any engine, which is what
+# lets the DuckDB oracle recompute the sketch AND the estimate exactly
+# (pass hash_fn for xxhash64 in production; same downstream math).
+
+
+def _cms_bucket(item, d: int, width: int, hash_fn=None):
+    from acoustic_feature_extractor_spark.operators.dedup import (
+        portable_mix,
+        token_hash_portable,
+    )
+
+    tagged = F.concat(F.lit(f"{d}:"), item.cast("string"))
+    h = hash_fn(tagged) if hash_fn is not None else portable_mix(
+        token_hash_portable(tagged)
+    )
+    return F.pmod(h, F.lit(int(width))).cast("long")
+
+
+def cms_rollup(
+    df: DataFrame,
+    item_col: str,
+    by: str | list[str] | None = None,
+    depth: int = 4,
+    width: int = 256,
+    hash_fn=None,
+) -> DataFrame:
+    """Per-group count-min sketch of ``item_col``: long-form rows
+    (by..., d, bucket, cnt). ONE pass over the facts: the depth
+    replication is a map-side ``explode`` of a `depth`-element array (no
+    join, no second scan), then a partial/final groupBy whose key space is
+    at most |by| * depth * width rows — the shuffle carries counters, not
+    items. NULL items are skipped (count them separately if they matter).
+    """
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    item = F.col(item_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _cms_bucket(item, d, width, hash_fn).alias("bucket"),
+            )
+            for d in range(int(depth))
+        ]
+    )
+    return (
+        df.where(item.isNotNull())
+        .select(*by_cols, F.explode(pairs).alias("_db"))
+        .groupBy(*by_cols, F.col("_db.d").alias("d"), F.col("_db.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_coarser(
+    fine: DataFrame, by: str | list[str] | None = None
+) -> DataFrame:
+    """Merge fine sketches to a coarser grouping WITHOUT the fact table:
+    counter matrices add cell-wise. ``by`` is the coarser key set (subset
+    of the fine one); [] folds everything into one global sketch. The
+    (depth, width, hash) parameters are pinned at write time — merging
+    sketches built with different parameters is caller error (cell counts
+    would be meaningless), same contract as hist_coarser."""
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    return fine.groupBy(*by_cols, "d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    by: str | list[str] | None = None,
+    width: int = 256,
+    depth: int = 4,
+    hash_fn=None,
+    out_col: str = "freq_est",
+) -> DataFrame:
+    """Point-frequency estimates for ``items`` (one row per queried item
+    [* group]): min over the sketch's depth rows of the counter each hash
+    lands in — never under the truth; items the sketch never saw can
+    still report small positive counts (collision mass). The probe is a
+    broadcast-friendly equi-join on (d, bucket): |items| * depth rows
+    against the counter table, no fact-table access. A missing (d,
+    bucket) cell means zero occurrences hashed there, so the min (and the
+    estimate) is 0 — kept via the coalesce, not dropped by the join."""
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    item = F.col(item_col)
+    probes = items.select(
+        *by_cols,
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_bucket(item, d, width, hash_fn).alias("bucket"),
+                    )
+                    for d in range(int(depth))
+                ]
+            )
+        ).alias("_db"),
+    ).select(*by_cols, item_col, F.col("_db.d").alias("d"), F.col("_db.bucket").alias("bucket"))
+    j = probes.join(cms, on=[*by_cols, "d", "bucket"], how="left")
+    return (
+        j.groupBy(*by_cols, item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out_col))
+    )

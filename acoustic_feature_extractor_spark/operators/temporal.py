@@ -830,3 +830,116 @@ def rolling_autocorr(
     return src.withColumn(
         out_col, F.when((n >= 2) & (vy > 0) & (vz > 0), r)
     ).drop("_p")
+
+
+def time_since_event(
+    df: DataFrame,
+    mark: Column,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    out_col: str = "since_s",
+    chunk_seconds: float | None = None,
+    max_lookback_seconds: float | None = None,
+) -> DataFrame:
+    """Seconds since the entity's most recent STRICTLY-PAST row where
+    ``mark`` holds (NULL before the first such row) — the
+    response-latency / recency feature ("time since last user turn",
+    "time since last error"). Leak-free by the same contract as
+    :func:`trailing_time_window`: the frame ends 1 µs before the current
+    row, so same-timestamp ties never see each other.
+
+    Shape: a running conditional max over one RANGE frame — the sort on
+    (key, t) is shared with every other window feature on the same key
+    (Catalyst fuses the WindowExecs; zero extra exchanges in the flagship
+    stack). The reference's analog is frame-relative position lookups in
+    one loaded array (``sampling_data.py:29-42``); here the "array" is a
+    10^12-row table and the lookup is a frame.
+
+    ``chunk_seconds`` (requires ``max_lookback_seconds``) time-chunk-salts
+    mega-entities exactly like :func:`trailing_time_window`: rows in the
+    trailing lookback of a chunk are carried into the next, so recency is
+    exact up to ``max_lookback_seconds`` (older marks report NULL — the
+    caller declared them irrelevant by picking the horizon).
+    """
+    d = df.withColumn("_tus", _t_us(ts_col))
+    if chunk_seconds is None:
+        spec = Window.partitionBy(key).orderBy("_tus")
+        out = d
+    else:
+        if max_lookback_seconds is None or max_lookback_seconds > chunk_seconds:
+            raise ValueError(
+                "chunked time_since_event needs max_lookback_seconds <= "
+                f"chunk_seconds (got {max_lookback_seconds} vs {chunk_seconds})"
+                " — a carry row only reaches the adjacent chunk"
+            )
+        c_us = int(chunk_seconds * US)
+        own = F.floor(F.col("_tus") / F.lit(c_us)).cast("long")
+        nxt = F.when(
+            F.col("_tus") % c_us >= c_us - int(max_lookback_seconds * US), own + 1
+        )
+        out = (
+            d.withColumn("_chunks", F.array_compact(F.array(own, nxt)))
+            .select("*", F.explode("_chunks").alias("_chunk"))
+            .drop("_chunks")
+        )
+        spec = Window.partitionBy(key, "_chunk").orderBy("_tus")
+    lo = (
+        Window.unboundedPreceding
+        if max_lookback_seconds is None
+        else -int(max_lookback_seconds * US)
+    )
+    frame = spec.rangeBetween(lo, -1)
+    last_us = F.max(F.when(mark, F.col("_tus"))).over(frame)
+    out = out.withColumn(out_col, (F.col("_tus") - last_us) / F.lit(float(US)))
+    if chunk_seconds is not None:
+        c_us = int(chunk_seconds * US)
+        out = out.where(
+            F.floor(F.col("_tus") / F.lit(c_us)).cast("long") == F.col("_chunk")
+        ).drop("_chunk")
+    return out.drop("_tus")
+
+
+def future_outcomes(
+    df: DataFrame,
+    target: Column,
+    horizon_seconds: float,
+    key: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    prefix: str = "future",
+) -> DataFrame:
+    """Forward-horizon LABEL construction: per row, over the entity's rows
+    in ``(t, t + horizon]`` (strictly after — the row never labels itself,
+    and same-timestamp ties don't count as "future"), emit
+
+    - ``{prefix}_n``    count of rows where ``target`` holds,
+    - ``{prefix}_any``  boolean, ``n > 0``,
+    - ``{prefix}_ttf_s`` seconds to the FIRST such row (NULL if none
+      within the horizon),
+    - ``{prefix}_sum``  sum of ``value_col`` over target rows (when given).
+
+    This is the supervised-label twin of the leak-free features: features
+    read strictly backward, labels read strictly forward, and the join of
+    the two at (entity, ts) is a training example with zero overlap
+    between the two frames. Rows whose horizon extends past the
+    corpus/partition watermark are the caller's censoring problem — at
+    scale, filter ``ts <= max_ts - horizon`` before training.
+
+    One RANGE frame over the same (key, t) sort as every backward
+    feature — Catalyst fuses it into the existing window stage.
+    """
+    d = df.withColumn("_tus", _t_us(ts_col))
+    spec = Window.partitionBy(key).orderBy("_tus")
+    frame = spec.rangeBetween(1, int(horizon_seconds * US))
+    n = F.count(F.when(target, F.lit(1))).over(frame).cast("long")
+    first_us = F.min(F.when(target, F.col("_tus"))).over(frame)
+    cols = [
+        n.alias(f"{prefix}_n"),
+        (n > 0).alias(f"{prefix}_any"),
+        ((first_us - F.col("_tus")) / F.lit(float(US))).alias(f"{prefix}_ttf_s"),
+    ]
+    if value_col is not None:
+        cols.append(
+            F.sum(F.when(target, F.col(value_col))).over(frame).alias(f"{prefix}_sum")
+        )
+    return d.select("*", *cols).drop("_tus")

@@ -734,3 +734,105 @@ def test_rolling_autocorr_guards_and_constant(spark):
         rolling_autocorr(
             df, by="g", order="i", value_col="v", lag=3, window_rows=4
         )
+
+
+# ---------------------------------------------------------------------------
+# time_since_event / future_outcomes
+# ---------------------------------------------------------------------------
+
+
+def _us(t):
+    return int((t - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)).total_seconds() * 1e6)
+
+
+def test_time_since_event_bruteforce(spark):
+    from acoustic_feature_extractor_spark.operators.temporal import time_since_event
+
+    df, pdf = _events(spark)
+    out = (
+        time_since_event(
+            df, F.col("cat") == "c0", key="user_id", ts_col="ts", out_col="since_s"
+        )
+        .select("event_id", "since_s")
+        .toPandas()
+        .set_index("event_id")["since_s"]
+    )
+    pdf = pdf.assign(us=pdf["ts"].map(_us))
+    for _, r in pdf.iterrows():
+        past = pdf[(pdf.user_id == r.user_id) & (pdf.us < r.us) & (pdf.cat == "c0")]
+        exp = (r.us - past.us.max()) / 1e6 if len(past) else None
+        got = out.loc[r.event_id]
+        if exp is None:
+            assert pd.isna(got), (r.event_id, got)
+        else:
+            assert got == pytest.approx(exp), (r.event_id, got, exp)
+
+
+def test_time_since_event_chunked_equals_plain(spark):
+    from acoustic_feature_extractor_spark.operators.temporal import time_since_event
+
+    df, _ = _events(spark)
+    mark = F.col("cat") == "c0"
+    plain = time_since_event(
+        df, mark, key="user_id", ts_col="ts", max_lookback_seconds=900.0
+    )
+    chunked = time_since_event(
+        df,
+        mark,
+        key="user_id",
+        ts_col="ts",
+        chunk_seconds=1800.0,
+        max_lookback_seconds=900.0,
+    )
+    a = plain.orderBy("event_id").toPandas()
+    b = chunked.orderBy("event_id").toPandas()[a.columns]
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_time_since_event_chunk_guard(spark):
+    from acoustic_feature_extractor_spark.operators.temporal import time_since_event
+
+    df, _ = _events(spark)
+    with pytest.raises(ValueError, match="max_lookback_seconds"):
+        time_since_event(df, F.lit(True), chunk_seconds=100.0)
+    with pytest.raises(ValueError, match="max_lookback_seconds"):
+        time_since_event(
+            df, F.lit(True), chunk_seconds=100.0, max_lookback_seconds=200.0
+        )
+
+
+def test_future_outcomes_bruteforce(spark):
+    from acoustic_feature_extractor_spark.operators.temporal import future_outcomes
+
+    df, pdf = _events(spark)
+    h = 600.0
+    out = (
+        future_outcomes(
+            df,
+            F.col("cat") == "c2",
+            horizon_seconds=h,
+            key="user_id",
+            ts_col="ts",
+            value_col="value",
+        )
+        .select("event_id", "future_n", "future_any", "future_ttf_s", "future_sum")
+        .toPandas()
+        .set_index("event_id")
+    )
+    pdf = pdf.assign(us=pdf["ts"].map(_us))
+    for _, r in pdf.iterrows():
+        # strictly after: same-timestamp ties are NOT the future
+        win = pdf[
+            (pdf.user_id == r.user_id)
+            & (pdf.us > r.us)
+            & (pdf.us <= r.us + h * 1e6)
+            & (pdf.cat == "c2")
+        ]
+        g = out.loc[r.event_id]
+        assert g.future_n == len(win)
+        assert bool(g.future_any) == (len(win) > 0)
+        if len(win):
+            assert g.future_ttf_s == pytest.approx((win.us.min() - r.us) / 1e6)
+            assert g.future_sum == pytest.approx(win.value.sum())
+        else:
+            assert pd.isna(g.future_ttf_s) and pd.isna(g.future_sum)
