@@ -479,3 +479,58 @@ def test_rolling_autocorr_single_exchange(spark, entry_mod):
     ex = df._jdf.queryExecution().executedPlan().toString()
     assert ex.count("Exchange hashpartitioning") == 1, ex[:2000]
     assert "Join" not in ex
+
+
+def test_recency_and_labels_fuse_onto_one_exchange(spark, entry_mod):
+    """time_since_event (backward RANGE) and future_outcomes (forward
+    RANGE) composed on the same key share ONE (key, t) exchange — the
+    "labels join features for free" claim: Catalyst fuses both frames
+    onto a single sort, no second shuffle, no Python."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from acoustic_feature_extractor_spark.operators.temporal import (
+        future_outcomes,
+        time_since_event,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    feat = time_since_event(
+        ev, F.col("event_type") == "click", key="user_id", ts_col="ts"
+    )
+    both = future_outcomes(
+        feat,
+        F.col("event_type") == "error",
+        horizon_seconds=3600.0,
+        key="user_id",
+        ts_col="ts",
+    )
+    plan = _plan(both)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert ex == 1, f"expected 1 shared exchange, saw {ex}\n{plan}"
+
+
+def test_cms_rollup_partial_agg_no_join(spark):
+    """cms_rollup is one scan + map-side explode + partial/final groupBy:
+    exactly one exchange (carrying counters, not items) and no join; the
+    estimate probe joins only the counter table."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from acoustic_feature_extractor_spark.operators.sketches import cms_rollup
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    cms = cms_rollup(
+        ev.select(F.col("user_id").cast("string").alias("item")), "item",
+        depth=4, width=64,
+    )
+    plan = _plan(cms)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan, plan[:2000]
+    ex = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert ex == 1, f"expected 1 exchange, saw {ex}\n{plan}"
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial_count" in plan or "HashAggregate" in plan

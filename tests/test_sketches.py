@@ -703,3 +703,42 @@ def test_cms_unseen_item_and_parquet_round_trip(spark, tmp_path):
     # wide sketch, 40 items: every depth row colliding is ~(40/4096)^4 —
     # deterministic hashes, verified zero
     assert est.freq_est == 0
+
+
+def test_cms_apply_changes_equals_rebuild(spark):
+    """CDC fold ≡ rebuild, frame-for-frame: counters are linear in the
+    facts, so inserts add and deletes subtract exactly (full
+    retractability — the property HLL lacks), and zeroed cells vanish."""
+    import pandas as pd
+
+    from acoustic_feature_extractor_spark.operators.sketches import (
+        cms_apply_changes,
+        cms_rollup,
+    )
+
+    df = _cms_fixture(spark)
+    v1 = df.where(F.col("grp") != "g2")
+    # v2 = v1 - (some g0 rows) + (all g2 rows)
+    dropped = v1.where(F.col("item").isin("item0", "item3")).limit(20)
+    added = df.where(F.col("grp") == "g2")
+    v2 = v1.exceptAll(dropped).unionByName(added)
+    changes = dropped.withColumn("_change_type", F.lit("delete")).unionByName(
+        added.withColumn("_change_type", F.lit("insert"))
+    )
+    folded = (
+        cms_apply_changes(
+            cms_rollup(v1, "item", depth=3, width=32),
+            changes,
+            "item",
+            depth=3,
+            width=32,
+        )
+        .orderBy("d", "bucket")
+        .toPandas()
+    )
+    rebuilt = (
+        cms_rollup(v2, "item", depth=3, width=32).orderBy("d", "bucket").toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        folded.reset_index(drop=True), rebuilt.reset_index(drop=True)
+    )
