@@ -5133,6 +5133,52 @@ SELECT item, CAST(freq_est AS BIGINT) AS freq_est FROM est
 """
 
 
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives (``sample.negative_sample``):
+    every 7th document anchors 3 pseudo-random pool draws. The pool's
+    dense [0, N) index is built WITHOUT a global sort (bucket-rank +
+    broadcast offsets) but equals ``row_number() OVER (ORDER BY bucket,
+    h, id) - 1`` — which is exactly what the oracle recomputes, so the
+    hash match proves the two-phase index AND the picks are
+    engine/partitioning-independent."""
+    d = _t(spark, sf_dir, "documents")
+    anchors = d.where(F.col("doc_id") % 7 == 0)
+    r = sample_ops.negative_sample(
+        anchors, d, k=3, anchor_col="doc_id", pool_col="doc_id",
+        seed=7, buckets=16,
+    )
+    return r.select(
+        "doc_id_anchor",
+        F.col("neg_rank").cast("long").alias("neg_rank"),
+        "doc_id_negative",
+    )
+
+
+def _sql_negative_sample() -> str:
+    ph = "concat_ws(':', CAST(doc_id AS VARCHAR), '7')"
+    pa = "concat_ws(':', CAST(aid AS VARCHAR), CAST(j AS VARCHAR), '8')"
+    return f"""
+WITH h0 AS (SELECT doc_id, {_sql_phash(ph)} AS hr FROM documents),
+hx AS (SELECT doc_id, {_sql_pmix('hr')} AS h FROM h0),
+ix AS (
+  SELECT doc_id, row_number() OVER (ORDER BY h % 16, h, doc_id) - 1 AS idx
+  FROM hx
+),
+n AS (SELECT count(*) AS nn FROM documents),
+pj AS (
+  SELECT doc_id AS aid, j
+  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) dd
+  WHERE doc_id % 7 = 0
+),
+ph0 AS (SELECT aid, j, {_sql_phash(pa)} AS hr FROM pj),
+phx AS (SELECT aid, j, ({_sql_pmix('hr')}) % (SELECT nn FROM n) AS pick FROM ph0)
+SELECT phx.aid AS doc_id_anchor, CAST(j AS BIGINT) AS neg_rank,
+       ix.doc_id AS doc_id_negative
+FROM phx JOIN ix ON phx.pick = ix.idx
+WHERE ix.doc_id != phx.aid
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5291,6 +5337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "response_latency": q_response_latency,
         "future_label": q_future_label,
         "sketch_cms": q_sketch_cms,
+        "negative_sample": q_negative_sample,
     }
 
 
@@ -5428,4 +5475,5 @@ def oracle_sql() -> dict[str, str]:
         "response_latency": _SQL_RESPONSE_LATENCY,
         "future_label": _SQL_FUTURE_LABEL,
         "sketch_cms": _sql_sketch_cms(),
+        "negative_sample": _sql_negative_sample(),
     }

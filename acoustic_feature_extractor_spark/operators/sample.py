@@ -375,3 +375,89 @@ def weighted_sample(
             k=int(k), rank_col=rank_col,
         ).drop("_g")
     return out.drop("_es_key")
+
+
+def negative_sample(
+    anchors: DataFrame,
+    pool: DataFrame,
+    k: int,
+    anchor_col: str,
+    pool_col: str,
+    seed: int = 7,
+    buckets: int = 64,
+) -> DataFrame:
+    """Deterministic contrastive negatives: for every anchor, ``k``
+    pseudo-random draws (with replacement) from the candidate pool —
+    (anchor, neg_rank, negative), self-matches dropped (so "at most k";
+    oversample and trim if exactly-k matters). The standard mining step
+    for contrastive/embedding training data, made engine-portable: both
+    the pool permutation and the per-(anchor, j) pick come from the
+    SQL-portable hash, so the SAME pairs come out of any engine, any
+    partitioning, any cluster size.
+
+    Scale shape — nothing global, nothing random at runtime:
+
+    1. The pool gets an exact dense index [0, N) WITHOUT a global sort:
+       hash-bucket the permutation key, rank inside each bucket, add tiny
+       broadcast per-bucket offsets (the two-phase rank used by the
+       distributed weighted percentile). The index equals
+       ``row_number() OVER (ORDER BY bucket, h, id) - 1`` — which is what
+       the DuckDB oracle recomputes — but costs one hash-partition
+       exchange instead of a single-partition sort. At 10^9+ pool rows,
+       write it once at rest and reuse across training runs.
+    2. Anchors explode k probe rows; pick = hash(anchor, j, seed) mod N
+       (N arrives via a 1-row broadcast, not a driver action).
+    3. One equi-join probes.pick == pool.idx delivers the negatives.
+    """
+    from acoustic_feature_extractor_spark.operators.dedup import (
+        portable_mix,
+        token_hash_portable,
+    )
+    from acoustic_feature_extractor_spark.plans.hints import maybe_broadcast
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def _h(*parts) -> F.Column:
+        s = F.concat_ws(":", *[p.cast("string") for p in parts])
+        return portable_mix(token_hash_portable(s))
+
+    p = pool.select(F.col(pool_col).alias("_pid")).withColumn(
+        "_h", _h(F.col("_pid"), F.lit(int(seed)))
+    )
+    p = p.withColumn("_b", F.pmod("_h", F.lit(int(buckets))))
+    rank = F.row_number().over(Window.partitionBy("_b").orderBy("_h", "_pid"))
+    sizes = p.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(  # `buckets` rows: the window sort is trivial
+        "_b", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off")
+    )
+    indexed = p.join(maybe_broadcast(offsets), "_b").select(
+        "_pid", (F.col("_off") + rank - 1).alias("_idx")
+    )
+    n_df = sizes.agg(F.sum("_n").alias("_N"))
+    probes = (
+        anchors.select(F.col(anchor_col).alias("_aid"))
+        .select(
+            "_aid",
+            F.explode(F.array(*[F.lit(j) for j in range(int(k))])).alias("neg_rank"),
+        )
+        .crossJoin(maybe_broadcast(n_df))
+        .select(
+            "_aid",
+            "neg_rank",
+            F.pmod(
+                _h(F.col("_aid"), F.col("neg_rank"), F.lit(int(seed) + 1)),
+                F.col("_N"),
+            ).alias("_pick"),
+        )
+    )
+    return (
+        probes.join(indexed, probes["_pick"] == indexed["_idx"])
+        .where(F.col("_pid") != F.col("_aid"))
+        .select(
+            F.col("_aid").alias(anchor_col + "_anchor"),
+            "neg_rank",
+            F.col("_pid").alias(pool_col + "_negative"),
+        )
+    )

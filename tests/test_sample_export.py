@@ -249,3 +249,60 @@ def test_weighted_sample_rejects_bad_weight(spark):
         weighted_sample(df, k=1, weight_col="w", key_col="id").collect()
     with _pytest.raises(ValueError):
         weighted_sample(df, k=0, weight_col="w", key_col="id")
+
+
+# ---------------------------------------------------------------------------
+# negative_sample
+# ---------------------------------------------------------------------------
+
+
+def test_negative_sample_contract(spark):
+    """Each anchor gets exactly k negatives minus self-hits; negatives
+    come from the pool; the whole thing is a pure function of
+    (ids, k, seed)."""
+    from acoustic_feature_extractor_spark.operators.sample import negative_sample
+
+    pool = spark.range(0, 97).withColumnRenamed("id", "doc_id")
+    anchors = spark.range(0, 97, 5).withColumnRenamed("id", "doc_id")
+    out = negative_sample(anchors, pool, k=4, anchor_col="doc_id",
+                          pool_col="doc_id", seed=7).toPandas()
+    per = out.groupby("doc_id_anchor").size()
+    n_anchors = anchors.count()
+    assert set(per.index) <= set(range(0, 97, 5))
+    assert (per <= 4).all() and (per >= 3).all()  # at most one self-hit per rank set
+    assert out["doc_id_negative"].isin(range(97)).all()
+    assert (out["doc_id_anchor"] != out["doc_id_negative"]).all()
+    # determinism + coverage: ~all anchors present (an anchor vanishes only
+    # if all 4 picks self-hit — impossible, picks differ mod N)
+    assert len(per) == n_anchors
+
+
+def test_negative_sample_partition_invariant_and_deterministic(spark):
+    from acoustic_feature_extractor_spark.operators.sample import negative_sample
+
+    pool = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    anchors = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+
+    def run(p, a):
+        return (
+            negative_sample(a, p, k=3, anchor_col="doc_id", pool_col="doc_id")
+            .orderBy("doc_id_anchor", "neg_rank")
+            .toPandas()
+        )
+
+    import pandas as pd
+
+    base = run(pool, anchors)
+    again = run(pool.repartition(13), anchors.repartition(3))
+    pd.testing.assert_frame_equal(base.reset_index(drop=True),
+                                  again.reset_index(drop=True))
+
+
+def test_negative_sample_k_guard(spark):
+    import pytest as _pytest
+
+    from acoustic_feature_extractor_spark.operators.sample import negative_sample
+
+    pool = spark.range(5).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError, match="k must be"):
+        negative_sample(pool, pool, k=0, anchor_col="doc_id", pool_col="doc_id")
