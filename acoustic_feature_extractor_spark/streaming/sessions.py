@@ -510,3 +510,71 @@ def streaming_seasonal_baseline(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_time_since_event(
+    stream: DataFrame,
+    mark_col: str,
+    key: str = "conv_id",
+    ts: str = "ts",
+    out_col: str = "since_s",
+):
+    """Streaming twin of ``operators/temporal.time_since_event``: seconds
+    since the entity's most recent STRICTLY-PAST row where the (upstream,
+    plan-computed) boolean ``mark_col`` holds. GroupState carries ONE
+    long per entity — the last marked epoch-µs — so state is O(entities)
+    regardless of conversation length, the same carry the batch
+    time-chunk salting hands between chunks.
+
+    Tie semantics match the batch RANGE frame exactly: rows sharing a
+    timestamp never see each other (the carried max only advances when
+    the timestamp strictly increases), so a marked row at t is invisible
+    to its tie-mates and to itself. Whole-group sort per batch (Arrow
+    chunks of one group carry no order guarantee). In-order delivery per
+    entity across batches is the caller's contract, as with every
+    append-mode stateful op here.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key} string, {ts} timestamp, {mark_col} boolean, {out_col} double"
+    )
+    state_schema = "last_us long"
+
+    def fn(key_tuple, pdfs, state: GroupState):
+        last0 = state.get[0] if state.exists else None
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if not frames:
+            state.update((last0,))
+            yield pd.DataFrame(columns=[key, ts, mark_col, out_col])
+            return
+        pdf = pd.concat(frames).sort_values(ts, kind="mergesort")
+        us = pdf[ts].astype("int64").to_numpy() // 1000  # ns -> µs, exact
+        mk = pdf[mark_col].fillna(False).to_numpy(dtype=bool)
+        # µs < 2^53: float64 carries them exactly, NaN = "no mark yet"
+        mus = np.where(mk, us.astype("float64"), np.nan)
+        cm = np.fmax.accumulate(mus)  # inclusive running max, NaN-skipping
+        # strictly-past: each row reads the inclusive max of the LAST row
+        # with a strictly smaller timestamp (tie-mates collapse together)
+        s = pd.Series(cm, index=pd.Index(us, name="us"))
+        prev_per_us = s.groupby(level="us").last().shift(1)
+        base = prev_per_us.reindex(us).to_numpy()
+        if last0 is not None:
+            base = np.fmax(base, float(last0))
+        out = pdf[[key, ts, mark_col]].copy()
+        out[out_col] = (us - base) / 1e6
+        new_last = np.nanmax(mus) if mk.any() else np.nan
+        if last0 is not None:
+            new_last = np.fmax(new_last, float(last0))
+        state.update((int(new_last) if not np.isnan(new_last) else None,))
+        yield out
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -690,3 +690,77 @@ def test_streaming_seasonal_baseline_matches_batch(spark):
             assert gm is None, k
         else:
             assert abs(gm - em) < 1e-9, k
+
+
+def test_streaming_time_since_event_matches_batch(spark):
+    """Streaming recency (one long of GroupState per entity) equals the
+    batch ``temporal.time_since_event`` on the same input across three
+    in-order micro-batches — including exact-timestamp ties, which must
+    be invisible to each other in BOTH engines."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from acoustic_feature_extractor_spark.operators.temporal import (
+        time_since_event,
+    )
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_time_since_event,
+    )
+
+    # 2 entities x 300 events; every 10th pair shares a timestamp (tie);
+    # mark ~ every 7th event
+    rows = spark.range(600).selectExpr(
+        "CAST(id % 2 AS STRING) AS conv_id",
+        "timestamp_micros(CAST(1704067200000000 + (id DIV 2) * 37000000"
+        " + CASE WHEN (id DIV 2) % 10 = 9 THEN -37000000 ELSE 0 END"
+        " + (id % 2) * 1000000 AS BIGINT)) AS ts",
+        "pmod(xxhash64(id), 7) = 0 AS is_mark",
+    ).cache()
+
+    batch = time_since_event(
+        rows.selectExpr("conv_id", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "is_mark"),
+        F.col("is_mark"),
+        key="conv_id",
+        ts_col="ts",
+        out_col="since_s",
+    )
+    exp = {
+        (r["conv_id"], str(r["ts"]), bool(r["is_mark"])): r["since_s"]
+        for r in batch.collect()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        for lo, hi in ((0, 200), (200, 400), (400, 600)):
+            rows.where(f"id >= {lo} AND id < {hi}").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_time_since_event(stream, "is_mark")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("since_stream")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["conv_id"], str(r["ts"]), bool(r["is_mark"])): r["since_s"]
+                for r in spark.table("since_stream").collect()
+            }
+        finally:
+            q.stop()
+    assert set(got) == set(exp)
+    for k in exp:
+        a, b = exp[k], got[k]
+        if a is None:
+            assert b is None, (k, b)
+        else:
+            assert b == pytest.approx(a), (k, a, b)
