@@ -5179,6 +5179,102 @@ WHERE ix.doc_id != phx.aid
 """
 
 
+def q_pit_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-freshness audit of the point-in-time join: per feature
+    source, match rate and the staleness distribution (spine ts − matched
+    feature ts) — the join-quality dashboard a feature store publishes
+    next to every PIT backfill. Reuses the single-shuffle
+    ``point_in_time_enrich`` (same three sources + tolerance as
+    ``pit_enrich``), unpivots the K matched timestamps with one
+    ``stack``, and aggregates per source: all map-side work on the
+    enriched frame, one |sources|-row result."""
+    ev = _t(spark, sf_dir, "events")
+    spine = ev.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("vvalue"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.sum("value").alias("pvalue"))
+    )
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.count("*").alias("en"))
+    )
+    j = asof_ops.point_in_time_enrich(
+        spine,
+        {"view": views, "purchase": purchases, "error": errors},
+        on="ts",
+        by="user_id",
+        tolerance_seconds={"error": 86400.0},
+    )
+    long = j.select(
+        _sec("ts").alias("t"),
+        F.expr(
+            "stack(3, 'view', ts_view, 'purchase', ts_purchase, "
+            "'error', ts_error) AS (source, mts)"
+        ),
+    ).withColumn("stale_s", F.col("t") - _sec("mts"))
+    return (
+        long.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_spine"),
+            F.count("mts").alias("n_matched"),
+            F.round(F.count("mts") / F.count(F.lit(1)), 6).alias("match_rate"),
+            F.round(F.expr("percentile(stale_s, 0.5)"), 6).alias("p50_stale_s"),
+            F.round(F.expr("percentile(stale_s, 0.9)"), 6).alias("p90_stale_s"),
+            F.round(F.max("stale_s"), 6).alias("max_stale_s"),
+        )
+    )
+
+
+_SQL_PIT_STALENESS = """
+WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+p AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+e AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+),
+j1 AS (
+  SELECT c.user_id, c.event_id, c.ts, v.ts AS vts
+  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+),
+j2 AS (
+  SELECT j1.*, p.ts AS pts
+  FROM j1 ASOF LEFT JOIN p ON j1.user_id = p.user_id AND j1.ts >= p.ts
+),
+j3 AS (
+  SELECT j2.*,
+         CASE WHEN epoch_us(j2.ts) - epoch_us(e.ts) <= 86400.0 * 1000000
+              THEN e.ts END AS ets
+  FROM j2 ASOF LEFT JOIN e ON j2.user_id = e.user_id AND j2.ts >= e.ts
+),
+long AS (
+  SELECT epoch_us(ts)/1000000.0 AS t, u.source,
+         CASE u.source WHEN 'view' THEN epoch_us(vts)/1000000.0
+                       WHEN 'purchase' THEN epoch_us(pts)/1000000.0
+                       ELSE epoch_us(ets)/1000000.0 END AS mt
+  FROM j3 CROSS JOIN (SELECT unnest(['view', 'purchase', 'error']) AS source) u
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_spine,
+       CAST(count(mt) AS BIGINT) AS n_matched,
+       round(CAST(count(mt) AS DOUBLE) / count(*), 6) AS match_rate,
+       round(quantile_cont(t - mt, 0.5), 6) AS p50_stale_s,
+       round(quantile_cont(t - mt, 0.9), 6) AS p90_stale_s,
+       round(max(t - mt), 6) AS max_stale_s
+FROM long GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5338,6 +5434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "future_label": q_future_label,
         "sketch_cms": q_sketch_cms,
         "negative_sample": q_negative_sample,
+        "pit_staleness": q_pit_staleness,
     }
 
 
@@ -5476,4 +5573,5 @@ def oracle_sql() -> dict[str, str]:
         "future_label": _SQL_FUTURE_LABEL,
         "sketch_cms": _sql_sketch_cms(),
         "negative_sample": _sql_negative_sample(),
+        "pit_staleness": _SQL_PIT_STALENESS,
     }
