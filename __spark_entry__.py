@@ -5105,7 +5105,12 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     portable hashes, counter sums, and min-probe in DuckDB — is pinning
     the one-sided collision arithmetic, not a trivial exact count."""
     ev = _t(spark, sf_dir, "events")
-    facts = ev.select("event_type", F.col("user_id").cast("string").alias("item"))
+    # the interpreted portable fold is the per-row cost; spread it over
+    # every core even when the source is one small parquet file (at real
+    # scale the scan has thousands of partitions and this is a no-op cost)
+    facts = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("item")
+    ).repartition(spark.sparkContext.defaultParallelism)
     per_type = sk_ops.cms_rollup(facts, "item", by="event_type", depth=4, width=64)
     merged = sk_ops.cms_coarser(per_type, by=None)
     items = facts.select("item").distinct()
@@ -5114,16 +5119,25 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_sketch_cms() -> str:
-    # the d-tagged bucket hash, replayed once per depth row d in 0..3
+    # Kirsch-Mitzenmacher lanes: ONE polynomial fold per item (hb), a
+    # swapped-halves remix for the second lane (hs), then
+    # bucket_d = (b1 + d*b2) % width — identical to _cms_bucket_cols
     return f"""
 WITH f AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
 cnt AS (SELECT item, count(*) AS n FROM f GROUP BY item),
-tag AS (
-  SELECT item, n, d, (CAST(d AS VARCHAR) || ':' || item) AS tg
-  FROM cnt CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) dd
+h0 AS (SELECT item, n, {_sql_phash('item')} AS hb FROM cnt),
+h1 AS (
+  SELECT item, n, hb, ((hb >> 31) + ((hb & 2147483647) << 31)) AS hs FROM h0
 ),
-h0 AS (SELECT item, n, d, {_sql_phash('tg')} AS h FROM tag),
-hb AS (SELECT item, n, d, ({_sql_pmix('h')}) % 64 AS bucket FROM h0),
+h2 AS (
+  SELECT item, n, ({_sql_pmix('hb')}) % 64 AS b1,
+         ({_sql_pmix('hs')}) % 64 AS b2
+  FROM h1
+),
+hb AS (
+  SELECT item, n, d, (b1 + d * b2) % 64 AS bucket
+  FROM h2 CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) dd
+),
 sk AS (SELECT d, bucket, sum(n) AS cnt FROM hb GROUP BY d, bucket),
 est AS (
   SELECT hb.item, min(sk.cnt) AS freq_est

@@ -742,23 +742,66 @@ def topk_compress(
 # Carrier: LONG-FORM rows (by..., d, bucket, cnt) — d in [0, depth),
 # bucket in [0, width). Merging is groupBy-sum (counter matrices add),
 # identical in shape to hist_rollup, so the same cascade/CDC machinery
-# applies. The row hash is the SQL-portable polynomial over "<d>:<item>"
-# finished with portable_mix — deterministic in any engine, which is what
-# lets the DuckDB oracle recompute the sketch AND the estimate exactly
+# applies. Buckets come from Kirsch-Mitzenmacher double hashing of the
+# SQL-portable polynomial (one interpreted fold per row; per-depth lanes
+# are pure arithmetic) — deterministic in any engine, which is what lets
+# the DuckDB oracle recompute the sketch AND the estimate exactly
 # (pass hash_fn for xxhash64 in production; same downstream math).
 
 
-def _cms_bucket(item, d: int, width: int, hash_fn=None):
+def _cms_lanes(item, width: int, hash_fn=None) -> tuple:
+    """The two Kirsch-Mitzenmacher hash lanes (b1, b2), each in
+    [0, width): bucket_d = (b1 + d*b2) mod width. b2 comes from mixing
+    the polynomial fold's two packed 31-bit accumulators with their
+    halves SWAPPED — an independent avalanche of the same base state,
+    replayed identically in the DuckDB oracle. With ``hash_fn`` (e.g.
+    xxhash64 for production) the lanes are two tagged calls — builtin
+    hashes are codegen-cheap."""
     from acoustic_feature_extractor_spark.operators.dedup import (
         portable_mix,
         token_hash_portable,
     )
 
-    tagged = F.concat(F.lit(f"{d}:"), item.cast("string"))
-    h = hash_fn(tagged) if hash_fn is not None else portable_mix(
-        token_hash_portable(tagged)
+    if hash_fn is not None:
+        u1 = hash_fn(F.concat(F.lit("a:"), item.cast("string")))
+        u2 = hash_fn(F.concat(F.lit("b:"), item.cast("string")))
+    else:
+        base = token_hash_portable(item.cast("string"))
+        swapped = F.shiftright(base, 31) + F.shiftleft(
+            base.bitwiseAND(F.lit((1 << 31) - 1)), 31
+        )
+        u1 = portable_mix(base)
+        u2 = portable_mix(swapped)
+    return F.pmod(u1, F.lit(int(width))), F.pmod(u2, F.lit(int(width)))
+
+
+def _with_cms_pairs(df: DataFrame, item, depth: int, width: int, hash_fn=None):
+    """Project the lanes as REAL COLUMNS first, then build the per-depth
+    (d, bucket) structs from column references in a second projection.
+    The polynomial fold is an interpreted higher-order function, outside
+    whole-stage codegen's subexpression elimination — inlining it into
+    every array element re-evaluates it per depth per row (measured 1.6×
+    on the bench table); the column barrier pins it to twice per row
+    total, with per-depth buckets pure codegen arithmetic."""
+    b1, b2 = _cms_lanes(item, width, hash_fn)
+    d2 = df.withColumn("_cms_b1", b1).withColumn("_cms_b2", b2)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.col("_cms_b1") + d * F.col("_cms_b2"), F.lit(int(width)))
+                .cast("long")
+                .alias("bucket"),
+            )
+            for d in range(int(depth))
+        ]
     )
-    return F.pmod(h, F.lit(int(width))).cast("long")
+    return d2, pairs
+
+
+def _cms_bucket(item, d: int, width: int, hash_fn=None):
+    b1, b2 = _cms_lanes(item, width, hash_fn)
+    return F.pmod(b1 + d * b2, F.lit(int(width))).cast("long")
 
 
 def cms_rollup(
@@ -778,18 +821,9 @@ def cms_rollup(
     """
     by_cols = [by] if isinstance(by, str) else list(by or [])
     item = F.col(item_col)
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"),
-                _cms_bucket(item, d, width, hash_fn).alias("bucket"),
-            )
-            for d in range(int(depth))
-        ]
-    )
+    src, pairs = _with_cms_pairs(df.where(item.isNotNull()), item, depth, width, hash_fn)
     return (
-        df.where(item.isNotNull())
-        .select(*by_cols, F.explode(pairs).alias("_db"))
+        src.select(*by_cols, F.explode(pairs).alias("_db"))
         .groupBy(*by_cols, F.col("_db.d").alias("d"), F.col("_db.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -828,20 +862,9 @@ def cms_estimate(
     estimate) is 0 — kept via the coalesce, not dropped by the join."""
     by_cols = [by] if isinstance(by, str) else list(by or [])
     item = F.col(item_col)
-    probes = items.select(
-        *by_cols,
-        item_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        _cms_bucket(item, d, width, hash_fn).alias("bucket"),
-                    )
-                    for d in range(int(depth))
-                ]
-            )
-        ).alias("_db"),
+    src, pairs = _with_cms_pairs(items, item, depth, width, hash_fn)
+    probes = src.select(
+        *by_cols, item_col, F.explode(pairs).alias("_db")
     ).select(*by_cols, item_col, F.col("_db.d").alias("d"), F.col("_db.bucket").alias("bucket"))
     j = probes.join(cms, on=[*by_cols, "d", "bucket"], how="left")
     return (
@@ -877,18 +900,11 @@ def cms_apply_changes(
     sign = F.when(
         F.col(change_type_col) == F.lit("insert"), F.lit(1)
     ).otherwise(F.lit(-1))
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(d).alias("d"),
-                _cms_bucket(item, d, width, hash_fn).alias("bucket"),
-            )
-            for d in range(int(depth))
-        ]
+    src, pairs = _with_cms_pairs(
+        changes.where(item.isNotNull()), item, depth, width, hash_fn
     )
     delta = (
-        changes.where(item.isNotNull())
-        .select(*by_cols, sign.alias("_sgn"), F.explode(pairs).alias("_db"))
+        src.select(*by_cols, sign.alias("_sgn"), F.explode(pairs).alias("_db"))
         .groupBy(
             *by_cols, F.col("_db.d").alias("d"), F.col("_db.bucket").alias("bucket")
         )
