@@ -146,6 +146,16 @@ def _parity(a: dict, b: dict, rel_tol: float = 1e-6) -> bool:
 STAGES_PATH = os.path.join(REPO, "BENCH", "stage_results.json")
 
 
+def _head_commit() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=REPO, check=True,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
 def _load_stages() -> dict:
     if os.path.exists(STAGES_PATH):
         with open(STAGES_PATH) as f:
@@ -172,17 +182,24 @@ def run_stage(name: str) -> dict:
         result = json.loads(bline)
     else:
         result = run(int(name))
+    result["commit"] = _head_commit()
     stages = _load_stages()
     prev = stages.get(name)
     if (
         name != "bench"
         and prev is not None
+        and prev.get("commit") == result["commit"]
         and prev.get("turns_per_sec", 0) > result["turns_per_sec"]
     ):
         # keep the best idle-window sample per leg: co-tenant noise only
         # ever DEGRADES a measurement (same philosophy as the within-leg
         # best-of-3 and the per-query floors), so a slower retry must not
-        # clobber a faster one already on record
+        # clobber a faster one already on record. SAME-COMMIT ONLY: a
+        # measurement of old code says nothing about current code, and an
+        # anomalously fast sample frozen across rounds once pinned stage-4
+        # at 1.37M turns/s while every fresh idle-box run of the same leg
+        # (this round and prior history) sits in the 0.70-0.98M band —
+        # the keep must expire when HEAD moves.
         print(json.dumps({"stage": name, "kept_previous": prev["turns_per_sec"],
                           "discarded": result["turns_per_sec"]}))
         return prev
@@ -253,7 +270,13 @@ def publish() -> None:
     if contended:
         entry["excluded"] = True
         entry["note"] = f"auto-excluded: contention signature — {contended}"
-    hist.append(entry)
+    # a re-publish over unchanged stage results is the SAME measurement —
+    # appending it again would weight it in the history median (the
+    # frozen stage-4 sample entered 4x this way before this guard)
+    same_meas = [h for h in hist if all(
+        h.get(k) == entry.get(k) for k in ("thr4", "thr16", "thr32"))]
+    if not same_meas:
+        hist.append(entry)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(hist_path, "w") as f:
         json.dump(hist, f, indent=1)
