@@ -5289,6 +5289,62 @@ FROM long GROUP BY source
 """
 
 
+_FV_FEATURES = ["dt_prev_sec", "roll_val_mean", "value_z"]
+
+
+def q_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/serve vector assembly (``features.assemble_feature_vector``):
+    the flagship feature columns packed into one ``array<double>`` with a
+    pinned (feature_idx, feature_name) manifest and zero-imputed NULLs
+    (row keeps the honest imputation count). Graded LONG-FORM — the
+    vector is posexploded and joined back to the broadcast manifest, so
+    every array element is compared as a canonicalized scalar and the
+    manifest ordering itself is part of the hash."""
+    base = q_flagship_features(spark, sf_dir)
+    v, mani = feat_ops.assemble_feature_vector(
+        base, _FV_FEATURES, impute=0.0, null_count_col="n_null"
+    )
+    return (
+        v.select(
+            "user_id",
+            "event_id",
+            "n_null",
+            F.posexplode("features").alias("feature_idx", "fval"),
+        )
+        .join(F.broadcast(mani), "feature_idx")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("feature_idx").cast("long").alias("feature_idx"),
+            "feature_name",
+            F.round("fval", 6).alias("fval"),
+            F.col("n_null").cast("long").alias("n_null"),
+        )
+    )
+
+
+def _sql_feature_vector() -> str:
+    names = ", ".join(f"'{n}'" for n in _FV_FEATURES)
+    cols = ", ".join(f"coalesce({c}, 0.0)" for c in _FV_FEATURES)
+    nulls = " + ".join(
+        f"CASE WHEN {c} IS NULL THEN 1 ELSE 0 END" for c in _FV_FEATURES
+    )
+    return f"""
+WITH base AS ({{flagship}}),
+v AS (
+  SELECT user_id, event_id, [{cols}] AS vec,
+         CAST({nulls} AS BIGINT) AS n_null
+  FROM base
+)
+SELECT user_id, event_id,
+       CAST(u.i - 1 AS BIGINT) AS feature_idx,
+       ([{names}])[u.i] AS feature_name,
+       round(vec[u.i], 6) AS fval,
+       n_null
+FROM v CROSS JOIN unnest(generate_series(1, {len(_FV_FEATURES)})) AS u(i)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5451,6 +5507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms": q_sketch_cms,
         "negative_sample": q_negative_sample,
         "pit_staleness": q_pit_staleness,
+        "feature_vector": q_feature_vector,
     }
 
 
@@ -5590,4 +5647,5 @@ def oracle_sql() -> dict[str, str]:
         "sketch_cms": _sql_sketch_cms(),
         "negative_sample": _sql_negative_sample(),
         "pit_staleness": _SQL_PIT_STALENESS,
+        "feature_vector": _sql_feature_vector().format(flagship=_SQL_FLAGSHIP),
     }

@@ -130,3 +130,47 @@ def assemble_context_onehot(
             )
         )
     return df.withColumn(out_col, F.concat(*parts))
+
+
+def assemble_feature_vector(
+    df: DataFrame,
+    features: list[str],
+    out_col: str = "features",
+    impute: float | None = None,
+    null_count_col: str | None = "n_null",
+):
+    """The train/serve handoff: named feature columns → one
+    ``array<double>`` plus the PINNED manifest that makes the ordering a
+    contract. Returns ``(df2, manifest)`` where ``manifest`` is a tiny
+    (feature_idx, feature_name) DataFrame — write it NEXT TO the vectors;
+    training and serving must both index through it, because "column 7"
+    silently meaning a different feature between backfill and serving is
+    the train/serve-skew bug class this exists to kill. (The reference's
+    flagship output is exactly such a fixed-layout vector —
+    ``linguistic_feature.py:97-127`` assembles onehots++durations by
+    position; this is that assembly generalized to any feature set.)
+
+    ``impute`` fills NULL features (and, with ``null_count_col``, the
+    row keeps an honest count of how many were imputed — at 100 TB you
+    audit imputation rates per partition, not per row). Without
+    ``impute``, NULLs pass through into the array. Pure projection: no
+    shuffle, no Python, fuses into whatever stage feeds it.
+    """
+    if not features:
+        raise ValueError("features must be a non-empty list of column names")
+    cols = [F.col(c).cast("double") for c in features]
+    if impute is not None:
+        arr = F.array(*[F.coalesce(c, F.lit(float(impute))) for c in cols])
+    else:
+        arr = F.array(*cols)
+    out = df.withColumn(out_col, arr)
+    if null_count_col is not None:
+        n_null = sum(
+            (F.when(c.isNull(), 1).otherwise(0) for c in cols), F.lit(0)
+        )
+        out = out.withColumn(null_count_col, n_null.cast("int"))
+    manifest = df.sparkSession.createDataFrame(
+        [(i, n) for i, n in enumerate(features)],
+        "feature_idx int, feature_name string",
+    )
+    return out, manifest

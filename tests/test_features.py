@@ -149,3 +149,36 @@ def test_onehot_out_of_vocab_and_null(spark):
     assert rows[2]["v"] == [0.0, 0.0, 0.0, 0.0]
     bad = vocabulary_violations(df, "x", VOCAB).collect()
     assert {r["x"] for r in bad} == {"INVALID", None}
+
+
+def test_assemble_feature_vector_contract(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from acoustic_feature_extractor_spark.operators.features import (
+        assemble_feature_vector,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2.0, None, 5), (2, 0.5, 3.25, None)],
+        "id long, a double, b double, c long",
+    )
+    out, mani = assemble_feature_vector(df, ["a", "b", "c"], impute=0.0)
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].features == [2.0, 0.0, 5.0] and rows[1].n_null == 1
+    assert rows[2].features == [0.5, 3.25, 0.0] and rows[2].n_null == 1
+    assert [(r.feature_idx, r.feature_name) for r in mani.orderBy("feature_idx").collect()] == [
+        (0, "a"), (1, "b"), (2, "c")
+    ]
+    # no impute: NULL passes through, count still honest
+    out2, _ = assemble_feature_vector(df, ["b"], impute=None)
+    r1 = {r.id: r for r in out2.collect()}
+    assert r1[1].features == [None] and r1[1].n_null == 1
+    with _pytest.raises(ValueError, match="non-empty"):
+        assemble_feature_vector(df, [])
+    # pure projection: no exchange in the plan
+    import contextlib, io, re
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert not re.findall(r"\(\d+\) Exchange\b", buf.getvalue())
