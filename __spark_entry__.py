@@ -5364,7 +5364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # ROUND-5 ROTATION (do this FIRST in r5 — the driver grades the
     # ordering as it stands at round END, so rotating mid-round-4 would
-    # strip the 43 aging queries of their r4 coverage): move these 25
+    # strip the 43 aging queries of their r4 coverage): move these 26
     # never-driver-graded queries to the head —
     #   turn_transitions, degenerate_loops, stream_context, sketch_topk,
     #   changepoints, drift_incremental, weighted_sample,
@@ -5372,7 +5372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   seasonal_baseline, drift_ks, rolling_autocorr, kanon_suppress,
     #   vocab_oov, tool_funnel, pit_enrich, cv_folds, drift_psi,
     #   response_latency, future_label, sketch_cms, negative_sample,
-    #   pit_staleness
+    #   pit_staleness, feature_vector
     # then fill the remaining ~25 slots with the r3-only-green set
     # (oldest driver evidence first); the r4-window queries just graded
     # need no slot.
