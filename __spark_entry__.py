@@ -5106,8 +5106,10 @@ def q_sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-sided collision arithmetic, not a trivial exact count."""
     ev = _t(spark, sf_dir, "events")
     # the interpreted portable fold is the per-row cost; spread it over
-    # every core even when the source is one small parquet file (at real
-    # scale the scan has thousands of partitions and this is a no-op cost)
+    # every core when the source is one small parquet file (one input
+    # split). This costs a shuffle of the 2-column projection — the right
+    # trade only in this under-split regime; at real scale the scan is
+    # already thousands of splits and a caller uses cms_rollup directly.
     facts = ev.select(
         "event_type", F.col("user_id").cast("string").alias("item")
     ).repartition(spark.sparkContext.defaultParallelism)
