@@ -51,6 +51,36 @@ def _t_us(ts_col: str) -> Column:
     return ntz_epoch_us(ts_col)
 
 
+def _chunk_salt(d: DataFrame, chunk_seconds: float, carry_seconds: float) -> DataFrame:
+    """Time-chunk salting shared by every chunked trailing operator: each
+    row lands in its own chunk, and rows in the trailing ``carry_seconds``
+    of a chunk are replicated into the NEXT chunk so every trailing frame
+    is complete inside (key, chunk). Requires the ``_tus`` epoch-µs
+    column; adds ``_chunk``. Uses ``pmod``, not ``%`` — Spark's ``%``
+    takes the dividend's sign, so a pre-epoch (negative-µs) timestamp
+    would get a negative remainder and silently never carry, breaking
+    chunked ≡ unchunked on any corpus with pre-1970 wall times."""
+    c_us = int(chunk_seconds * US)
+    own = F.floor(F.col("_tus") / F.lit(c_us)).cast("long")
+    nxt = F.when(
+        F.pmod(F.col("_tus"), F.lit(c_us)) >= c_us - int(carry_seconds * US),
+        own + 1,
+    )
+    return (
+        d.withColumn("_chunks", F.array_compact(F.array(own, nxt)))
+        .select("*", F.explode("_chunks").alias("_chunk"))
+        .drop("_chunks")
+    )
+
+
+def _emit_own_chunk(d: DataFrame, chunk_seconds: float) -> DataFrame:
+    """Drop the carry replicas: keep each row only in its own chunk."""
+    c_us = int(chunk_seconds * US)
+    return d.where(
+        F.floor(F.col("_tus") / F.lit(c_us)).cast("long") == F.col("_chunk")
+    ).drop("_chunk")
+
+
 def trailing_time_window(
     df: DataFrame,
     value_col: str,
@@ -85,16 +115,9 @@ def trailing_time_window(
             f"chunk_seconds={chunk_seconds} must cover the longest trailing "
             f"window {w_max}s — a carry row only reaches the adjacent chunk"
         )
-        c_us = int(chunk_seconds * US)
-        own = F.floor(F.col("_tus") / F.lit(c_us)).cast("long")
         # carry: rows in the trailing max-W of their chunk also serve the
         # next chunk's look-back; they contribute there but never emit
-        nxt = F.when(F.col("_tus") % c_us >= c_us - int(w_max * US), own + 1)
-        out = (
-            d.withColumn("_chunks", F.array_compact(F.array(own, nxt)))
-            .select("*", F.explode("_chunks").alias("_chunk"))
-            .drop("_chunks")
-        )
+        out = _chunk_salt(d, chunk_seconds, w_max)
         spec = Window.partitionBy(key, "_chunk").orderBy("_tus")
     cols: list[Column] = []
     for w_s in window_seconds:
@@ -113,10 +136,7 @@ def trailing_time_window(
             cols.append(agg_col.alias(f"{value_col}_{a}_{tag}s"))
     out = out.select("*", *cols)
     if chunk_seconds is not None:
-        c_us = int(chunk_seconds * US)
-        out = out.where(
-            F.floor(F.col("_tus") / F.lit(c_us)).cast("long") == F.col("_chunk")
-        ).drop("_chunk")
+        out = _emit_own_chunk(out, chunk_seconds)
     return out.drop("_tus")
 
 
@@ -872,16 +892,7 @@ def time_since_event(
                 f"chunk_seconds (got {max_lookback_seconds} vs {chunk_seconds})"
                 " — a carry row only reaches the adjacent chunk"
             )
-        c_us = int(chunk_seconds * US)
-        own = F.floor(F.col("_tus") / F.lit(c_us)).cast("long")
-        nxt = F.when(
-            F.col("_tus") % c_us >= c_us - int(max_lookback_seconds * US), own + 1
-        )
-        out = (
-            d.withColumn("_chunks", F.array_compact(F.array(own, nxt)))
-            .select("*", F.explode("_chunks").alias("_chunk"))
-            .drop("_chunks")
-        )
+        out = _chunk_salt(d, chunk_seconds, max_lookback_seconds)
         spec = Window.partitionBy(key, "_chunk").orderBy("_tus")
     lo = (
         Window.unboundedPreceding
@@ -892,10 +903,7 @@ def time_since_event(
     last_us = F.max(F.when(mark, F.col("_tus"))).over(frame)
     out = out.withColumn(out_col, (F.col("_tus") - last_us) / F.lit(float(US)))
     if chunk_seconds is not None:
-        c_us = int(chunk_seconds * US)
-        out = out.where(
-            F.floor(F.col("_tus") / F.lit(c_us)).cast("long") == F.col("_chunk")
-        ).drop("_chunk")
+        out = _emit_own_chunk(out, chunk_seconds)
     return out.drop("_tus")
 
 

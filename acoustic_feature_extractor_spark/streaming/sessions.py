@@ -526,13 +526,18 @@ def streaming_time_since_event(
     regardless of conversation length, the same carry the batch
     time-chunk salting hands between chunks.
 
-    Tie semantics match the batch RANGE frame exactly: rows sharing a
-    timestamp never see each other (the carried max only advances when
-    the timestamp strictly increases), so a marked row at t is invisible
-    to its tie-mates and to itself. Whole-group sort per batch (Arrow
-    chunks of one group carry no order guarantee). In-order delivery per
-    entity across batches is the caller's contract, as with every
-    append-mode stateful op here.
+    Tie semantics match the batch RANGE frame exactly, INCLUDING ties
+    that straddle a micro-batch boundary: rows sharing a timestamp never
+    see each other, so the state carries TWO marks — the newest mark µs
+    and the newest mark STRICTLY older than it. A later row tying the
+    carried newest mark must read the older one (strict past); carrying
+    only the max would leak the tied mark into its tie-mates
+    (since_s = 0 where batch says NULL/earlier). NULL timestamps emit
+    NULL and never enter the state, matching the batch operator's
+    null-_tus behavior. Whole-group sort per batch (Arrow chunks of one
+    group carry no order guarantee). In-order delivery per entity across
+    batches is the caller's contract, as with every append-mode stateful
+    op here.
     """
     import numpy as np
     import pandas as pd
@@ -541,34 +546,59 @@ def streaming_time_since_event(
     out_schema = (
         f"{key} string, {ts} timestamp, {mark_col} boolean, {out_col} double"
     )
-    state_schema = "last_us long"
+    state_schema = "last_us long, prev_us long"
 
     def fn(key_tuple, pdfs, state: GroupState):
-        last0 = state.get[0] if state.exists else None
+        l1, l2 = state.get if state.exists else (None, None)
         frames = [pdf for pdf in pdfs if len(pdf)]
         if not frames:
-            state.update((last0,))
+            state.update((l1, l2))
             yield pd.DataFrame(columns=[key, ts, mark_col, out_col])
             return
         pdf = pd.concat(frames).sort_values(ts, kind="mergesort")
-        us = pdf[ts].astype("int64").to_numpy() // 1000  # ns -> µs, exact
-        mk = pdf[mark_col].fillna(False).to_numpy(dtype=bool)
-        # µs < 2^53: float64 carries them exactly, NaN = "no mark yet"
-        mus = np.where(mk, us.astype("float64"), np.nan)
-        cm = np.fmax.accumulate(mus)  # inclusive running max, NaN-skipping
-        # strictly-past: each row reads the inclusive max of the LAST row
-        # with a strictly smaller timestamp (tie-mates collapse together)
-        s = pd.Series(cm, index=pd.Index(us, name="us"))
-        prev_per_us = s.groupby(level="us").last().shift(1)
-        base = prev_per_us.reindex(us).to_numpy()
-        if last0 is not None:
-            base = np.fmax(base, float(last0))
         out = pdf[[key, ts, mark_col]].copy()
-        out[out_col] = (us - base) / 1e6
-        new_last = np.nanmax(mus) if mk.any() else np.nan
-        if last0 is not None:
-            new_last = np.fmax(new_last, float(last0))
-        state.update((int(new_last) if not np.isnan(new_last) else None,))
+        res = np.full(len(pdf), np.nan)
+        ok = pdf[ts].notna().to_numpy()
+        if ok.any():
+            sub = pdf.loc[ok]
+            us = sub[ts].astype("int64").to_numpy() // 1000  # ns -> µs, exact
+            mk = sub[mark_col].fillna(False).to_numpy(dtype=bool)
+            # µs < 2^53: float64 carries them exactly, NaN = "no mark yet"
+            mus = np.where(mk, us.astype("float64"), np.nan)
+            cm = np.fmax.accumulate(mus)  # inclusive running max, NaN-skip
+            # strictly-past within the batch: each row reads the inclusive
+            # max of the LAST row with a strictly smaller timestamp
+            sr = pd.Series(cm, index=pd.Index(us, name="us"))
+            prev_per_us = sr.groupby(level="us").last().shift(1)
+            base = prev_per_us.reindex(us).to_numpy()
+            if l1 is not None:
+                carry = np.full(len(us), np.nan)
+                carry[us > l1] = float(l1)
+                if l2 is not None:
+                    carry[(us <= l1) & (us > l2)] = float(l2)
+                base = np.fmax(base, carry)
+            res[ok] = (us - base) / 1e6
+            # fold the batch's top-2 DISTINCT mark times into the carried pair
+            cand = [float(l1)] if l1 is not None else []
+            if l2 is not None:
+                cand.append(float(l2))
+            if mk.any():
+                bm = mus[~np.isnan(mus)]
+                b1 = float(bm.max())
+                cand.append(b1)
+                below = bm[bm < b1]
+                if below.size:
+                    cand.append(float(below.max()))
+            if cand:
+                n1 = max(cand)
+                lower = [v for v in cand if v < n1]
+                n2 = max(lower) if lower else None
+                state.update((int(n1), None if n2 is None else int(n2)))
+            else:
+                state.update((None, None))
+        else:
+            state.update((l1, l2))
+        out[out_col] = res
         yield out
 
     return stream.groupBy(key).applyInPandasWithState(

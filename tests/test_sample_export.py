@@ -269,12 +269,14 @@ def test_negative_sample_contract(spark):
     per = out.groupby("doc_id_anchor").size()
     n_anchors = anchors.count()
     assert set(per.index) <= set(range(0, 97, 5))
-    assert (per <= 4).all() and (per >= 3).all()  # at most one self-hit per rank set
+    # picks for different ranks are INDEPENDENT hashes mod N, so in
+    # principle several of one anchor's picks can self-hit and be
+    # dropped; these bounds are deterministic facts of the fixed
+    # (pool=97, seed=7, k=4) constants — recompute them if those change
+    assert (per <= 4).all() and (per >= 3).all()
     assert out["doc_id_negative"].isin(range(97)).all()
     assert (out["doc_id_anchor"] != out["doc_id_negative"]).all()
-    # determinism + coverage: ~all anchors present (an anchor vanishes only
-    # if all 4 picks self-hit — impossible, picks differ mod N)
-    assert len(per) == n_anchors
+    assert len(per) == n_anchors  # deterministic for these constants
 
 
 def test_negative_sample_partition_invariant_and_deterministic(spark):

@@ -764,3 +764,91 @@ def test_streaming_time_since_event_matches_batch(spark):
             assert b is None, (k, b)
         else:
             assert b == pytest.approx(a), (k, a, b)
+
+
+def test_streaming_time_since_event_cross_batch_tie_and_null_ts(spark):
+    """The two review-found failure modes, pinned: (a) a row in batch N+1
+    whose timestamp EQUALS a mark carried from batch N must NOT see that
+    mark (strict past — the state's second slot supplies the older mark,
+    exactly like the batch RANGE frame); (b) NULL timestamps emit NULL
+    and never poison the state."""
+    import datetime as dt
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from acoustic_feature_extractor_spark.operators.temporal import (
+        time_since_event,
+    )
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_time_since_event,
+    )
+
+    T0 = 1704067200  # 2024-01-01 00:00:00
+    rows1 = [  # drop 1
+        ("a", T0 + 100, True),   # older mark -> the strict-past answer
+        ("a", T0 + 500, True),   # newest mark, tied by a drop-2 row
+        ("a", T0 + 500, False),  # in-batch tie-mate (already covered)
+        ("b", None, True),       # NULL ts mark: must not enter state
+        ("b", T0 + 10, False),
+    ]
+    rows2 = [  # drop 2
+        ("a", T0 + 500, False),  # CROSS-BATCH tie with the carried mark
+        ("a", T0 + 600, False),  # past the tie: sees the newest mark
+        ("b", None, False),      # NULL ts row: NULL out
+        ("b", T0 + 20, False),   # still no real mark for b -> NULL
+    ]
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(c, None if t is None else dt.datetime.utcfromtimestamp(t), m)
+             for c, t, m in rows],
+            "conv_id string, ts timestamp, is_mark boolean",
+        )
+
+    full = df_of(rows1 + rows2)
+    batch = time_since_event(
+        full, F.col("is_mark"), key="conv_id", ts_col="ts", out_col="since_s"
+    )
+    exp = {
+        (r["conv_id"], str(r["ts"]), bool(r["is_mark"])): r["since_s"]
+        for r in batch.collect()
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        src = f"{d}/in"
+        df_of(rows1).coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_time_since_event(stream, "is_mark")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("since_tie_stream")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            df_of(rows2).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            got = {
+                (r["conv_id"], str(r["ts"]), bool(r["is_mark"])): r["since_s"]
+                for r in spark.table("since_tie_stream").collect()
+            }
+        finally:
+            q.stop()
+
+    assert set(got) == set(exp)
+    for k in exp:
+        a, b = exp[k], got[k]
+        if a is None:
+            assert b is None, (k, b)
+        else:
+            assert b == pytest.approx(a), (k, a, b)
+    # the cross-batch tie row specifically: strict past = the OLDER mark
+    tie_key = ("a", str(dt.datetime.utcfromtimestamp(T0 + 500)), False)
+    assert exp[tie_key] == pytest.approx(400.0)  # T0+500 - (T0+100)

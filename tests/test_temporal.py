@@ -836,3 +836,43 @@ def test_future_outcomes_bruteforce(spark):
             assert g.future_sum == pytest.approx(win.value.sum())
         else:
             assert pd.isna(g.future_ttf_s) and pd.isna(g.future_sum)
+
+
+def test_chunked_carry_pre_epoch_timestamps(spark):
+    """Spark's % takes the dividend's sign: a pre-1970 timestamp gets a
+    negative remainder, so the old carry predicate never fired and the
+    chunked plan silently diverged from the plain one. _chunk_salt uses
+    pmod; chunked must equal plain on both operators for negative-µs
+    data."""
+    from acoustic_feature_extractor_spark.operators.temporal import (
+        time_since_event,
+        trailing_time_window,
+    )
+
+    rows = []
+    base = dt.datetime(1969, 12, 31, 18, 0, tzinfo=dt.timezone.utc)  # pre-epoch
+    for i in range(120):
+        rows.append(("u0", i, base + dt.timedelta(seconds=i * 211.0),
+                     float(i % 7), "c0" if i % 5 == 0 else "c1"))
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value", "cat"])
+    df = spark.createDataFrame(pdf)
+
+    plain_t = trailing_time_window(
+        df, "value", [900.0], key="user_id", ts_col="ts"
+    ).orderBy("event_id").toPandas()
+    chunk_t = trailing_time_window(
+        df, "value", [900.0], key="user_id", ts_col="ts", chunk_seconds=1800.0
+    ).orderBy("event_id").toPandas()[plain_t.columns]
+    pd.testing.assert_frame_equal(plain_t.reset_index(drop=True),
+                                  chunk_t.reset_index(drop=True))
+
+    mark = F.col("cat") == "c0"
+    plain_s = time_since_event(
+        df, mark, key="user_id", ts_col="ts", max_lookback_seconds=900.0
+    ).orderBy("event_id").toPandas()
+    chunk_s = time_since_event(
+        df, mark, key="user_id", ts_col="ts",
+        chunk_seconds=1800.0, max_lookback_seconds=900.0,
+    ).orderBy("event_id").toPandas()[plain_s.columns]
+    pd.testing.assert_frame_equal(plain_s.reset_index(drop=True),
+                                  chunk_s.reset_index(drop=True))
