@@ -80,6 +80,13 @@ PURE_PLAN_QUERIES = [
     # bounded driver materialization (n_bits/64 longs) folded into the
     # probe predicate; building the plan requires the bitmap to exist.
     "onehot_features",
+    # round-4 late additions
+    "response_latency",
+    "future_label",
+    "sketch_cms",
+    "negative_sample",
+    "pit_staleness",
+    "feature_vector",
 ]
 
 
