@@ -61,7 +61,12 @@ def _chunk_salt(d: DataFrame, chunk_seconds: float, carry_seconds: float) -> Dat
     would get a negative remainder and silently never carry, breaking
     chunked ≡ unchunked on any corpus with pre-1970 wall times."""
     c_us = int(chunk_seconds * US)
-    own = F.floor(F.col("_tus") / F.lit(c_us)).cast("long")
+    # NULL timestamps: floor(NULL) is NULL, and an all-null array would
+    # compact to empty and the explode would DELETE the row — chunked
+    # output must keep every input row (its features are NULL either
+    # way: a null order key joins no RANGE frame and contributes to
+    # none), so null-ts rows ride in chunk 0, carried nowhere.
+    own = F.coalesce(F.floor(F.col("_tus") / F.lit(c_us)).cast("long"), F.lit(0))
     nxt = F.when(
         F.pmod(F.col("_tus"), F.lit(c_us)) >= c_us - int(carry_seconds * US),
         own + 1,
@@ -76,9 +81,8 @@ def _chunk_salt(d: DataFrame, chunk_seconds: float, carry_seconds: float) -> Dat
 def _emit_own_chunk(d: DataFrame, chunk_seconds: float) -> DataFrame:
     """Drop the carry replicas: keep each row only in its own chunk."""
     c_us = int(chunk_seconds * US)
-    return d.where(
-        F.floor(F.col("_tus") / F.lit(c_us)).cast("long") == F.col("_chunk")
-    ).drop("_chunk")
+    own = F.coalesce(F.floor(F.col("_tus") / F.lit(c_us)).cast("long"), F.lit(0))
+    return d.where(own == F.col("_chunk")).drop("_chunk")
 
 
 def trailing_time_window(

@@ -521,10 +521,13 @@ def streaming_time_since_event(
 ):
     """Streaming twin of ``operators/temporal.time_since_event``: seconds
     since the entity's most recent STRICTLY-PAST row where the (upstream,
-    plan-computed) boolean ``mark_col`` holds. GroupState carries ONE
-    long per entity — the last marked epoch-µs — so state is O(entities)
-    regardless of conversation length, the same carry the batch
-    time-chunk salting hands between chunks.
+    plan-computed) boolean ``mark_col`` holds. GroupState carries two
+    longs per entity, so state is O(entities) regardless of conversation
+    length — the same carry the batch time-chunk salting hands between
+    chunks. (Schema note: the two-slot state replaced an earlier
+    single-long layout; a checkpoint written by the old layout fails
+    Spark's state-schema validation on restart and must be discarded —
+    state rebuilds from the stream.)
 
     Tie semantics match the batch RANGE frame exactly, INCLUDING ties
     that straddle a micro-batch boundary: rows sharing a timestamp never

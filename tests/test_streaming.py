@@ -810,10 +810,18 @@ def test_streaming_time_since_event_cross_batch_tie_and_null_ts(spark):
     batch = time_since_event(
         full, F.col("is_mark"), key="conv_id", ts_col="ts", out_col="since_s"
     )
-    exp = {
-        (r["conv_id"], str(r["ts"]), bool(r["is_mark"])): r["since_s"]
-        for r in batch.collect()
-    }
+
+    def canon(rs):
+        # MULTISET of full rows — the two tie rows are identical on every
+        # key column, so a dict would let one silently overwrite the
+        # other and a regressed tie value could hide behind collect order
+        return sorted(
+            (r["conv_id"], str(r["ts"]), bool(r["is_mark"]),
+             None if r["since_s"] is None else round(r["since_s"], 6))
+            for r in rs
+        )
+
+    exp = canon(batch.collect())
 
     with tempfile.TemporaryDirectory() as d:
         src = f"{d}/in"
@@ -835,20 +843,14 @@ def test_streaming_time_since_event_cross_batch_tie_and_null_ts(spark):
             q.processAllAvailable()
             df_of(rows2).coalesce(1).write.mode("append").parquet(src)
             q.processAllAvailable()
-            got = {
-                (r["conv_id"], str(r["ts"]), bool(r["is_mark"])): r["since_s"]
-                for r in spark.table("since_tie_stream").collect()
-            }
+            got = canon(spark.table("since_tie_stream").collect())
         finally:
             q.stop()
 
-    assert set(got) == set(exp)
-    for k in exp:
-        a, b = exp[k], got[k]
-        if a is None:
-            assert b is None, (k, b)
-        else:
-            assert b == pytest.approx(a), (k, a, b)
-    # the cross-batch tie row specifically: strict past = the OLDER mark
-    tie_key = ("a", str(dt.datetime.utcfromtimestamp(T0 + 500)), False)
-    assert exp[tie_key] == pytest.approx(400.0)  # T0+500 - (T0+100)
+    assert got == exp
+    # the tie rows specifically: strict past = the OLDER mark for BOTH
+    # the in-batch tie-mate and the cross-batch one (multiset: two rows)
+    tie_rows = [r for r in exp
+                if r[0] == "a" and r[1] == str(dt.datetime.utcfromtimestamp(T0 + 500))
+                and r[2] is False]
+    assert [r[3] for r in tie_rows] == [400.0, 400.0]

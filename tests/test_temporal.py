@@ -876,3 +876,45 @@ def test_chunked_carry_pre_epoch_timestamps(spark):
     ).orderBy("event_id").toPandas()[plain_s.columns]
     pd.testing.assert_frame_equal(plain_s.reset_index(drop=True),
                                   chunk_s.reset_index(drop=True))
+
+
+def test_chunked_keeps_null_timestamp_rows(spark):
+    """A NULL-ts row joins no RANGE frame, but it must still EMIT: the
+    chunk explode would otherwise delete it (all-null chunk array), so
+    chunked output lost rows vs plain. Pinned for both chunked
+    operators: same rows, same values, frame-for-frame."""
+    from acoustic_feature_extractor_spark.operators.temporal import (
+        time_since_event,
+        trailing_time_window,
+    )
+
+    rows = []
+    for i in range(60):
+        rows.append(("u0", i, EPOCH + dt.timedelta(seconds=i * 211.0),
+                     float(i % 7), "c0" if i % 5 == 0 else "c1"))
+    rows.append(("u0", 60, None, 3.0, "c0"))  # null ts, marked
+    rows.append(("u0", 61, None, 4.0, "c1"))  # null ts, unmarked
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts", "value", "cat"])
+    df = spark.createDataFrame(pdf)
+
+    plain_t = trailing_time_window(
+        df, "value", [900.0], key="user_id", ts_col="ts"
+    ).orderBy("event_id").toPandas()
+    chunk_t = trailing_time_window(
+        df, "value", [900.0], key="user_id", ts_col="ts", chunk_seconds=1800.0
+    ).orderBy("event_id").toPandas()[plain_t.columns]
+    assert len(plain_t) == 62 and len(chunk_t) == 62
+    pd.testing.assert_frame_equal(plain_t.reset_index(drop=True),
+                                  chunk_t.reset_index(drop=True))
+
+    mark = F.col("cat") == "c0"
+    plain_s = time_since_event(
+        df, mark, key="user_id", ts_col="ts", max_lookback_seconds=900.0
+    ).orderBy("event_id").toPandas()
+    chunk_s = time_since_event(
+        df, mark, key="user_id", ts_col="ts",
+        chunk_seconds=1800.0, max_lookback_seconds=900.0,
+    ).orderBy("event_id").toPandas()[plain_s.columns]
+    assert len(plain_s) == 62 and len(chunk_s) == 62
+    pd.testing.assert_frame_equal(plain_s.reset_index(drop=True),
+                                  chunk_s.reset_index(drop=True))
