@@ -27,6 +27,29 @@ from acoustic_feature_extractor_spark.functions.scalars import (
     sec_to_ntz,
 )
 
+def _change_sign(change_type_col: str):
+    """±1 from a CDC change-type column, guarded: any value outside
+    {insert, delete} raises at execution time instead of silently
+    subtracting (a typo'd or future tag such as ``update_postimage``
+    must never corrupt retractable counters). Shared by every
+    ``*_apply_changes`` fold in this module."""
+    c = F.col(change_type_col)
+    return (
+        F.when(c == F.lit("insert"), F.lit(1))
+        .when(c == F.lit("delete"), F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{change_type_col} must be 'insert' or 'delete', got: "
+                    ),
+                    F.coalesce(c.cast("string"), F.lit("NULL")),
+                )
+            ).cast("int")
+        )
+    )
+
+
 
 def time_bucket(ts: Column | str, bucket_seconds: float) -> Column:
     """Bucket start (TIMESTAMP_NTZ) of ``ts``: floor(epoch / w) * w — the

@@ -30,7 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from acoustic_feature_extractor_spark.operators.rollup import time_bucket
+from acoustic_feature_extractor_spark.operators.rollup import (
+    _change_sign,
+    time_bucket,
+)
 
 
 def distinct_rollup(
@@ -230,9 +233,7 @@ def hist_apply_changes(
     by_cols = [by] if isinstance(by, str) else list(by)
     keys = [*by_cols, bucket_col]
     w = (float(hi) - float(lo)) / int(bins)
-    sign = F.when(F.col(change_type_col) == F.lit("insert"), F.lit(1)).otherwise(
-        F.lit(-1)
-    )
+    sign = _change_sign(change_type_col)
     bin_ = F.least(
         F.greatest(
             F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(w)), F.lit(0)
@@ -683,9 +684,7 @@ def freq_apply_changes(
 
     by_cols = [by] if isinstance(by, str) else list(by)
     keys = [*by_cols, bucket_col, "item"]
-    sign = F.when(F.col(change_type_col) == F.lit("insert"), F.lit(1)).otherwise(
-        F.lit(-1)
-    )
+    sign = _change_sign(change_type_col)
     delta = (
         changes.withColumn(bucket_col, time_bucket(ts, bucket_seconds))
         .groupBy(*by_cols, bucket_col, F.col(item_col).cast("string").alias("item"))
@@ -897,9 +896,7 @@ def cms_apply_changes(
     by_cols = [by] if isinstance(by, str) else list(by or [])
     keys = [*by_cols, "d", "bucket"]
     item = F.col(item_col)
-    sign = F.when(
-        F.col(change_type_col) == F.lit("insert"), F.lit(1)
-    ).otherwise(F.lit(-1))
+    sign = _change_sign(change_type_col)
     src, pairs = _with_cms_pairs(
         changes.where(item.isNotNull()), item, depth, width, hash_fn
     )

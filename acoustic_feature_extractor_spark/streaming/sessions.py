@@ -566,32 +566,39 @@ def streaming_time_since_event(
             sub = pdf.loc[ok]
             us = sub[ts].astype("int64").to_numpy() // 1000  # ns -> µs, exact
             mk = sub[mark_col].fillna(False).to_numpy(dtype=bool)
-            # µs < 2^53: float64 carries them exactly, NaN = "no mark yet"
-            mus = np.where(mk, us.astype("float64"), np.nan)
-            cm = np.fmax.accumulate(mus)  # inclusive running max, NaN-skip
+            # all mark-time arithmetic stays in int64 (exact over the full
+            # timestamp range — no 2^53 float bound, matching the batch
+            # operator); INT64_MIN is the "no mark yet" sentinel, safe
+            # because a real epoch-µs can never reach it
+            NONE = np.int64(np.iinfo(np.int64).min)
+            mus = np.where(mk, us, NONE)
+            cm = np.maximum.accumulate(mus)  # inclusive running max
             # strictly-past within the batch: each row reads the inclusive
             # max of the LAST row with a strictly smaller timestamp
             sr = pd.Series(cm, index=pd.Index(us, name="us"))
-            prev_per_us = sr.groupby(level="us").last().shift(1)
+            prev_per_us = sr.groupby(level="us").last().shift(1, fill_value=NONE)
             base = prev_per_us.reindex(us).to_numpy()
             if l1 is not None:
-                carry = np.full(len(us), np.nan)
-                carry[us > l1] = float(l1)
+                carry = np.full(len(us), NONE, dtype=np.int64)
+                carry[us > l1] = np.int64(l1)
                 if l2 is not None:
-                    carry[(us <= l1) & (us > l2)] = float(l2)
-                base = np.fmax(base, carry)
-            res[ok] = (us - base) / 1e6
+                    carry[(us <= l1) & (us > l2)] = np.int64(l2)
+                base = np.maximum(base, carry)
+            has = base != NONE
+            res_ok = np.full(len(us), np.nan)
+            res_ok[has] = (us[has] - base[has]) / 1e6
+            res[ok] = res_ok
             # fold the batch's top-2 DISTINCT mark times into the carried pair
-            cand = [float(l1)] if l1 is not None else []
+            cand = [int(l1)] if l1 is not None else []
             if l2 is not None:
-                cand.append(float(l2))
+                cand.append(int(l2))
             if mk.any():
-                bm = mus[~np.isnan(mus)]
-                b1 = float(bm.max())
+                bm = us[mk]
+                b1 = int(bm.max())
                 cand.append(b1)
                 below = bm[bm < b1]
                 if below.size:
-                    cand.append(float(below.max()))
+                    cand.append(int(below.max()))
             if cand:
                 n1 = max(cand)
                 lower = [v for v in cand if v < n1]

@@ -742,3 +742,24 @@ def test_cms_apply_changes_equals_rebuild(spark):
     pd.testing.assert_frame_equal(
         folded.reset_index(drop=True), rebuilt.reset_index(drop=True)
     )
+
+
+def test_apply_changes_rejects_unknown_change_type(spark):
+    """The retractable folds must FAIL on a change type outside
+    {insert, delete} — a typo'd or future tag (e.g. Iceberg's
+    ``update_postimage``) silently subtracting counters would corrupt
+    every downstream summary (ADVICE r5). Guard is JVM-side
+    (``raise_error``) so it costs nothing on valid rows."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from acoustic_feature_extractor_spark.operators.sketches import (
+        cms_apply_changes,
+        cms_rollup,
+    )
+
+    df = _cms_fixture(spark)
+    base = cms_rollup(df, "item", depth=3, width=32)
+    bad = df.limit(5).withColumn("_change_type", F.lit("update_postimage"))
+    with pytest.raises(SparkRuntimeException, match="update_postimage"):
+        cms_apply_changes(base, bad, "item", depth=3, width=32).collect()

@@ -693,7 +693,7 @@ def test_streaming_seasonal_baseline_matches_batch(spark):
 
 
 def test_streaming_time_since_event_matches_batch(spark):
-    """Streaming recency (one long of GroupState per entity) equals the
+    """Streaming recency (two longs of GroupState per entity) equals the
     batch ``temporal.time_since_event`` on the same input across three
     in-order micro-batches — including exact-timestamp ties, which must
     be invisible to each other in BOTH engines."""
