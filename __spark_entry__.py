@@ -5348,6 +5348,220 @@ FROM v CROSS JOIN unnest(generate_series(1, {len(_FV_FEATURES)})) AS u(i)
 
 
 # --------------------------------------------------------------------------
+# round-5 streaming driver queries: each drains a streaming twin through a
+# file-stream replay in two in-order drops and must hash-match a BATCH SQL
+# oracle — the q_stream_context pattern, extended to the stateful CUSUM,
+# the commutative fingerprint aggregation, and the two-slot recency state
+# (SURVEY §5(f): streaming parity held to the same oracle bar as batch).
+# --------------------------------------------------------------------------
+
+
+def _drain_two_drops(spark, full_df, first_pred, build_stream, name_prefix):
+    """Write ``full_df`` rows matching ``first_pred`` as drop 1, start the
+    stream ``build_stream(readStream_df)``, drain, append the remaining
+    rows as drop 2, drain again, and return the memory-sink table. The
+    two-drop replay forces every operator's cross-micro-batch state to
+    carry (a single drop would hide a broken carry)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=name_prefix)
+    src = os.path.join(d, "in")
+    full_df.where(first_pred).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = build_stream(spark.readStream.schema(schema).parquet(src))
+    name = f"{name_prefix}{os.path.basename(d)}"
+    mode = "complete" if not stream.isStreaming or _is_agg(stream) else "append"
+    q = (
+        stream.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        full_df.where(~first_pred).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        drained = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        q.stop()
+    return drained
+
+
+def _is_agg(stream_df) -> bool:
+    """True when the streaming plan is a plain aggregation (needs
+    complete/update output mode; the stateful applyInPandasWithState
+    twins run append)."""
+    return "Aggregate" in stream_df._jdf.queryExecution().analyzed().toString()
+
+
+def q_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING two-sided CUSUM (``streaming/sessions.streaming_cusum``),
+    oracle-checked end-to-end: the per-user value series replays as a
+    file stream in two time-ordered drops, the (S⁺, S⁻) water marks carry
+    across the micro-batch boundary in GroupState, and the drained scores
+    must hash-match the batch prefix-algebra identity in DuckDB. The
+    standardization baseline is a FROZEN literal (mu=50, sigma=50) — the
+    caller's reference statistic shipped into the stream, never
+    aggregated from it (leak-free by construction). The series is
+    pre-aggregated to one row per (user, ts) with max(value) so both
+    engines fold an identical, unambiguous order."""
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_cusum,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ser = (
+        ev.groupBy(F.col("user_id").cast("string").alias("conv_id"), "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    cut = 1705363200.0  # 2024-01-16 00:00:00 — drop 1 strictly earlier
+    drained = _drain_two_drops(
+        spark,
+        ser,
+        _sec("ts") < cut,
+        lambda s: streaming_cusum(s, mu=50.0, sigma=50.0, k=0.5, h=5.0),
+        "stream_cusum_",
+    )
+    return drained.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.round("value", 6).alias("value"),
+        F.round("s_pos", 6).alias("s_pos"),
+        F.round("s_neg", 6).alias("s_neg"),
+        "alarm",
+    )
+
+
+_SQL_STREAM_CUSUM = """
+WITH ser AS (
+  SELECT user_id, ts, max(value) AS value FROM events GROUP BY 1, 2
+),
+z AS (
+  SELECT user_id, ts, value,
+         (value - 50.0) / 50.0 AS z
+  FROM ser
+),
+c1 AS (
+  SELECT user_id, ts, value, z,
+         sum(z - 0.5)  OVER w AS cp,
+         sum(-z - 0.5) OVER w AS cn
+  FROM z
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+c AS (
+  SELECT user_id, value, cp, cn,
+         least(0, min(cp) OVER w2) AS mp,
+         least(0, min(cn) OVER w2) AS mn
+  FROM c1
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       round(value, 6) AS value,
+       round(cp - mp, 6) AS s_pos,
+       round(cn - mn, 6) AS s_neg,
+       (cp - mp > 5.0 OR cn - mn > 5.0) AS alarm
+FROM c
+"""
+
+
+def q_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING conversation fingerprints
+    (``streaming/sessions.streaming_conv_fingerprint``): because the
+    batch fingerprint is a commutative sum of position-salted portable
+    hashes, the streaming twin is a PLAIN streaming aggregation — state
+    per conversation is two longs, and after draining two arbitrary-split
+    drops the complete-mode table must equal the batch fingerprint over
+    all turns, bit-for-bit (integer arithmetic, no tolerance). Oracle:
+    the identical polynomial hash + lane fold in DuckDB."""
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_conv_fingerprint,
+    )
+
+    ev = _indexed_events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("idx").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("text"),
+    )
+    drained = _drain_two_drops(
+        spark,
+        ev,
+        F.col("turn_idx") < 3,
+        lambda s: streaming_conv_fingerprint(s),
+        "stream_fp_",
+    )
+    return drained.select(
+        F.col("conv_id").cast("long").alias("user_id"), "conv_fp"
+    )
+
+
+def _sql_stream_fingerprint() -> str:
+    phash = _sql_phash("(event_type || chr(31) || CAST(idx AS VARCHAR))")
+    pmix = _sql_pmix("hv")
+    return f"""
+WITH b AS (
+  SELECT user_id, event_type,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS idx
+  FROM events
+),
+h0 AS (SELECT user_id, idx, {phash} AS hv FROM b),
+h AS (SELECT user_id, idx, {pmix} AS m FROM h0)
+SELECT user_id,
+       CAST((sum(m & 2147483647) % 2147483647) * 2147483648
+            + (sum(m >> 31) % 2147483629) AS BIGINT) AS conv_fp
+FROM h GROUP BY 1
+"""
+
+
+def q_stream_time_since(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING recency (``streaming/sessions.streaming_time_since_event``):
+    seconds since the user's most recent STRICTLY-PAST click, replayed in
+    two time-ordered drops so the two-slot (newest, next-newest) mark
+    state must carry across the micro-batch boundary — including
+    exact-timestamp ties straddling it, the case a single-slot carry gets
+    wrong. All mark arithmetic is int64 (no 2^53 float bound; ADVICE r5).
+    Oracle: the batch RANGE-frame conditional max, as in
+    ``response_latency``."""
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_time_since_event,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "ts",
+        (F.col("event_type") == "click").alias("is_click"),
+    )
+    cut = 1705363200.0
+    drained = _drain_two_drops(
+        spark,
+        ev,
+        _sec("ts") < cut,
+        lambda s: streaming_time_since_event(s, "is_click"),
+        "stream_tse_",
+    )
+    return drained.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "is_click",
+        F.round("since_s", 6).alias("since_s"),
+    )
+
+
+_SQL_STREAM_TIME_SINCE = """
+WITH b AS (
+  SELECT user_id, event_type = 'click' AS is_click, epoch_us(ts) AS tus
+  FROM events
+)
+SELECT user_id, is_click,
+       round((tus - max(CASE WHEN is_click THEN tus END)
+              OVER (PARTITION BY user_id ORDER BY tus
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             / 1000000.0, 6) AS since_s
+FROM b
+"""
+
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -5367,6 +5581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # at the head of the window as they land.
     return {
         # -- round-5 driver window ------------------------------------------
+        # NEW in round 5: the streaming surface driver-graded (VERDICT r4 #4)
+        "stream_cusum": q_stream_cusum,
+        "stream_fingerprint": q_stream_fingerprint,
+        "stream_time_since": q_stream_time_since,
         # 26 queries with no prior driver-grade evidence (replay-green)
         "turn_transitions": q_turn_transitions,
         "degenerate_loops": q_degenerate_loops,
@@ -5499,6 +5717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stream_cusum": _SQL_STREAM_CUSUM,
+        "stream_fingerprint": _sql_stream_fingerprint(),
+        "stream_time_since": _SQL_STREAM_TIME_SINCE,
         "flagship_features": _SQL_FLAGSHIP,
         "lag_lead_context": _SQL_LAG_LEAD,
         "rolling_stats": _SQL_ROLLING,
