@@ -5561,6 +5561,98 @@ FROM b
 
 
 
+def q_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-log compaction + expiry (snapshots.compact_log / expire),
+    driver-graded end-to-end: six append commits build a 6-entry log
+    (12 range-clustered files), ``compact_log(keep_last=1)`` folds the
+    dropped entries' per-file stats into the survivor — and the query
+    RAISES unless (a) exactly 5 entries dropped, (b) a 40%-of-span
+    time-range ``plan_scan`` prunes the SAME file set before and after
+    the fold (metadata-only compaction must not cost one byte of
+    skipping). An overwrite then orphans all six append dirs and
+    ``expire(keep_last=1)`` must delete exactly those six while the
+    survivor still prunes. The returned aggregate reads the post-expiry
+    table through ``read_where``; the oracle is the plain raw-table
+    filter, proving the whole maintenance cycle result-invariant.
+    Analog of Iceberg expire_snapshots; the log stays O(live files +
+    keep_last) no matter how many commits the table has seen."""
+    import tempfile
+
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(_sec("ts") * F.lit(1000000.0)).cast("long").alias("ts_us"),
+        "value",
+    )
+    t = tempfile.mkdtemp(prefix="compact_query_")
+    mn_us, mx_us = ev.select(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    span = mx_us - mn_us
+    # commit i carries time-sextile i (the natural ingest pattern: each
+    # batch covers its own time slice), so per-file stats are narrow and
+    # a time-range scan can actually skip files
+    sextile = ((F.col("ts_us") - F.lit(mn_us)) * 6 / F.lit(span + 1)).cast(
+        "int"
+    )
+    for i in range(6):
+        snap.commit(
+            ev.where(sextile == i).repartitionByRange(2, "ts_us"), t
+        )
+    lo = mn_us + int(0.2 * span)
+    hi = mn_us + int(0.6 * span)
+    kept_pre, total_pre = snap.plan_scan(t, "ts_us", lo=lo, hi=hi)
+    dropped = snap.compact_log(t, keep_last=1)
+    kept_post, total_post = snap.plan_scan(t, "ts_us", lo=lo, hi=hi)
+    if dropped != 5 or len(snap.history(t)) != 1:
+        raise RuntimeError(f"compact_log evidence failed: dropped {dropped}")
+    if sorted(kept_pre) != sorted(kept_post) or total_pre != total_post:
+        raise RuntimeError(
+            "stats fold lost skipping: "
+            f"{len(kept_pre)}/{total_pre} -> {len(kept_post)}/{total_post}"
+        )
+    if not (total_pre == 12 and 0 < len(kept_pre) < total_pre):
+        raise RuntimeError(
+            f"pruning evidence failed: kept {len(kept_pre)} of {total_pre}"
+        )
+    snap.commit(
+        ev.repartitionByRange(8, "ts_us"), t, operation="overwrite"
+    )
+    deleted = snap.expire(t, keep_last=1)
+    if len(deleted) != 6:
+        raise RuntimeError(f"expire evidence failed: deleted {deleted}")
+    kept_f, total_f = snap.plan_scan(t, "ts_us", lo=lo, hi=hi)
+    if not (total_f == 8 and 0 < len(kept_f) < total_f):
+        raise RuntimeError(
+            f"post-expiry pruning failed: kept {len(kept_f)} of {total_f}"
+        )
+    df = snap.read_where(spark, t, "ts_us", lo=lo, hi=hi)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_v"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        F.round(F.max("value"), 6).alias("max_v"),
+    )
+
+
+_SQL_SNAPSHOT_COMPACT = """
+WITH b AS (
+  SELECT epoch_us(min(ts)) AS mn, epoch_us(max(ts)) - epoch_us(min(ts)) AS span
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(value), 6) AS sum_v,
+       ROUND(min(value), 6) AS min_v,
+       ROUND(max(value), 6) AS max_v
+FROM events, b
+WHERE epoch_us(ts) >= mn + CAST(floor(0.2 * span) AS BIGINT)
+  AND epoch_us(ts) <= mn + CAST(floor(0.6 * span) AS BIGINT)
+GROUP BY 1
+"""
+
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5585,6 +5677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cusum": q_stream_cusum,
         "stream_fingerprint": q_stream_fingerprint,
         "stream_time_since": q_stream_time_since,
+        "snapshot_compact": q_snapshot_compact,
         # 26 queries with no prior driver-grade evidence (replay-green)
         "turn_transitions": q_turn_transitions,
         "degenerate_loops": q_degenerate_loops,
@@ -5720,6 +5813,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_cusum": _SQL_STREAM_CUSUM,
         "stream_fingerprint": _sql_stream_fingerprint(),
         "stream_time_since": _SQL_STREAM_TIME_SINCE,
+        "snapshot_compact": _SQL_SNAPSHOT_COMPACT,
         "flagship_features": _SQL_FLAGSHIP,
         "lag_lead_context": _SQL_LAG_LEAD,
         "rolling_stats": _SQL_ROLLING,
