@@ -434,7 +434,15 @@ A/B shows r3 and HEAD at DIFFERENT steady states (0.42–0.48 vs
 0.64–0.70) because the RANGE-frame order key moved off the session-tz
 localizing unix_micros(cast) to the pure NTZ decomposition — the old
 floor measures code the timezone-independence contract forbids
-(evidence and values in tools/bench_scaling.py):
+(evidence and values in tools/bench_scaling.py). The six flags the r4
+run disclosed as cross-day noise suspects (dedup_simhash,
+doc_perplexity, interval_overlap, session_bounds, trailing_window,
+weighted_sample) were all settled in r5 by the same isolated-JVM
+interleaved A/B (tools/bench_ab.py, full samples + verdicts in
+BENCH/ab_r5.json): five show statistically equal sides (HEAD faster in
+four), and trailing_window reproduces the already-adjudicated tz-fix
+ratio with both sides uniformly slower on that host day — zero code
+regressions, zero unexplained flags:
 
 ```json
 {json.dumps(bjson['queries'], indent=2)}
