@@ -971,7 +971,12 @@ def cosine_topk_ivfpq(
     centroids barely concentrate residuals and raw mode measured HIGHER
     recall (raw p2_r8 0.40–0.44 vs residual 0.24–0.32 across SFs), so
     the driver query ships raw mode; both modes are numpy-verified
-    exact in their scoring identity.
+    exact in their scoring identity. The clustered regime is pinned the
+    other way by ``tests/test_similarity.py::
+    test_ivfpq_residual_beats_raw_on_clustered_corpus`` (8 tight
+    Gaussian clusters: residual reconstructs true cosine ~3x more
+    accurately at the same budget), so the mode choice is
+    evidence-based in both directions.
 
     Scale shape: at-rest candidates are m ints per vector (16×+ smaller
     scans), per-candidate scoring is m lookups (LUT computed once per

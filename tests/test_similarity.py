@@ -683,3 +683,62 @@ def test_ivfpq_append_matches_rebuild_and_guards_quantizer(spark, tmp_path):
     # missing sidecar (an index not written by ivfpq_index_write)
     with pytest.raises(ValueError, match="sidecar"):
         ivfpq_index_append(e.limit(1), str(tmp_path / "nowhere"), cents, books)
+
+
+def test_ivfpq_residual_beats_raw_on_clustered_corpus(spark):
+    """IVFADC's promise (Jégou et al. 2011) holds when the corpus is
+    actually CLUSTERED: with identical (n_centroids, m, pq_k) budget,
+    full probe and no refine (so the emitted ``cos_sim`` IS the PQ
+    approximation), residual codes reconstruct true cosine ~3x more
+    accurately than raw-direction codes on tight clusters — residuals
+    concentrate, so the same codebook budget quantizes with less error.
+    Metric = mean |pq_score − true cosine| over the FULL ranking (ties
+    in top-k recall made that metric too noisy to pin). The driver's
+    near-uniform synthetic embeddings lack this structure, which is why
+    the shipped `ann_ivfpq` query uses raw mode (measured there: raw
+    recall > residual, `operators/similarity.py` docstring); this pins
+    the opposite, clustered regime so the mode choice stays
+    evidence-based in both directions."""
+    from acoustic_feature_extractor_spark.operators.similarity import (
+        cosine_topk_ivfpq,
+    )
+
+    rng = np.random.RandomState(7)
+    n_clusters, per, dim = 8, 25, 32
+    centers = rng.randn(n_clusters, dim) * 3.0
+    vecs = np.vstack(
+        [centers[c] + rng.randn(per, dim) * 0.1 for c in range(n_clusters)]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    q = df.where(f"vec_id % {per} < 2")  # two queries per cluster
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+
+    def score_err(residual: bool) -> float:
+        rows = cosine_topk_ivfpq(
+            q,
+            df,
+            k=len(vecs) - 1,  # full ranking: every candidate scored
+            n_centroids=n_clusters,
+            n_probe=n_clusters,
+            m=8,
+            pq_k=16,
+            refine_factor=None,
+            residual=residual,
+        ).collect()
+        return float(
+            np.mean(
+                [
+                    abs(r["cos_sim"] - cos[r["query_id"], r["neighbor_id"]])
+                    for r in rows
+                ]
+            )
+        )
+
+    e_raw, e_res = score_err(False), score_err(True)
+    # measured: raw 0.0111, residual 0.0037 — assert with headroom
+    assert e_res <= 0.6 * e_raw, (e_res, e_raw)
+    assert e_res < 0.008, (e_res, e_raw)
