@@ -5653,6 +5653,106 @@ GROUP BY 1
 
 
 
+def q_stream_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING forward-fill (``streaming/sessions.streaming_state_fill``
+    — the custom stateful operator of the charter's
+    ``applyInPandasWithState`` shape): the latest click's props string
+    per user, carried across the two-drop micro-batch boundary in one
+    GroupState string slot. Oracle: the batch last_value IGNORE NULLS
+    frame, as in ``forward_fill``."""
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_state_fill,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("props")).alias("v"),
+    )
+    cut = 1705363200.0
+    drained = _drain_two_drops(
+        spark,
+        ev,
+        _sec("ts") < cut,
+        lambda s: streaming_state_fill(s, value_col="v"),
+        "stream_fill_",
+    )
+    return drained.select(
+        F.col("conv_id").cast("long").alias("user_id"), "v", "filled"
+    )
+
+
+_SQL_STREAM_FILL = """
+WITH b AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         CASE WHEN event_type = 'click' THEN props END AS v
+  FROM events
+)
+SELECT user_id, v,
+       last_value(v IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY tus
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM b
+"""
+
+
+def q_stream_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING seasonal baseline
+    (``streaming/sessions.streaming_seasonal_baseline``): each event
+    scored against the user's trailing mean at the SAME hour-of-day
+    slot, strictly past, with per-(user, slot) (count, sum) GroupState
+    crossing the two-drop boundary — the state key is the same
+    24x-finer-than-entity key the batch operator exchanges on. Oracle:
+    the batch strict-past frame on (user, slot), as in
+    ``seasonal_baseline``."""
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_seasonal_baseline,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts", "value"
+    )
+    cut = 1705363200.0
+    drained = _drain_two_drops(
+        spark,
+        ev,
+        _sec("ts") < cut,
+        lambda s: streaming_seasonal_baseline(s),
+        "stream_seas_",
+    )
+    return drained.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.col("slot").cast("long").alias("slot"),
+        F.round("value", 6).alias("value"),
+        F.col("n_slot_past").cast("long").alias("n_slot_past"),
+        F.round("seasonal_mean", 6).alias("seasonal_mean"),
+    )
+
+
+_SQL_STREAM_SEASONAL = """
+WITH s AS (
+  SELECT user_id, value,
+         CAST(floor((epoch_us(ts) % 86400000000) / 3600000000.0) AS BIGINT) AS slot,
+         epoch_us(ts) AS eus
+  FROM events
+),
+w AS (
+  SELECT user_id, slot, value,
+         count(value) OVER fr AS n_slot_past,
+         sum(value)   OVER fr AS s_past
+  FROM s
+  WINDOW fr AS (PARTITION BY user_id, slot ORDER BY eus
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, slot,
+       round(value, 6) AS value,
+       CAST(n_slot_past AS BIGINT) AS n_slot_past,
+       CASE WHEN n_slot_past > 0 THEN round(s_past / n_slot_past, 6) END AS seasonal_mean
+FROM w
+"""
+
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5678,6 +5778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_fingerprint": q_stream_fingerprint,
         "stream_time_since": q_stream_time_since,
         "snapshot_compact": q_snapshot_compact,
+        "stream_fill": q_stream_fill,
+        "stream_seasonal": q_stream_seasonal,
         # 26 queries with no prior driver-grade evidence (replay-green)
         "turn_transitions": q_turn_transitions,
         "degenerate_loops": q_degenerate_loops,
@@ -5814,6 +5916,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_fingerprint": _sql_stream_fingerprint(),
         "stream_time_since": _SQL_STREAM_TIME_SINCE,
         "snapshot_compact": _SQL_SNAPSHOT_COMPACT,
+        "stream_fill": _SQL_STREAM_FILL,
+        "stream_seasonal": _SQL_STREAM_SEASONAL,
         "flagship_features": _SQL_FLAGSHIP,
         "lag_lead_context": _SQL_LAG_LEAD,
         "rolling_stats": _SQL_ROLLING,
