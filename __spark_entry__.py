@@ -5753,6 +5753,98 @@ FROM w
 
 
 
+def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING hypertable rollup (``streaming/sessions.streaming_rollup``):
+    the watermarked per-(user, hour-bucket) continuous aggregate drained
+    over a two-drop replay must equal the batch rollup of the same facts
+    — the lambda-architecture closure (a ``snapshot_sink`` of this
+    stream IS the table ``rollup_coarser`` cascades from) held to the
+    oracle bar. Complete-mode drain; the bucket grid is the same
+    epoch-floor the batch ``time_bucket`` uses."""
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cut = 1705363200.0
+    drained = _drain_two_drops(
+        spark,
+        ev,
+        _sec("ts") < cut,
+        lambda s: streaming_rollup(s, 3600.0, watermark=None),
+        "stream_rollup_",
+    )
+    return drained.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        _sec("bucket").cast("double").alias("bucket_sec"),
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_v", 6).alias("sum_v"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+        F.round(_sec("first_ts"), 6).alias("first_ts_sec"),
+        F.round(_sec("last_ts"), 6).alias("last_ts_sec"),
+        F.round("avg_v", 6).alias("avg_v"),
+    )
+
+
+_SQL_STREAM_ROLLUP = _sql_rollup(3600)
+
+
+def q_stream_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING histogram sketches
+    (``streaming/sessions.streaming_hist_rollup``): per-(user,
+    hour-bucket) fixed-range histograms over the two-drop replay,
+    exported bin-per-row; the oracle recomputes every bin from raw facts
+    over a dense spine. Stream-landed histograms must be BIT-IDENTICAL
+    to batch (integer counters, pinned [0,512)/16 domain, same literal
+    binning arithmetic) — the mergeable-sketch at-rest contract."""
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_hist_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cut = 1705363200.0
+    drained = _drain_two_drops(
+        spark,
+        ev,
+        _sec("ts") < cut,
+        lambda s: streaming_hist_rollup(
+            s, 3600.0, lo=0.0, hi=512.0, bins=16, watermark=None
+        ),
+        "stream_hist_",
+    )
+    return drained.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        _sec("bucket").cast("double").alias("bucket_sec"),
+        F.posexplode("hist").alias("bin", "cnt"),
+    ).select(
+        "user_id",
+        "bucket_sec",
+        F.col("bin").cast("long").alias("bin"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+_SQL_STREAM_HIST = """
+WITH b AS (
+  SELECT user_id,
+         CAST(floor(epoch_us(ts) / 1000000.0 / 3600) * 3600 AS DOUBLE) AS bucket_sec,
+         CAST(least(greatest(floor(value / 32.0), 0), 15) AS BIGINT) AS bin0
+  FROM events
+),
+g AS (SELECT user_id, bucket_sec, bin0, count(*) AS cnt FROM b GROUP BY 1, 2, 3),
+spine AS (
+  SELECT DISTINCT user_id, bucket_sec, s.b FROM b, generate_series(0, 15) AS s(b)
+)
+SELECT CAST(s.user_id AS BIGINT) AS user_id, s.bucket_sec,
+       CAST(s.b AS BIGINT) AS bin,
+       CAST(COALESCE(g.cnt, 0) AS BIGINT) AS cnt
+FROM spine s
+LEFT JOIN g ON s.user_id = g.user_id AND s.bucket_sec = g.bucket_sec AND s.b = g.bin0
+"""
+
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5780,6 +5872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_compact": q_snapshot_compact,
         "stream_fill": q_stream_fill,
         "stream_seasonal": q_stream_seasonal,
+        "stream_rollup": q_stream_rollup,
+        "stream_hist": q_stream_hist,
         # 26 queries with no prior driver-grade evidence (replay-green)
         "turn_transitions": q_turn_transitions,
         "degenerate_loops": q_degenerate_loops,
@@ -5918,6 +6012,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_compact": _SQL_SNAPSHOT_COMPACT,
         "stream_fill": _SQL_STREAM_FILL,
         "stream_seasonal": _SQL_STREAM_SEASONAL,
+        "stream_rollup": _SQL_STREAM_ROLLUP,
+        "stream_hist": _SQL_STREAM_HIST,
         "flagship_features": _SQL_FLAGSHIP,
         "lag_lead_context": _SQL_LAG_LEAD,
         "rolling_stats": _SQL_ROLLING,

@@ -44,12 +44,15 @@ def streaming_rollup(
     by: str = "user_id",
     value_col: str = "value",
     ts: str = "ts",
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Streaming twin of ``operators/rollup.rollup``: per-(entity,
     time-bucket) decomposable summaries over a live feed, watermarked so
     bucket state is finalized and evicted once late data can no longer
-    arrive. Emits the same schema as the batch rollup (bucket = window
+    arrive. ``watermark=None`` skips the watermark (complete/update-mode
+    sinks, or TIMESTAMP_NTZ feeds — Spark's event-time watermark
+    requires an instant TIMESTAMP; window bucketing itself is NTZ-safe
+    and stays on the batch epoch-floor grid). Emits the same schema as the batch rollup (bucket = window
     start), so a ``snapshot_sink`` of this stream IS the continuous
     aggregate the batch ``rollup_coarser`` cascades from. Widths are
     honored to the microsecond (the timestamp resolution), so fractional
@@ -59,9 +62,9 @@ def streaming_rollup(
         raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
     v = F.col(value_col)
     w = F.window(F.col(ts), f"{int(round(float(bucket_seconds) * 1e6))} microseconds")
+    src = stream.withWatermark(ts, watermark) if watermark is not None else stream
     return (
-        stream.withWatermark(ts, watermark)
-        .groupBy(F.col(by), w.alias("_w"))
+        src.groupBy(F.col(by), w.alias("_w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(v).alias("sum_v"),
@@ -90,7 +93,7 @@ def streaming_distinct_rollup(
     by: str = "user_id",
     value_col: str = "value",
     ts: str = "ts",
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
     lgk: int = 14,
 ) -> DataFrame:
     """Streaming twin of ``operators/sketches.distinct_rollup``: per-
@@ -104,9 +107,9 @@ def streaming_distinct_rollup(
     w = F.window(
         F.col(ts), f"{int(round(float(bucket_seconds) * 1e6))} microseconds"
     )
+    src = stream.withWatermark(ts, watermark) if watermark is not None else stream
     return (
-        stream.withWatermark(ts, watermark)
-        .groupBy(F.col(by), w.alias("_w"))
+        src.groupBy(F.col(by), w.alias("_w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.hll_sketch_agg(F.col(value_col), F.lit(int(lgk))).alias("sketch"),
@@ -124,7 +127,7 @@ def streaming_hist_rollup(
     by: str = "user_id",
     value_col: str = "value",
     ts: str = "ts",
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
 ) -> DataFrame:
     """Streaming twin of ``operators/sketches.hist_rollup``: per-(entity,
     bucket) fixed-range histogram sketches (same pinned [lo, hi)/bins
@@ -144,10 +147,11 @@ def streaming_hist_rollup(
     w = F.window(
         F.col(ts), f"{int(round(float(bucket_seconds) * 1e6))} microseconds"
     )
+    src = stream.withColumn("_bin", bin_)
+    if watermark is not None:
+        src = src.withWatermark(ts, watermark)
     return (
-        stream.withColumn("_bin", bin_)
-        .withWatermark(ts, watermark)
-        .groupBy(F.col(by), w.alias("_w"))
+        src.groupBy(F.col(by), w.alias("_w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             *[
