@@ -5845,6 +5845,92 @@ LEFT JOIN g ON s.user_id = g.user_id AND s.bucket_sec = g.bucket_sec AND s.b = g
 
 
 
+def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING HLL distinct rollup
+    (``streaming/sessions.streaming_distinct_rollup``): per-(event_type,
+    hour) distinct-user sketches maintained INCREMENTALLY across the
+    two-drop replay (complete-mode state = one HLL buffer per open
+    group), then finalized and held to the same contract as the batch
+    ``sketch_distinct``: exact columns hash-compared, the estimate
+    exported as an ``est_ok`` bound check vs an independently computed
+    exact distinct."""
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_distinct_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "user_id")
+    cut = 1705363200.0
+    drained = _drain_two_drops(
+        spark,
+        ev,
+        _sec("ts") < cut,
+        lambda s: streaming_distinct_rollup(
+            s, 3600.0, by="event_type", value_col="user_id", watermark=None
+        ),
+        "stream_dist_",
+    )
+    est = sk_ops.with_estimate(drained)
+    return _sketch_export(est, _exact_distinct(_t(spark, sf_dir, "events"), 3600.0))
+
+
+_SQL_STREAM_DISTINCT = _sql_sketch(3600)
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gap sessionization (``streaming/sessions.
+    streaming_session_agg``): per-user ``session_window`` aggregates over
+    the two-drop replay — sessions STRADDLING the drop boundary must
+    merge in the session-window state store, the cross-batch behavior a
+    single drain can't exercise. Oracle: batch cumsum-of-gaps
+    sessionization with the session_window boundary semantics (right-open:
+    a gap of exactly 3600 s starts a new session, hence >= in the SQL;
+    the two conventions agree on this corpus — no exact-gap tie exists —
+    but the oracle encodes the streaming operator's own contract)."""
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_session_agg,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts"
+    )
+    cut = 1705363200.0
+    drained = _drain_two_drops(
+        spark,
+        ev,
+        _sec("ts") < cut,
+        lambda s: streaming_session_agg(s, gap_seconds=3600.0, watermark=None),
+        "stream_sess_",
+    )
+    return drained.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.round(_sec("session_start"), 6).alias("start_sec"),
+        F.round(_sec("session_end") - _sec("session_start"), 6).alias("dur_sec"),
+    )
+
+
+_SQL_STREAM_SESSIONS = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) >= 3600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s AS (
+  SELECT user_id, tus,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY tus) AS sid
+  FROM d
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       round(min(tus) / 1000000.0, 6) AS start_sec,
+       round((max(tus) - min(tus)) / 1000000.0, 6) AS dur_sec
+FROM s GROUP BY user_id, sid
+"""
+
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5874,6 +5960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_seasonal": q_stream_seasonal,
         "stream_rollup": q_stream_rollup,
         "stream_hist": q_stream_hist,
+        "stream_distinct": q_stream_distinct,
+        "stream_sessions": q_stream_sessions,
         # 26 queries with no prior driver-grade evidence (replay-green)
         "turn_transitions": q_turn_transitions,
         "degenerate_loops": q_degenerate_loops,
@@ -6014,6 +6102,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_seasonal": _SQL_STREAM_SEASONAL,
         "stream_rollup": _SQL_STREAM_ROLLUP,
         "stream_hist": _SQL_STREAM_HIST,
+        "stream_distinct": _SQL_STREAM_DISTINCT,
+        "stream_sessions": _SQL_STREAM_SESSIONS,
         "flagship_features": _SQL_FLAGSHIP,
         "lag_lead_context": _SQL_LAG_LEAD,
         "rolling_stats": _SQL_ROLLING,

@@ -18,18 +18,21 @@ from pyspark.sql import functions as F
 def streaming_session_agg(
     stream: DataFrame,
     gap_seconds: float = 300.0,
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
     key: str = "conv_id",
     ts: str = "ts",
 ) -> DataFrame:
     """Per-(key, session_window) turn counts with late-data watermarking.
 
     ``session_window`` closes a session after ``gap_seconds`` idle — the
-    streaming equivalent of the batch cumsum-of-gaps session ids.
+    streaming equivalent of the batch cumsum-of-gaps session ids (right-
+    open boundary: a gap of EXACTLY ``gap_seconds`` starts a new
+    session). ``watermark=None`` skips the watermark (complete-mode
+    sinks / TIMESTAMP_NTZ feeds, as in ``streaming_rollup``).
     """
+    src = stream.withWatermark(ts, watermark) if watermark is not None else stream
     return (
-        stream.withWatermark(ts, watermark)
-        .groupBy(F.session_window(F.col(ts), f"{int(gap_seconds)} seconds"), F.col(key))
+        src.groupBy(F.session_window(F.col(ts), f"{int(gap_seconds)} seconds"), F.col(key))
         .agg(
             F.count("*").alias("n_turns"),
             F.min(ts).alias("session_start"),
