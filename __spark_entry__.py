@@ -4741,9 +4741,9 @@ def q_stream_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the token budget, not conversation length), and the
     drained output must hash-match the BATCH SQL oracle — a streaming
     operator held to the same exact-equality bar as every batch one.
+    Drop 1 = each conversation's early turns, drop 2 = the rest: state
+    must carry the cumsum + retained window across the batch boundary.
     """
-    import tempfile
-
     from acoustic_feature_extractor_spark.streaming.sessions import (
         streaming_trailing_context,
     )
@@ -4754,28 +4754,13 @@ def q_stream_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("props").cast("long").alias("n_tokens"),
         "event_id",
     )
-    d = tempfile.mkdtemp(prefix="stream_ctx_")
-    src = os.path.join(d, "in")
-    # drop 1 = each conversation's early turns, drop 2 = the rest: state
-    # must carry the cumsum + retained window across the batch boundary
-    ev.where(F.col("turn_idx") < 3).write.parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = spark.readStream.schema(schema).parquet(src)
-    out = streaming_trailing_context(stream, budget=64)
-    name = f"ctx_stream_{os.path.basename(d)}"
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
+    drained = _drain_two_drops(
+        spark,
+        ev,
+        F.col("turn_idx") < 3,
+        lambda s: streaming_trailing_context(s, budget=64),
+        "stream_ctx_",
     )
-    try:
-        q.processAllAvailable()
-        ev.where(F.col("turn_idx") >= 3).write.mode("append").parquet(src)
-        q.processAllAvailable()
-        drained = spark.table(name).localCheckpoint(eager=True)
-    finally:
-        q.stop()
     return drained.select(
         F.col("conv_id").cast("long").alias("user_id"),
         F.col("turn_idx").cast("long").alias("idx"),
@@ -5356,12 +5341,26 @@ FROM v CROSS JOIN unnest(generate_series(1, {len(_FV_FEATURES)})) AS u(i)
 # --------------------------------------------------------------------------
 
 
-def _drain_two_drops(spark, full_df, first_pred, build_stream, name_prefix):
+def _drain_two_drops(
+    spark, full_df, first_pred, build_stream, name_prefix, stream_partitions=8
+):
     """Write ``full_df`` rows matching ``first_pred`` as drop 1, start the
     stream ``build_stream(readStream_df)``, drain, append the remaining
     rows as drop 2, drain again, and return the memory-sink table. The
     two-drop replay forces every operator's cross-micro-batch state to
-    carry (a single drop would hide a broken carry)."""
+    carry (a single drop would hide a broken carry).
+
+    The stream runs at shuffle.partitions=``stream_partitions``
+    (restored after): every stateful stage provisions one state store
+    per shuffle partition PER micro-batch, a fixed cost this replay
+    harness pays twice — at the gate's sf0.01 (and the bench's sf0.1)
+    8 stores bound that overhead while leaving parallelism ample for
+    JVM aggregations. Operators whose per-batch work is PYTHON-side
+    over many small groups (e.g. the per-(user, slot) seasonal state)
+    pass a higher count instead — there the Python workers' parallelism
+    dominates, not the state-store fixed cost. Production streams size
+    this to their cluster as usual; results are partitioning-invariant
+    (the oracle gate would catch anything else)."""
     import tempfile
 
     d = tempfile.mkdtemp(prefix=name_prefix)
@@ -5371,19 +5370,24 @@ def _drain_two_drops(spark, full_df, first_pred, build_stream, name_prefix):
     stream = build_stream(spark.readStream.schema(schema).parquet(src))
     name = f"{name_prefix}{os.path.basename(d)}"
     mode = "complete" if not stream.isStreaming or _is_agg(stream) else "append"
-    q = (
-        stream.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(stream_partitions))
     try:
-        q.processAllAvailable()
-        full_df.where(~first_pred).write.mode("append").parquet(src)
-        q.processAllAvailable()
-        drained = spark.table(name).localCheckpoint(eager=True)
+        q = (
+            stream.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            full_df.where(~first_pred).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            drained = spark.table(name).localCheckpoint(eager=True)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return drained
 
 
@@ -5719,6 +5723,7 @@ def q_stream_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sec("ts") < cut,
         lambda s: streaming_seasonal_baseline(s),
         "stream_seas_",
+        stream_partitions=32,
     )
     return drained.select(
         F.col("conv_id").cast("long").alias("user_id"),
