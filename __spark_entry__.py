@@ -5704,9 +5704,10 @@ def q_stream_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING seasonal baseline
     (``streaming/sessions.streaming_seasonal_baseline``): each event
     scored against the user's trailing mean at the SAME hour-of-day
-    slot, strictly past, with per-(user, slot) (count, sum) GroupState
-    crossing the two-drop boundary — the state key is the same
-    24x-finer-than-entity key the batch operator exchanges on. Oracle:
+    slot, strictly past, with each user's per-slot (count, sum) arrays
+    in GroupState crossing the two-drop boundary — same state bytes as
+    the batch operator's (user, slot) exchange, one state row per user.
+    Oracle:
     the batch strict-past frame on (user, slot), as in
     ``seasonal_baseline``."""
     from acoustic_feature_extractor_spark.streaming.sessions import (
@@ -5723,7 +5724,6 @@ def q_stream_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sec("ts") < cut,
         lambda s: streaming_seasonal_baseline(s),
         "stream_seas_",
-        stream_partitions=32,
     )
     return drained.select(
         F.col("conv_id").cast("long").alias("user_id"),

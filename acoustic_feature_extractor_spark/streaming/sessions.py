@@ -457,23 +457,33 @@ def streaming_seasonal_baseline(
 ):
     """Streaming twin of ``operators/temporal.seasonal_baseline``: each
     arriving turn is scored against the entity's trailing mean at the
-    SAME phase slot (hour-of-day by default), strictly past, with the
+    SAME phase slot (hour-of-day by default), strictly past, with every
     slot's running (count, sum) carried across micro-batches in
     GroupState.
 
-    The state key is (entity, slot) — the SAME 24×-finer-than-entity
-    key the batch operator exchanges on, so state stays O(entities ×
-    period/slot) with TWO scalars each, and a mega-conversation costs
-    no more state than a quiet one. The slot is computed as a plan
-    column via ``temporal.seasonal_slot`` (pure wall-clock arithmetic,
-    identical to batch) BEFORE the stateful stage; the per-batch fold is
-    a numpy prefix count/sum with the carry-in, emitted BEFORE the row
-    joins the state (zero leakage — the first-ever row of a slot scores
-    NULL, exactly the batch semantics).
+    State is keyed by ENTITY and holds two fixed arrays of
+    ``period/slot`` cells ((count, sum) per slot): per-entity state is
+    the same bytes as the per-(entity, slot) layout the batch operator
+    exchanges on, but the stream pays ONE state-store row and ONE
+    Arrow/pandas group invocation per entity per micro-batch instead of
+    one per (entity, slot) — at 24 hourly slots that is 24× fewer
+    per-group crossings, which dominates replay-harness micro-batches
+    and costs nothing at scale (state bytes unchanged, still O(entities
+    × period/slot) scalars). (Schema note: this array layout replaced
+    the earlier per-(entity, slot) two-scalar state in r5 — a checkpoint
+    written by the old layout fails Spark's state-schema validation on
+    restart and must be discarded; state rebuilds from the stream.)
 
-    Requires per-(entity, slot) event-time-ordered arrival across
-    batches (in-batch rows are sorted here) — the same append-mode
-    contract as ``streaming_cusum``.
+    The slot is computed as a plan column via ``temporal.seasonal_slot``
+    (pure wall-clock arithmetic, identical to batch) BEFORE the stateful
+    stage; the per-batch fold is a vectorized pandas per-slot prefix
+    count/sum with the carry-in, emitted BEFORE the row joins the state
+    (zero leakage — the first-ever row of a slot scores NULL, exactly
+    the batch semantics).
+
+    Requires per-entity event-time-ordered arrival across batches
+    (in-batch rows are sorted here) — the same append-mode contract as
+    ``streaming_cusum``.
     """
     import numpy as np
     import pandas as pd
@@ -481,36 +491,51 @@ def streaming_seasonal_baseline(
 
     from acoustic_feature_extractor_spark.operators.temporal import seasonal_slot
 
+    n_slots = int(round(float(period_seconds) / float(slot_seconds)))
     out_schema = (
         f"{key} string, slot int, {ts} timestamp, {value_col} double, "
         "n_slot_past bigint, seasonal_mean double"
     )
-    state_schema = "n bigint, s double"
+    state_schema = "ns array<bigint>, ss array<double>"
     cols = [key, "slot", ts, value_col]
 
     def fn(key_tuple, pdfs, state: GroupState):
-        n0, s0 = (state.get if state.exists else (0, 0.0))
+        if state.exists:
+            ns0, ss0 = state.get
+            ns = np.asarray(ns0, dtype=np.int64)
+            ss = np.asarray(ss0, dtype=np.float64)
+        else:
+            ns = np.zeros(n_slots, dtype=np.int64)
+            ss = np.zeros(n_slots, dtype=np.float64)
         frames = [pdf for pdf in pdfs if len(pdf)]
         if not frames:
-            state.update((n0, s0))
+            state.update((ns.tolist(), ss.tolist()))
             yield pd.DataFrame(columns=cols + ["n_slot_past", "seasonal_mean"])
             return
         pdf = pd.concat(frames).sort_values(ts, kind="mergesort")
+        slot = pdf["slot"].to_numpy(dtype=np.int64)
         v = pdf[value_col].to_numpy(dtype=float)
         ok = ~np.isnan(v)
-        # strict past: prefix sums EXCLUDING the current row, plus carry
-        cnt = n0 + np.concatenate(([0], np.cumsum(ok)))[:-1]
-        cum = s0 + np.concatenate(([0.0], np.cumsum(np.where(ok, v, 0.0))))[:-1]
+        # strict past PER SLOT: prefix count/sum excluding the current
+        # row (groupby-cumsum follows the ts-sorted row order), plus the
+        # carried per-slot totals
+        g = pd.Series(slot)
+        oki = pd.Series(ok.astype(np.int64))
+        sv = pd.Series(np.where(ok, v, 0.0))
+        cnt = (oki.groupby(g).cumsum() - oki).to_numpy() + ns[slot]
+        cum = (sv.groupby(g).cumsum() - sv).to_numpy() + ss[slot]
         out = pdf[cols].copy()
         out["n_slot_past"] = cnt
         out["seasonal_mean"] = np.where(cnt > 0, cum / np.maximum(cnt, 1), np.nan)
-        state.update((int(n0 + ok.sum()), float(s0 + v[ok].sum())))
+        np.add.at(ns, slot[ok], 1)
+        np.add.at(ss, slot[ok], v[ok])
+        state.update((ns.tolist(), ss.tolist()))
         yield out
 
     slotted = stream.withColumn(
         "slot", seasonal_slot(ts, slot_seconds, period_seconds)
     )
-    return slotted.groupBy(key, "slot").applyInPandasWithState(
+    return slotted.groupBy(key).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,
