@@ -233,13 +233,15 @@ def streaming_turn_rate(
     stream: DataFrame,
     window: str = "5 minutes",
     slide: str = "1 minute",
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
     ts: str = "ts",
 ) -> DataFrame:
-    """Sliding-window turn-rate aggregate (ops dashboard shape)."""
+    """Sliding-window turn-rate aggregate (ops dashboard shape).
+    ``watermark=None`` skips the watermark (complete-mode sinks /
+    TIMESTAMP_NTZ feeds, as in ``streaming_rollup``)."""
+    src = stream.withWatermark(ts, watermark) if watermark is not None else stream
     return (
-        stream.withWatermark(ts, watermark)
-        .groupBy(F.window(F.col(ts), window, slide))
+        src.groupBy(F.window(F.col(ts), window, slide))
         .agg(F.count("*").alias("n_turns"))
     )
 
