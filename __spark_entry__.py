@@ -5936,6 +5936,48 @@ FROM s GROUP BY user_id, sid
 
 
 
+def q_stream_turn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sliding-window turn rate
+    (``streaming/sessions.streaming_turn_rate``): events per 1-hour
+    window sliding every 15 minutes (the ops-dashboard shape), drained
+    complete-mode over the two-drop replay. Oracle: each event belongs
+    to the 4 slide-aligned windows covering it — a generate_series
+    expansion in DuckDB over the same epoch-aligned grid Spark's
+    ``window(ts, width, slide)`` uses."""
+    from acoustic_feature_extractor_spark.streaming.sessions import (
+        streaming_turn_rate,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("ts")
+    cut = 1705363200.0
+    drained = _drain_two_drops(
+        spark,
+        ev,
+        _sec("ts") < cut,
+        lambda s: streaming_turn_rate(
+            s, window="1 hour", slide="15 minutes", watermark=None
+        ),
+        "stream_rate_",
+    )
+    return drained.select(
+        _sec(F.col("window.start")).cast("double").alias("ws_sec"),
+        F.col("n_turns").cast("long").alias("n_turns"),
+    )
+
+
+_SQL_STREAM_TURN_RATE = """
+WITH b AS (SELECT epoch_us(ts) AS tus FROM events),
+w AS (
+  SELECT (floor(tus / 900000000) - g.k) * 900 AS ws_sec
+  FROM b, generate_series(0, 3) AS g(k)
+  WHERE (floor(tus / 900000000) - g.k) * 900000000 > tus - 3600000000
+)
+SELECT CAST(ws_sec AS DOUBLE) AS ws_sec, CAST(count(*) AS BIGINT) AS n_turns
+FROM w GROUP BY 1
+"""
+
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -5967,6 +6009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hist": q_stream_hist,
         "stream_distinct": q_stream_distinct,
         "stream_sessions": q_stream_sessions,
+        "stream_turn_rate": q_stream_turn_rate,
         # 26 queries with no prior driver-grade evidence (replay-green)
         "turn_transitions": q_turn_transitions,
         "degenerate_loops": q_degenerate_loops,
@@ -6109,6 +6152,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_hist": _SQL_STREAM_HIST,
         "stream_distinct": _SQL_STREAM_DISTINCT,
         "stream_sessions": _SQL_STREAM_SESSIONS,
+        "stream_turn_rate": _SQL_STREAM_TURN_RATE,
         "flagship_features": _SQL_FLAGSHIP,
         "lag_lead_context": _SQL_LAG_LEAD,
         "rolling_stats": _SQL_ROLLING,
