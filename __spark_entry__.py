@@ -5978,6 +5978,125 @@ FROM w GROUP BY 1
 
 
 
+def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING as-of enrichment (``streaming/enrich.streaming_asof_enrich``
+    — the engine's centerpiece join, streamed): each click/view picks up
+    the user's purchase state as of its own timestamp from a
+    slowly-changing dimension intervalized batch-side
+    (``intervalize_dimension``: one lead window → half-open validity
+    ranges), joined stream-static with ZERO state (intervals partition
+    the timeline, so no aggregation, no watermark). Oracle: DuckDB ASOF
+    LEFT JOIN — inclusive backward, rows before the first purchase keep
+    NULL payload."""
+    from acoustic_feature_extractor_spark.streaming.enrich import (
+        intervalize_dimension,
+        streaming_asof_enrich,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    dim = intervalize_dimension(
+        ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("value").alias("dvalue")
+        ),
+        on="ts",
+        by="user_id",
+    )
+    spine = ev.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", "event_id", "ts"
+    )
+    cut = 1705363200.0
+    drained = _drain_two_drops(
+        spark,
+        spine,
+        _sec("ts") < cut,
+        lambda s: streaming_asof_enrich(s, dim, on="ts", by="user_id"),
+        "stream_asof_",
+    )
+    return drained.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round("dvalue_dim", 6).alias("dvalue"),
+        F.round(_sec("ts_dim"), 6).alias("dim_ts_sec"),
+    )
+
+
+_SQL_STREAM_ASOF_ENRICH = """
+WITH spine AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type IN ('click', 'view')
+),
+dim AS (
+  SELECT user_id, ts, value AS dvalue FROM events WHERE event_type = 'purchase'
+)
+SELECT s.user_id, s.event_id,
+       round(d.dvalue, 6) AS dvalue,
+       round(epoch_us(d.ts) / 1000000.0, 6) AS dim_ts_sec
+FROM spine s ASOF LEFT JOIN dim d
+  ON s.user_id = d.user_id AND s.ts >= d.ts
+"""
+
+
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM trailing-window join
+    (``streaming/enrich.streaming_interval_join``): clicks and errors are
+    two branches of ONE replayed stream (stream-stream self-join); each
+    click picks up every error of the same user in its trailing 30
+    minutes. The two-drop time split forces boundary-straddling matches
+    (a drop-2 click joining a drop-1 error) through the buffered join
+    state — the cut is picked so that at the gate's sf0.01 exactly one
+    match straddles it (error 2024-01-05T23:10:52 < cut <= click
+    2024-01-05T23:19:47, same user): a join whose right-side buffer
+    fails to carry across the micro-batch boundary loses that row and
+    hash-mismatches the oracle. Oracle: the plain batch range join."""
+    from acoustic_feature_extractor_spark.streaming.enrich import (
+        streaming_interval_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    cut = 1704496500.0
+    drained = _drain_two_drops(
+        spark,
+        ev,
+        _sec("ts") < cut,
+        lambda s: streaming_interval_join(
+            s.where(F.col("event_type") == "click").select(
+                "user_id", "event_id", "ts"
+            ),
+            s.where(F.col("event_type") == "error").select(
+                "user_id", "ts", "value"
+            ),
+            on="ts",
+            by="user_id",
+            max_lag_seconds=1800.0,
+            watermark=None,
+        ),
+        "stream_ij_",
+    )
+    return drained.select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        F.round("value_r", 6).alias("err_value"),
+        F.round(_sec("ts_r"), 6).alias("err_ts_sec"),
+    )
+
+
+_SQL_STREAM_INTERVAL_JOIN = """
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'click'
+),
+e AS (
+  SELECT user_id, epoch_us(ts) AS tus, value FROM events WHERE event_type = 'error'
+)
+SELECT c.user_id, c.event_id,
+       round(e.value, 6) AS err_value,
+       round(e.tus / 1000000.0, 6) AS err_ts_sec
+FROM c JOIN e
+  ON c.user_id = e.user_id
+ AND e.tus >= c.tus - 1800000000
+ AND e.tus <= c.tus
+"""
+
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6010,6 +6129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_distinct": q_stream_distinct,
         "stream_sessions": q_stream_sessions,
         "stream_turn_rate": q_stream_turn_rate,
+        "stream_asof_enrich": q_stream_asof_enrich,
+        "stream_interval_join": q_stream_interval_join,
         # 26 queries with no prior driver-grade evidence (replay-green)
         "turn_transitions": q_turn_transitions,
         "degenerate_loops": q_degenerate_loops,
@@ -6153,6 +6274,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_distinct": _SQL_STREAM_DISTINCT,
         "stream_sessions": _SQL_STREAM_SESSIONS,
         "stream_turn_rate": _SQL_STREAM_TURN_RATE,
+        "stream_asof_enrich": _SQL_STREAM_ASOF_ENRICH,
+        "stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
         "flagship_features": _SQL_FLAGSHIP,
         "lag_lead_context": _SQL_LAG_LEAD,
         "rolling_stats": _SQL_ROLLING,

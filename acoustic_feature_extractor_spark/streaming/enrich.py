@@ -76,7 +76,7 @@ def streaming_interval_join(
     on: str = "ts",
     by: str = "conv_id",
     max_lag_seconds: float = 300.0,
-    watermark: str = "10 minutes",
+    watermark: str | None = "10 minutes",
     suffix: str = "_r",
 ) -> DataFrame:
     """Stream-stream trailing-window join: each left row picks up every
@@ -88,7 +88,10 @@ def streaming_interval_join(
     column ``on``. The equi-key plus a closed event-time range is
     exactly the shape Structured Streaming needs to bound state: each
     side's buffer is evicted once the other side's watermark passes
-    ``watermark + max_lag_seconds``. Inner join only (outer stream-stream
+    ``watermark + max_lag_seconds``. ``watermark=None`` skips both
+    watermarks (inner stream-stream joins run with unbounded buffers —
+    finite replays / TIMESTAMP_NTZ feeds only; production streams keep
+    the watermark). Inner join only (outer stream-stream
     joins emit nulls at watermark expiry — different latency contract;
     compose with a batch backfill if completeness matters more than
     freshness).
@@ -98,11 +101,13 @@ def streaming_interval_join(
     """
     lag = float(max_lag_seconds)
     payload = [c for c in right.columns if c != by]
-    l = left.withWatermark(on, watermark)
+    l = left.withWatermark(on, watermark) if watermark is not None else left
     r = right.select(
         F.col(by).alias("_r_by"),
         *[F.col(c).alias(f"{c}{suffix}") for c in payload],
-    ).withWatermark(f"{on}{suffix}", watermark)
+    )
+    if watermark is not None:
+        r = r.withWatermark(f"{on}{suffix}", watermark)
     rts = F.col(f"{on}{suffix}")
     cond = (
         (F.col(by) == F.col("_r_by"))
