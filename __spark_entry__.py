@@ -5365,6 +5365,10 @@ def _drain_two_drops(
 
     d = tempfile.mkdtemp(prefix=name_prefix)
     src = os.path.join(d, "in")
+    # NULL-safe split: a row whose predicate evaluates NULL must still
+    # land in exactly one drop (plain where(p)/where(~p) would drop it
+    # from BOTH — e.g. a NULL-timestamp row under a time cut)
+    first_pred = F.coalesce(first_pred, F.lit(False))
     full_df.where(first_pred).write.parquet(src)
     schema = spark.read.parquet(src).schema
     stream = build_stream(spark.readStream.schema(schema).parquet(src))
