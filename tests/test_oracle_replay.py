@@ -36,3 +36,16 @@ def test_registry_is_timezone_independent(spark):
 
     failures = replay(spark=spark, tz="America/New_York")
     assert failures == [], f"timezone-dependent queries: {failures}"
+
+
+@pytest.mark.oracle_replay
+def test_registry_is_scale_factor_robust(spark):
+    """Replay the ENTIRE registry at sf0.001 (10x smaller than the
+    driver's gate): tiny groups, empty session tails, single-file
+    snapshots — the fixture-size edge cases a query with a hidden
+    sf0.01-shaped assumption would trip on. First proven green in r5
+    (137/137); pinned so it stays that way."""
+    from tools.check_oracle import replay
+
+    failures = replay(spark=spark, sf_dir="/root/testdata/sf0.001")
+    assert failures == [], f"sf0.001 drift: {failures}"
