@@ -41,6 +41,10 @@ QUERIES = [
     "trailing_window",
     "rolling_stats",
     "asof_join",
+    # r5 streaming surface at scale: stateful drains + the production loop
+    "stream_cusum",
+    "stream_interval_join",
+    "stream_cdc_rollup",
 ]
 
 
