@@ -445,8 +445,9 @@ ratio with both sides uniformly slower on that host day — zero code
 regressions, zero unexplained flags. The r5 runs' own residual flags
 (sub-second queries whose warm-suite floors no isolated JVM reproduces
 on EITHER side: keypoint_split, pad_sessions, session_bounds,
-resample_linear, ewma_mean, rolling_autocorr, and dedup_simhash again)
-carry the same A/B evidence in BENCH/ab_r5.json — eleven distinct
+resample_linear, ewma_mean, rolling_autocorr, hist_incremental,
+and dedup_simhash again)
+carry the same A/B evidence in BENCH/ab_r5.json — twelve distinct
 queries adjudicated this round, every one with statistically equal
 sides (HEAD faster in most): zero code regressions; a sub-second flag
 with this signature is host noise against a best-ever warm-suite
