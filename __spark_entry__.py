@@ -6211,6 +6211,124 @@ _SQL_STREAM_CDC_ROLLUP = _sql_rollup(3600)
 
 
 
+def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward fill (``fill.backward_fill``) — the mirror of
+    ``forward_fill``: each row reads the NEXT non-masked value in its
+    conversation ('error' rows are missing). One window on the shared
+    (user, idx) sort, frame [CURRENT, UNBOUNDED FOLLOWING]; the
+    reference's boundary-clamp fill reads both directions
+    (``f0.py:74-81``), so both deserve driver evidence."""
+    d = _indexed_events(spark, sf_dir).withColumn(
+        "good_value", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    d = fill_ops.backward_fill(
+        d, "good_value", key="user_id", order="idx", out_col="next_good"
+    )
+    return d.select(
+        "user_id", "event_id", "idx", F.round("next_good", 6).alias("next_good")
+    )
+
+
+_SQL_BACKFILL = f"""
+WITH base AS ({_IDX_SQL})
+SELECT user_id, event_id, idx,
+       round(first_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6)
+       AS next_good
+FROM base
+"""
+
+
+def q_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean mask from interval spans (``intervals.mask_from_spans`` —
+    the reference's silence-mask shape,
+    ``extract_silence_from_phoneme.py:28-33``): every event is flagged
+    when it falls inside ±10 minutes of ANY of its user's error events
+    (the exclusion-window curation primitive). Left-semi range join +
+    join-back; spans scale with the corpus so the broadcast is
+    size-gated, not forced. Oracle: a correlated EXISTS over the same
+    wall-clock interval arithmetic (NTZ both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    spans = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    r = interval_ops.mask_from_spans(
+        ev.select("user_id", "event_id", "ts"),
+        spans,
+        key="user_id",
+        ts="ts",
+        mask_col="near_error",
+    )
+    return r.select(
+        "user_id", F.col("event_id").cast("long").alias("event_id"), "near_error"
+    )
+
+
+_SQL_SPAN_MASK = """
+SELECT ev.user_id, ev.event_id,
+       EXISTS (
+         SELECT 1 FROM events e
+         WHERE e.event_type = 'error' AND e.user_id = ev.user_id
+           AND ev.ts >= e.ts - INTERVAL 10 MINUTE
+           AND ev.ts <  e.ts + INTERVAL 10 MINUTE
+       ) AS near_error
+FROM events ev
+"""
+
+
+def q_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot ROLLBACK (``snapshots.rollback``) driver-graded: commit
+    the pre-cut events as v1, append the rest as v2, roll back to v1 —
+    a METADATA-ONLY append of a new snapshot re-pointing at v1's file
+    set (history intact, no byte rewritten; the query RAISES unless the
+    log shows exactly [append, append, rollback] and records the
+    rollback target in lineage). The current read must then equal v1:
+    the oracle aggregates ONLY the pre-cut raw events."""
+    import tempfile
+
+    from acoustic_feature_extractor_spark.sources import snapshots as snap
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    cut = 1705363200.0
+    t = tempfile.mkdtemp(prefix="rollback_query_")
+    pre = F.coalesce(_sec("ts") < cut, F.lit(False))
+    s1 = snap.commit(ev.where(pre), t)
+    snap.commit(ev.where(~pre), t)  # v2 = full table (append)
+    rb = snap.rollback(t, s1.snapshot_id)
+    hist = snap.history(t)
+    if not (
+        rb.operation == "rollback"
+        and rb.lineage.get("rolled_back_to") == s1.snapshot_id
+        and [s.operation for s in hist] == ["append", "append", "rollback"]
+        and hist[-1].dirs == s1.dirs
+    ):
+        raise RuntimeError(
+            f"rollback evidence failed: {[s.operation for s in hist]}"
+        )
+    df = snap.read(spark, t)  # current head = the rolled-back file set
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_v"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )
+
+
+_SQL_SNAPSHOT_ROLLBACK = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(value), 6) AS sum_v,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM events
+WHERE epoch_us(ts) < 1705363200000000
+GROUP BY 1
+"""
+
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6247,6 +6365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "stream_snapshot_sink": q_stream_snapshot_sink,
         "stream_cdc_rollup": q_stream_cdc_rollup,
+        "backfill": q_backfill,
+        "span_mask": q_span_mask,
+        "snapshot_rollback": q_snapshot_rollback,
         # 26 queries with no prior driver-grade evidence (replay-green)
         "turn_transitions": q_turn_transitions,
         "degenerate_loops": q_degenerate_loops,
@@ -6394,6 +6515,9 @@ def oracle_sql() -> dict[str, str]:
         "stream_interval_join": _SQL_STREAM_INTERVAL_JOIN,
         "stream_snapshot_sink": _SQL_STREAM_SNAPSHOT_SINK,
         "stream_cdc_rollup": _SQL_STREAM_CDC_ROLLUP,
+        "backfill": _SQL_BACKFILL,
+        "span_mask": _SQL_SPAN_MASK,
+        "snapshot_rollback": _SQL_SNAPSHOT_ROLLBACK,
         "flagship_features": _SQL_FLAGSHIP,
         "lag_lead_context": _SQL_LAG_LEAD,
         "rolling_stats": _SQL_ROLLING,
