@@ -446,8 +446,8 @@ regressions, zero unexplained flags. The r5 runs' own residual flags
 (sub-second queries whose warm-suite floors no isolated JVM reproduces
 on EITHER side: keypoint_split, pad_sessions, session_bounds,
 resample_linear, ewma_mean, rolling_autocorr, hist_incremental,
-and dedup_simhash again)
-carry the same A/B evidence in BENCH/ab_r5.json — twelve distinct
+bloom_semi_join, and dedup_simhash again)
+carry the same A/B evidence in BENCH/ab_r5.json — thirteen distinct
 queries adjudicated this round, every one with statistically equal
 sides (HEAD faster in most): zero code regressions; a sub-second flag
 with this signature is host noise against a best-ever warm-suite
