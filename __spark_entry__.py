@@ -6329,6 +6329,55 @@ GROUP BY 1
 
 
 
+def q_align_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source alignment tolerance REJECTS
+    (``asof.align_rejected_entities``): the reference hard-asserts every
+    source covers the same span within a tolerance
+    (``sampling_data.py:98-103``) — here the violators surface as a
+    validation table instead of an exception (a quarantine sink at
+    scale). Sources = each user's click series vs view series; a user
+    is rejected when the two end-timestamps differ by more than 3 days,
+    or when either source has no rows for them (the reference would
+    KeyError). One groupBy per source + a full outer join on the
+    entity — span-sized data, never row-sized. Oracle: the same two
+    max-aggregates and the same null-propagating span difference."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    r = asof_ops.align_rejected_entities(
+        [clicks, views], error_time_length=259200.0, on="ts", by="user_id"
+    )
+    return r.select(
+        "user_id",
+        F.round("end_0", 6).alias("end_0"),
+        F.round("end_1", 6).alias("end_1"),
+        F.round("span_diff", 6).alias("span_diff"),
+    )
+
+
+_SQL_ALIGN_REJECTS = """
+WITH c AS (
+  SELECT user_id, max(epoch_us(ts)) / 1000000.0 AS end_0
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+v AS (
+  SELECT user_id, max(epoch_us(ts)) / 1000000.0 AS end_1
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+j AS (
+  SELECT coalesce(c.user_id, v.user_id) AS user_id, c.end_0, v.end_1,
+         CASE WHEN c.end_0 IS NULL OR v.end_1 IS NULL THEN NULL
+              ELSE greatest(c.end_0, v.end_1) - least(c.end_0, v.end_1) END AS span_diff
+  FROM c FULL JOIN v ON c.user_id = v.user_id
+)
+SELECT user_id, round(end_0, 6) AS end_0, round(end_1, 6) AS end_1,
+       round(span_diff, 6) AS span_diff
+FROM j
+WHERE span_diff IS NULL OR span_diff > 259200.0
+"""
+
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6368,6 +6417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill": q_backfill,
         "span_mask": q_span_mask,
         "snapshot_rollback": q_snapshot_rollback,
+        "align_rejects": q_align_rejects,
         # 26 queries with no prior driver-grade evidence (replay-green)
         "turn_transitions": q_turn_transitions,
         "degenerate_loops": q_degenerate_loops,
@@ -6518,6 +6568,7 @@ def oracle_sql() -> dict[str, str]:
         "backfill": _SQL_BACKFILL,
         "span_mask": _SQL_SPAN_MASK,
         "snapshot_rollback": _SQL_SNAPSHOT_ROLLBACK,
+        "align_rejects": _SQL_ALIGN_REJECTS,
         "flagship_features": _SQL_FLAGSHIP,
         "lag_lead_context": _SQL_LAG_LEAD,
         "rolling_stats": _SQL_ROLLING,
