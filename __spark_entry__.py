@@ -6378,6 +6378,56 @@ WHERE span_diff IS NULL OR span_diff > 259200.0
 
 
 
+def q_pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report (``pack.pack_utilization``): per-pack
+    token total, doc count, and fill fraction over the next-fit
+    ``pack_greedy`` assignment — the training-batch efficiency metric a
+    data pipeline publishes next to its packed shards (utilization > 1
+    marks an over-capacity document's overflow pack). One partial/final
+    groupBy on the pack keys. Oracle: the same aggregate over the
+    recursive-CTE replay of the packing itself."""
+    d = _t(spark, sf_dir, "documents")
+    p = pack_ops.pack_greedy(
+        d,
+        tokens_col="n_chars",
+        id_col="doc_id",
+        capacity=2048,
+        bucket=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    u = pack_ops.pack_utilization(p, tokens_col="n_chars", capacity=2048)
+    return u.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("pack_id").cast("long").alias("pack_id"),
+        F.col("pack_tokens").cast("long").alias("pack_tokens"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "utilization",
+    )
+
+
+_SQL_PACK_UTILIZATION = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, n_chars, doc_id % 8 AS bucket,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents),
+rec AS (
+  SELECT bucket, doc_id, n_chars, rn, CAST(0 AS BIGINT) AS pack_id,
+         n_chars AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT x.bucket, x.doc_id, x.n_chars, x.rn,
+         CASE WHEN r.fill + x.n_chars > 2048 THEN r.pack_id + 1 ELSE r.pack_id END,
+         CASE WHEN r.fill + x.n_chars > 2048 THEN x.n_chars ELSE r.fill + x.n_chars END
+  FROM rec r JOIN d x ON x.bucket = r.bucket AND x.rn = r.rn + 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, pack_id,
+       CAST(sum(n_chars) AS BIGINT) AS pack_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(n_chars) / 2048.0, 6) AS utilization
+FROM rec GROUP BY 1, 2
+"""
+
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -6418,6 +6468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_mask": q_span_mask,
         "snapshot_rollback": q_snapshot_rollback,
         "align_rejects": q_align_rejects,
+        "pack_utilization": q_pack_utilization,
         # 26 queries with no prior driver-grade evidence (replay-green)
         "turn_transitions": q_turn_transitions,
         "degenerate_loops": q_degenerate_loops,
@@ -6569,6 +6620,7 @@ def oracle_sql() -> dict[str, str]:
         "span_mask": _SQL_SPAN_MASK,
         "snapshot_rollback": _SQL_SNAPSHOT_ROLLBACK,
         "align_rejects": _SQL_ALIGN_REJECTS,
+        "pack_utilization": _SQL_PACK_UTILIZATION,
         "flagship_features": _SQL_FLAGSHIP,
         "lag_lead_context": _SQL_LAG_LEAD,
         "rolling_stats": _SQL_ROLLING,
